@@ -1,0 +1,117 @@
+"""A2 dedup unit tests — ports of the reference's 6 JUnit cases.
+
+Reference: OmmCancellationHandlerTest.java:15-87 (fixture builder
+``mockCancellation`` L90-103: route "7575", direction 1, date
+"20180101", time "11:22:00").  Same inputs, same expected survivors,
+executed through the Spark window implementation.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Row
+
+from transitdata_omm_cancellation_source_spark.operators.dedup import priority_argmax
+
+NOW_MS = int(time.time() * 1000)
+
+
+def mock_cancellation(spark_rows: list, dvj_id: str, status: str, ts: int | None = None):
+    """Fixture row — OmmCancellationHandlerTest.java:90-103."""
+    spark_rows.append(
+        Row(
+            dvj_id=dvj_id,
+            deviation_case_id=1,
+            status=status,
+            ts_epoch_ms=ts if ts is not None else NOW_MS,
+            dc_last_modified=len(spark_rows),  # encounter order
+            route_id="7575",
+            direction_id=1,
+            start_date="20180101",
+            start_time="11:22:00",
+        )
+    )
+
+
+def run(spark, rows):
+    if not rows:
+        schema = (
+            "dvj_id string, deviation_case_id long, status string, "
+            "ts_epoch_ms long, dc_last_modified long, route_id string, "
+            "direction_id int, start_date string, start_time string"
+        )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.createDataFrame(rows)
+    out = priority_argmax(
+        df, ["dvj_id", "deviation_case_id"], "status", "dc_last_modified", "ts_epoch_ms"
+    )
+    return out.collect()
+
+
+def test_empty_list(spark):
+    # L16-19: empty input -> empty output
+    assert run(spark, []) == []
+
+
+def test_single_canceled_kept(spark):
+    # L22-27
+    rows: list = []
+    mock_cancellation(rows, "1234", "CANCELED")
+    out = run(spark, rows)
+    assert len(out) == 1 and out[0].status == "CANCELED"
+
+
+def test_single_running_kept(spark):
+    # L30-35
+    rows: list = []
+    mock_cancellation(rows, "1234", "RUNNING")
+    out = run(spark, rows)
+    assert len(out) == 1 and out[0].status == "RUNNING"
+
+
+def test_canceled_beats_running(spark):
+    # L38-47: same dvjId + devCaseId, CANCELED must win regardless of order
+    rows: list = []
+    mock_cancellation(rows, "1234", "RUNNING", NOW_MS + 1000)
+    mock_cancellation(rows, "1234", "CANCELED", NOW_MS)
+    out = run(spark, rows)
+    assert len(out) == 1 and out[0].status == "CANCELED"
+
+
+def test_multiple_running_one_survivor(spark):
+    # L50-59: among RUNNING keep max timestamp
+    rows: list = []
+    mock_cancellation(rows, "1234", "RUNNING", NOW_MS - 2000)
+    mock_cancellation(rows, "1234", "RUNNING", NOW_MS)
+    mock_cancellation(rows, "1234", "RUNNING", NOW_MS - 1000)
+    out = run(spark, rows)
+    assert len(out) == 1
+    assert out[0].status == "RUNNING" and out[0].ts_epoch_ms == NOW_MS
+
+
+def test_distinct_dvj_ids_dont_interfere(spark):
+    # L62-87: mixed statuses across distinct dvjIds
+    rows: list = []
+    mock_cancellation(rows, "1", "CANCELED")
+    mock_cancellation(rows, "1", "RUNNING")
+    mock_cancellation(rows, "2", "RUNNING", NOW_MS - 5000)
+    mock_cancellation(rows, "2", "RUNNING", NOW_MS - 1000)
+    mock_cancellation(rows, "3", "CANCELED")
+    out = {r.dvj_id: r for r in run(spark, rows)}
+    assert len(out) == 3
+    assert out["1"].status == "CANCELED"
+    assert out["2"].status == "RUNNING" and out["2"].ts_epoch_ms == NOW_MS - 1000
+    assert out["3"].status == "CANCELED"
+
+
+def test_first_encountered_canceled_wins(spark):
+    # filterDuplicates keeps activeCancellations.get(0) — the first in
+    # encounter order (OmmCancellationHandler.java:190-193) even when a
+    # later CANCELED has a newer timestamp.
+    rows: list = []
+    mock_cancellation(rows, "9", "CANCELED", NOW_MS - 1000)
+    mock_cancellation(rows, "9", "CANCELED", NOW_MS)
+    out = run(spark, rows)
+    assert len(out) == 1 and out[0].ts_epoch_ms == NOW_MS - 1000

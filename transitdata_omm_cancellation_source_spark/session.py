@@ -1,0 +1,79 @@
+"""SparkSession factory.
+
+The reference runs one poller thread against SQL Server
+(``Main.java:25``, ``OmmConnector.java:35``); here a single
+SparkSession hosts every operator.  Config defaults are chosen for
+local[N] testing but every knob is the one you would also set on a real
+cluster:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast demotion) — essential at 100 TB where static estimates lie.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE's coalescing makes the initial number mostly a ceiling.
+- Arrow enabled so any Pandas-UDF path is Arrow-batched, never pickled
+  row-at-a-time.
+- Session timezone pinned to UTC: the reference stores epoch-ms UTC and
+  treats wall-clock strings as Europe/Helsinki explicitly
+  (``OmmCancellationHandler.java:79-97``); pinning UTC makes
+  ntz<->instant casts deterministic and keeps DuckDB oracles honest.
+- ``spark.sql.legacy.parquet.nanosAsLong`` because the events testdata
+  carries parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  otherwise rejects; the catalog converts ns->us JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point (re-)applies, so the engine
+# behaves identically under a driver-owned SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # documents/embeddings are small dims next to a 100 TB fact side;
+    # keep the broadcast ceiling generous but bounded.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally built session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # immutable in this deployment -> keep going
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "transitdata-omm-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores; shuffle
+    partitions default to the same so one local run has one task wave.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
