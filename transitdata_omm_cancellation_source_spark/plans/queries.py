@@ -65,3 +65,8 @@ def oracle_sql() -> dict[str, str]:
         for name, spec in REGISTRY.items()
         if spec.oracle is not None
     }
+
+
+# Populate the registry.  These imports run after the symbols above are
+# defined (they import back from this module), so the cycle is benign.
+from . import operator_queries  # noqa: E402,F401

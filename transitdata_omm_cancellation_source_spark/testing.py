@@ -30,6 +30,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out.columns = [c.lower() for c in out.columns]
     out = out[sorted(out.columns)]
+    if len(out) == 0:
+        return out
     # stringify for a stable sort across dtypes, keep originals for compare
     key = out.astype(str).agg("\x1f".join, axis=1)
     out = out.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
