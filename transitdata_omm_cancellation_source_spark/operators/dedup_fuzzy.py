@@ -1,0 +1,395 @@
+"""North-star deduplication family over ``documents`` / ``embeddings``.
+
+Five operators, each the Spark-idiomatic realization of a standard
+large-corpus dedup technique:
+
+- exact:        hash-groupBy on a normalized fingerprint (one shuffle)
+- n-gram Jaccard: inverted shingle index + self-join — *exact* pairwise
+                Jaccard without an O(n^2) cross join; pairs sharing no
+                shingle are never materialized
+- MinHash+LSH:  signature -> banded bucket join -> exact verification;
+                candidate generation is O(n·bands) — the 100 TB path
+- SimHash:      62-bit fingerprint, 8-chunk pigeonhole blocking (exact
+                recall for hamming <= 7), bit_count(xor) verification
+- embedding:    cosine near-dup within label blocks (blocked join, not
+                a cross join)
+
+The testdata's documents are all distinct, so each query plants
+deterministic perturbed copies (doc_id + 1_000_000, one appended
+token) before deduplicating — the same construction the DuckDB oracle
+applies, keeping parity exact.  Hashing uses the portable polynomial
+fold from ``functions.text`` so DuckDB reproduces signatures
+bit-for-bit.
+
+Scale notes: every self-join key (shingle, band key, simhash chunk) is
+a shuffle key with bounded fan-out; hot shingles (stopword n-grams)
+are the classic skew source — mitigated here by distinct-per-doc
+shingles + AQE skew splitting; a production corpus would also drop
+top-frequency shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import text as X
+from ..plans.queries import QuerySpec, register
+
+P = X.HASH_MOD
+
+
+def _q(name: str, survey_ref: str, oracle: str | None):
+    def deco(fn):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = load_tables(spark, sf_dir)
+            return fn(spark, tables)
+
+        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return deco
+
+
+# --- shared corpus with planted near-duplicates -----------------------------
+
+def planted_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ perturbed copies of every 10th doc (id + 1e6)."""
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" corpusmarker")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(dups)
+
+
+_CORPUS_D = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' corpusmarker' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+#: DuckDB k=3 word-shingle polyhash set (mirrors functions.text.shingle_hashes)
+_SHINGLES_D = (
+    f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - 2, 0) + 1),"
+    f" i -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f"   list_transform(string_split(array_to_string(list_slice({_WORDS}, i, i + 2), ' '), ''),"
+    f"     x -> CAST(ascii(x) AS BIGINT))),"
+    f"   (acc, x) -> (acc * 31 + x) % {P})))"
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    "north-star: exact dedup via normalized-fingerprint hash groupBy",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (SELECT doc_id, md5(array_to_string({_WORDS}, ' ')) AS fp_md5 FROM corpus)
+    SELECT fp_md5, CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           count(*) AS n_copies
+    FROM fp GROUP BY fp_md5 HAVING count(*) > 1
+    """,
+)
+def _exact(spark, t):
+    docs = t["documents"]
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        corpus.select("doc_id", X.fingerprint_md5("text").alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- exact n-gram Jaccard via inverted shingle index ------------------------
+
+_JACCARD_TAU = 0.5
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    "north-star: exact n-gram Jaccard near-dup pairs (inverted-index join, no cross join)",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM corpus),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {_JACCARD_TAU}
+    """,
+)
+def _ngram_jaccard(spark, t):
+    corpus = planted_corpus(t["documents"])
+    sh = corpus.select("doc_id", X.shingle_hashes("text").alias("shingles"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sized = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    jac = F.col("n_shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+    return (
+        shared.join(sized.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sized.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _ROWS = 64, 16, 4
+
+_SIG_D = (
+    f"list_transform(range(0, {_NUM_HASHES}),"
+    f" i -> coalesce(list_min(list_transform(shingles,"
+    f"   s -> ((2*i + 1) * s + i*i + 1) % {P})), {P}))"
+)
+_BANDS_D = (
+    f"list_transform(range(0, {_BANDS}),"
+    f" b -> list_reduce(list_prepend(CAST(b AS BIGINT),"
+    f"   list_slice(sig, b * {_ROWS} + 1, b * {_ROWS} + {_ROWS})),"
+    f"   (acc, x) -> (acc * 1000003 + x) % {P}))"
+)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "north-star: MinHash signatures + LSH banding + exact Jaccard verification",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM corpus),
+    sig AS (SELECT doc_id, shingles, {_SIG_D} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_D}) AS band_key FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_TAU}
+    """,
+)
+def _minhash_lsh(spark, t):
+    corpus = planted_corpus(t["documents"])
+    sh = corpus.select("doc_id", X.shingle_hashes("text").alias("shingles"))
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        X.minhash_signature("shingles", _NUM_HASHES).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id", F.explode(X.band_keys("sig", _BANDS, _ROWS)).alias("band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    jac = inter / (
+        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    )
+    return (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_HAMMING_MAX = 7  # < 8 chunks => pigeonhole: blocking has exact recall
+
+_TOKHASH_D = (
+    f"list_transform({_WORDS}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(string_split(t, ''), x -> CAST(ascii(x) AS BIGINT))),"
+    f" (acc, x) -> (acc * 31 + x) % {P}))"
+)
+_WIDE_D = f"list_transform({_TOKHASH_D}, h -> h + (h * 2654435761 % {P}) * {P})"
+# DuckDB's list_reduce cannot fold with an array accumulator, so the
+# oracle computes the per-bit vote relationally: token hashes unnested,
+# crossed with bit positions, summed, then re-folded into the 62-bit
+# fingerprint.  Same arithmetic as functions.text.simhash64.
+_SIMHASH_SH_D = f"""
+    tok AS (SELECT doc_id, unnest({_WIDE_D}) AS h FROM corpus),
+    votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok, (SELECT unnest(range(0, 62)) AS j)
+        GROUP BY doc_id, j
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sh64
+        FROM votes GROUP BY doc_id
+    )"""
+
+
+@_q(
+    "dedup_simhash",
+    "north-star: 62-bit SimHash + chunk blocking + hamming verification",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    {_SIMHASH_SH_D},
+    chunks AS (
+        SELECT doc_id, sh64, c, (sh64 // CAST(pow(2, 8 * c) AS BIGINT)) % 256 AS chunk_key
+        FROM sh, (SELECT unnest(range(0, 8)) AS c)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sh64 AS ha, b.sh64 AS hb
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+    """,
+)
+def _simhash(spark, t):
+    corpus = planted_corpus(t["documents"])
+    sh = corpus.select("doc_id", X.simhash64("text").alias("sh64"))
+    chunks = sh.select(
+        "doc_id",
+        "sh64",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("c"),
+    ).withColumn(
+        "chunk_key",
+        F.expr("(sh64 div CAST(pow(2, 8 * c) AS BIGINT)) % 256"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh64").alias("ha"),
+            F.col("b.sh64").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+_COSINE_TAU = 0.98
+
+_DOT_D = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    "north-star: embedding cosine near-dup within label blocks",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding, label
+        FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_D.format(a="a.embedding", b="b.embedding")}
+                 / sqrt({_DOT_D.format(a="a.embedding", b="a.embedding")}
+                        * {_DOT_D.format(a="b.embedding", b="b.embedding")}), 6) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT_D.format(a="a.embedding", b="b.embedding")}
+          / sqrt({_DOT_D.format(a="a.embedding", b="a.embedding")}
+                 * {_DOT_D.format(a="b.embedding", b="b.embedding")}) >= {_COSINE_TAU}
+    """,
+)
+def _embedding_neardup(spark, t):
+    corpus = t["embeddings"].unionAll(
+        t["embeddings"]
+        .filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    vecs = corpus.select(
+        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    cos = F.expr(
+        f"{dot.format(a='a.v', b='b.v')}"
+        f" / sqrt({dot.format(a='a.v', b='a.v')} * {dot.format(a='b.v', b='b.v')})"
+    )
+    return (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _COSINE_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
