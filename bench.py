@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the engine's headline queries at a scale
+factor and prints ONE JSON line for the driver.
+
+Usage: ``python3 bench.py`` (env: $SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS).
+
+Each query is materialized with a noop write (forces full computation of
+every projected column — ``count()`` would let Catalyst prune the work
+away) and timed wall-clock after a warm-up pass of the catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.plans import queries as registry
+from transitdata_omm_cancellation_source_spark.session import get_spark
+
+#: Headline set: the two flagship pipelines plus every north-star
+#: operator family (dedup / text); the small §2 operator-unit queries
+#: are correctness probes, not benchmarks.
+HEADLINE = [
+    "cancellation_pipeline_now",
+    "cancellation_pipeline_past",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark(app_name="transitdata-omm-bench")
+
+    # Warm-up: JVM + parquet footer reads, outside the timed region.
+    tables = load_tables(spark, sf_dir)
+    for name in ("lineitem", "documents", "embeddings"):
+        tables[name].count()
+
+    specs = registry.REGISTRY
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.perf_counter()
+        _materialize(specs[name].build(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

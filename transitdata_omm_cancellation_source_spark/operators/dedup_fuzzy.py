@@ -142,7 +142,11 @@ _JACCARD_TAU = 0.5
 )
 def _ngram_jaccard(spark, t):
     corpus = planted_corpus(t["documents"])
-    sh = corpus.select("doc_id", X.shingle_hashes("text").alias("shingles"))
+    # persist: the shingle arrays feed both sides of the inverted-index
+    # self-join plus the two size lookups — 4 consumers, 1 computation.
+    sh = corpus.select(
+        "doc_id", X.shingle_hashes("text").alias("shingles")
+    ).persist()
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -210,15 +214,37 @@ _BANDS_D = (
     """,
 )
 def _minhash_lsh(spark, t):
+    # Scale-first formulation: the naive shape (a 64-lambda higher-order
+    # transform per row, recomputed on both sides of the band self-join)
+    # is interpreted per-element and quadratically wasteful.  Instead:
+    # explode shingles ONCE, compute the 64 min-hashes as plain codegen'd
+    # min() aggregates (one shuffle on doc_id), fold band keys as flat
+    # column arithmetic, and persist the shingle sets reused by the
+    # self-join branches and the verification joins.  Same math as
+    # functions.text.minhash_signature/band_keys (oracle unchanged);
+    # docs with zero shingles drop out of the groupBy, which is
+    # equivalent to the sentinel path (their pairs never verify).
     corpus = planted_corpus(t["documents"])
-    sh = corpus.select("doc_id", X.shingle_hashes("text").alias("shingles"))
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        X.minhash_signature("shingles", _NUM_HASHES).alias("sig"),
+    sh = corpus.select(
+        "doc_id", X.shingle_hashes("text").alias("shingles")
+    ).persist()
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("s") + F.lit(i * i + 1)) % P).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
     )
+
+    def band_key(b: int):
+        acc = F.lit(b).cast("long")
+        for r in range(_ROWS):
+            acc = (acc * 1000003 + F.col(f"m{b * _ROWS + r}")) % P
+        return acc
+
     bands = sig.select(
-        "doc_id", F.explode(X.band_keys("sig", _BANDS, _ROWS)).alias("band_key")
+        "doc_id",
+        F.explode(F.array(*[band_key(b) for b in range(_BANDS)])).alias("band_key"),
     )
     cand = (
         bands.alias("a")
@@ -297,7 +323,8 @@ _SIMHASH_SH_D = f"""
 )
 def _simhash(spark, t):
     corpus = planted_corpus(t["documents"])
-    sh = corpus.select("doc_id", X.simhash64("text").alias("sh64"))
+    # persist: simhash64 is the dominant cost; both self-join sides read it.
+    sh = corpus.select("doc_id", X.simhash64("text").alias("sh64")).persist()
     chunks = sh.select(
         "doc_id",
         "sh64",
