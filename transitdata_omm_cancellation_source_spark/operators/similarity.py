@@ -106,10 +106,13 @@ def _vectors(t) -> DataFrame:
     )
 
 
-_COS_S = F.expr(
-    f"{_DOT_S.format(a='q.v', b='c.v')}"
-    f" / sqrt({_DOT_S.format(a='q.v', b='q.v')} * {_DOT_S.format(a='c.v', b='c.v')})"
-)
+def _cos_s() -> F.Column:
+    # built lazily: module import must not touch the SparkContext
+    # (Python workers re-import this module when unpickling UDFs).
+    return F.expr(
+        f"{_DOT_S.format(a='q.v', b='c.v')}"
+        f" / sqrt({_DOT_S.format(a='q.v', b='q.v')} * {_DOT_S.format(a='c.v', b='c.v')})"
+    )
 
 
 def _topk(scored: DataFrame) -> DataFrame:
@@ -170,7 +173,7 @@ def _knn_bruteforce(spark, t):
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _COS_S.alias("cos"),
+            _cos_s().alias("cos"),
         )
     )
     return _topk(scored)
@@ -203,7 +206,7 @@ def _knn_lsh(spark, t):
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _COS_S.alias("cos"),
+            _cos_s().alias("cos"),
         )
     )
     return _topk(scored)
@@ -234,7 +237,7 @@ def _knn_ivf(spark, t):
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _COS_S.alias("cos"),
+            _cos_s().alias("cos"),
         )
     )
     return _topk(scored)

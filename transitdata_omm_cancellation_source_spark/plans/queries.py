@@ -71,5 +71,6 @@ def oracle_sql() -> dict[str, str]:
 # defined (they import back from this module), so the cycle is benign.
 from . import operator_queries  # noqa: E402,F401
 from ..operators import dedup_fuzzy  # noqa: E402,F401
+from ..operators import multimodal  # noqa: E402,F401
 from ..operators import similarity  # noqa: E402,F401
 from ..operators import textops  # noqa: E402,F401
