@@ -1,0 +1,115 @@
+"""Streaming lifecycle: snapshot state across cycles, the rate-driven
+poller query, config/env source, JDBC template binding.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.plans.cancellation import QueryParams
+from transitdata_omm_cancellation_source_spark.sources import config as cfg
+from transitdata_omm_cancellation_source_spark.sources.jdbc import cancellation_query
+from transitdata_omm_cancellation_source_spark.streaming.poller import (
+    SnapshotStore,
+    poller_query,
+    run_poll_cycle,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_snapshot_two_cycles(spark, tmp_path):
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    c1 = run_poll_cycle(spark, store, QueryParams(mode="NOW"))
+    c2 = run_poll_cycle(spark, store, QueryParams(mode="NOW"))
+    assert c1["total"] > 0
+    assert c1["new"] == c1["total"] and c1["repeated"] == 0
+    assert c2["new"] == 0 and c2["repeated"] == c2["total"] == c1["total"]
+
+
+def test_snapshot_store_versioning(spark, tmp_path):
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    assert store.read(spark) is None
+    df = spark.range(5).withColumnRenamed("id", "dvj_id")
+    store.replace(df)
+    assert store.current_version() == 1
+    assert store.read(spark).count() == 5
+    store.replace(spark.range(3).withColumnRenamed("id", "dvj_id"))
+    store.replace(spark.range(2).withColumnRenamed("id", "dvj_id"))
+    assert store.current_version() == 3  # v1 pruned, v2 kept, v3 current
+    assert store.read(spark).count() == 2
+
+
+def test_poller_streaming_query(spark, tmp_path):
+    """The scheduler loop as a real StreamingQuery: fires >=1 cycle."""
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    sink = str(tmp_path / "sink")
+    q = poller_query(
+        spark, store, QueryParams(mode="NOW"), sink_dir=sink,
+        interval="1 seconds", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = time.time() + 60
+        while store.current_version() is None and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert store.current_version() is not None
+    assert spark.read.parquet(sink).count() > 0
+
+
+def test_encode_messages_json_roundtrip(spark):
+    """value_json carries every payload field, parseable back to the row."""
+    import json
+
+    from transitdata_omm_cancellation_source_spark.plans.cancellation import (
+        cancellation_pipeline,
+    )
+    from transitdata_omm_cancellation_source_spark.streaming.messages import (
+        PAYLOAD_FIELDS,
+        encode_messages,
+    )
+
+    load_tables(spark, SF_SMOKE)
+    records = cancellation_pipeline(spark, QueryParams(mode="NOW"))
+    msgs = encode_messages(records, ordered=True)
+    rows = msgs.collect()
+    originals = records.orderBy("dvj_id").collect()
+    assert len(rows) == len(originals) > 0
+    parsed = json.loads(rows[0]["value_json"])
+    assert set(parsed).issubset(set(PAYLOAD_FIELDS))  # nulls omitted by to_json
+    first = [r for r in originals if r["dvj_id"] == rows[0]["key"]][0]
+    assert parsed["route_id"] == first["route_id"]
+    assert parsed["status"] in ("CANCELED", "RUNNING")
+    assert rows[0]["event_time_ms"] == first["ts_epoch_ms"]
+
+
+def test_config_env_overrides():
+    base = cfg.load_config(env={})
+    assert base["omm.interval_secs"] == 30 and base["omm.mode"] == "NOW"
+    over = cfg.load_config(
+        env={"POLLER_INTERVAL_SECS": "5", "CANCELLATIONS_FROM_TIME": "past"}
+    )
+    assert over["omm.interval_secs"] == 5 and over["omm.mode"] == "PAST"
+    with pytest.raises(ValueError):
+        cfg.load_config(env={"CANCELLATIONS_FROM_TIME": "sometimes"})
+    assert cfg.connection_string(env={}) is None
+    assert cfg.connection_string(
+        env={"TRANSITDATA_PUBTRANS_CONN_STRING": "jdbc:x"}
+    ) == "jdbc:x"
+
+
+def test_jdbc_template_selection_and_binding():
+    now_sql = cancellation_query(QueryParams(mode="NOW"))
+    past_sql = cancellation_query(QueryParams(mode="PAST"))
+    assert "'2024-01-15 12:00:00'" in now_sql
+    assert "last_modified >= '2024-01-10 00:00:00'" not in now_sql
+    assert "DC.last_modified >= '2024-01-10 00:00:00'" in past_sql
+    with pytest.raises(ValueError):
+        cancellation_query(QueryParams(now="1; DROP TABLE x"))

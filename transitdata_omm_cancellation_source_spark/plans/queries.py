@@ -69,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Populate the registry.  These imports run after the symbols above are
 # defined (they import back from this module), so the cycle is benign.
+from . import lifecycle_queries  # noqa: E402,F401
 from . import operator_queries  # noqa: E402,F401
 from ..operators import dedup_fuzzy  # noqa: E402,F401
 from ..operators import multimodal  # noqa: E402,F401

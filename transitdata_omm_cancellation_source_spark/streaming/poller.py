@@ -1,0 +1,129 @@
+"""The micro-batch poll cycle (E1 lifecycle) as Structured Streaming.
+
+Reference: a single-thread ``scheduleAtFixedRate(30 s)`` loop
+(``Main.java:25,53-66``) that re-runs the SQL, diffs against the
+previous batch held in a driver field
+(``OmmCancellationHandler.java:22,206-226``) and publishes.  Spark
+re-host:
+
+- the 30 s clock      -> ``Trigger.ProcessingTime`` on a rate stream
+- the per-tick work   -> ``foreachBatch`` running the (batch)
+                         cancellation pipeline — SURVEY §7 picks this
+                         over ``applyInPandasWithState`` as the
+                         simplest correct form of A3's state
+- the driver-held snapshot -> a versioned parquet ``SnapshotStore``
+                         (survives restarts, unlike the reference's
+                         in-memory list; distributed, so a 100 TB
+                         snapshot never funnels through the driver)
+- at-least-once re-emit: each cycle re-publishes the full current
+                         result set, exactly like the reference —
+                         intentionally NOT deduplicated on send
+                         (SURVEY §2.7: keep re-emit semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.diff import diff_counts
+from ..plans.cancellation import QueryParams, cancellation_pipeline
+from .messages import encode_messages
+
+
+class SnapshotStore:
+    """Versioned parquet store for the cross-poll snapshot (A3 state).
+
+    Writes go to a fresh ``v{n}`` directory, then the ``LATEST``
+    pointer flips — a reader never observes a half-written snapshot,
+    and the previous version stays readable while the new one writes
+    (the same read-then-replace cycle the reference does in memory at
+    ``OmmCancellationHandler.java:225``).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "LATEST")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def replace(self, df: DataFrame) -> None:
+        v = (self.current_version() or 0) + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
+        with open(self._pointer(), "w") as fh:
+            fh.write(str(v))
+        stale = os.path.join(self.path, f"v{v - 2}")
+        if os.path.isdir(stale):  # keep current + previous, prune older
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def run_poll_cycle(
+    spark: SparkSession,
+    store: SnapshotStore,
+    params: QueryParams | None = None,
+    sink_dir: str | None = None,
+) -> dict:
+    """One tick: pipeline -> diff vs snapshot -> publish -> replace state.
+
+    Returns the reference's log-line counts {total, new, repeated}
+    (``OmmCancellationHandler.java:206-224``).
+    """
+    cur = cancellation_pipeline(spark, params).persist()
+    try:
+        prev = store.read(spark)
+        counts = diff_counts(cur, prev).collect()[0].asDict()
+        messages = encode_messages(cur)
+        if sink_dir is not None:
+            messages.write.mode("append").parquet(sink_dir)
+        store.replace(cur)
+    finally:
+        cur.unpersist()
+    return counts
+
+
+def poller_query(
+    spark: SparkSession,
+    store: SnapshotStore,
+    params: QueryParams | None = None,
+    sink_dir: str | None = None,
+    interval: str = "30 seconds",
+    checkpoint_dir: str | None = None,
+):
+    """The reference's scheduler loop as a streaming query.
+
+    A rate stream supplies the clock; every trigger runs one poll
+    cycle in ``foreachBatch``.  Returns the started StreamingQuery
+    (caller owns ``stop()`` / ``awaitTermination`` — the reference's
+    fail-fast shutdown maps to the query terminating on error).
+    """
+    ticks = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def on_tick(_batch_df: DataFrame, _batch_id: int) -> None:
+        run_poll_cycle(spark, store, params, sink_dir)
+
+    writer = (
+        ticks.writeStream.foreachBatch(on_tick)
+        .trigger(processingTime=interval)
+        .queryName("omm-cancellation-poller")
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,43 @@
+"""Event-time windowed aggregation over the events stream.
+
+The reference has no windows (SURVEY §2.7) — this is the north-star
+streaming surface: the same operator works on a batch DataFrame and on
+``readStream`` (add a watermark for state eviction).  Aggregates are
+chosen order-independent (count / min / max / integer sums) so results
+are deterministic under any partitioning — the property that makes
+them oracle-checkable and retry-safe on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window x event_type -> count + value extrema.
+
+    ``watermark`` (e.g. "10 minutes") bounds state when ``events`` is a
+    stream; batch mode ignores it semantically (late data cannot exist).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
