@@ -35,6 +35,13 @@ HEADLINE = [
     "text_quality_score",
     "text_language_id",
     "text_fingerprint",
+    "knn_bruteforce_cosine",
+    "knn_lsh_hyperplane",
+    "knn_ivf_label",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "events_json_props_extract",
+    "events_tumbling_window",
 ]
 
 
