@@ -42,6 +42,11 @@ HEADLINE = [
     "mm_frame_sample",
     "events_json_props_extract",
     "events_tumbling_window",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "window_running_customer_total",
+    "region_nation_rollup",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Fact-scale analytics over the TPC-H-ish star schema.
+
+The reference pushes all relational work to SQL Server; this module is
+the engine's own analytics surface at the largest table (lineitem),
+exercising the operator classes the reference never stresses: wide
+aggregation, join-then-aggregate at fact scale, global top-k, running
+windows, rollup.  Query shapes follow the public TPC-H patterns (Q1 /
+Q3 / Q5 analogues) restated on this schema.
+
+Determinism discipline: money columns are stored as doubles, and a
+double sum is partitioning-order-dependent — so every sum first casts
+to DECIMAL(18,4) (exact, associative), and only the final exact value
+is cast back to double for the emitted column.  Top-k and windows
+carry an explicit id tie-break.  This is what makes results
+hash-identical between Spark and DuckDB — and retry-stable on a real
+cluster.
+
+Scale notes: Q1 is a pure map-side-partial aggregation (one shuffle of
+6 groups); Q3/Q5 join fact-to-fact on orderkey (shuffle) with
+dimensions broadcast; the running window shuffles once on custkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..plans.queries import QuerySpec, register
+
+
+def _q(name: str, survey_ref: str, oracle: str | None):
+    def deco(fn):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = load_tables(spark, sf_dir)
+            return fn(spark, tables)
+
+        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return deco
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+_SHIP_CUTOFF = "2000-09-02"
+_Q3_DATE = "1998-01-01"
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    "analytics: wide aggregation at fact scale (TPC-H Q1 pattern)",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def _q1(spark, t):
+    li = t["lineitem"].filter(F.col("l_shipdate") <= _SHIP_CUTOFF)
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    "analytics: fact-fact join + aggregate + deterministic global top-k (Q3 pattern)",
+    f"""
+    SELECT o_orderkey, round(CAST(revenue AS DOUBLE), 2) AS revenue, o_orderdate
+    FROM (
+        SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def _q3(spark, t):
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    agg = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < _Q3_DATE)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > _Q3_DATE)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+    )
+    # orderBy+limit compiles to TakeOrdered — no global sort materialized
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+@_q(
+    "tpch_q5_region_revenue",
+    "analytics: star join with broadcast dimension chain (Q5 pattern)",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def _q5(spark, t):
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "window_running_customer_total",
+    "analytics: per-key running window aggregation (exact decimal running sum)",
+    """
+    SELECT o_custkey, o_orderkey, rn,
+           round(CAST(run_total AS DOUBLE), 2) AS run_total
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS run_total
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def _running(spark, t):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias(
+                "run_total"
+            ),
+        )
+    )
+
+
+@_q(
+    "region_nation_rollup",
+    "analytics: hierarchical ROLLUP totals (grouping sets)",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           CASE WHEN r.r_name IS NULL THEN 'ALL' ELSE coalesce(n.n_name, 'ALL') END AS nation,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def _rollup(spark, t):
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.when(F.col("r_name").isNull(), "ALL")
+            .otherwise(F.coalesce("n_name", F.lit("ALL")))
+            .alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )

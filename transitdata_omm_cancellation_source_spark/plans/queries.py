@@ -71,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
 # defined (they import back from this module), so the cycle is benign.
 from . import lifecycle_queries  # noqa: E402,F401
 from . import operator_queries  # noqa: E402,F401
+from ..operators import analytics  # noqa: E402,F401
 from ..operators import dedup_fuzzy  # noqa: E402,F401
 from ..operators import multimodal  # noqa: E402,F401
 from ..operators import similarity  # noqa: E402,F401
