@@ -185,18 +185,42 @@ def stopword_ratio(col: str) -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_id(col: str) -> Column:
-    """Heuristic language ID: argmax of marker-word hit counts, 'und'
-    when nothing matches; ties break in LANG_MARKERS order."""
-    toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
-    scores = []
+def lang_hit_counts(words_col: str) -> dict[str, Column]:
+    """Per-language marker hit counts over an already-materialized
+    words array column — extract the (expensive) token array once,
+    count against each language's list cheaply."""
+    out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         lst = ", ".join("'" + m + "'" for m in markers)
-        scores.append((lang, F.expr(f"size(filter({toks}, x -> x IN ({lst})))")))
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:  # strict > : earlier langs win ties
+        out[lang] = F.expr(f"size(filter({words_col}, x -> x IN ({lst})))")
+    return out
+
+
+def lang_from_hits(hit_cols: dict[str, str | Column]) -> Column:
+    """Argmax of hit-count columns, 'und' when nothing matches; ties
+    break in LANG_MARKERS order (strict >, forward scan)."""
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang in LANG_MARKERS:
+        score = _c(hit_cols[lang])
         new_best = score > best_score
         best = F.when(new_best, F.lit(lang)).otherwise(best)
         best_score = F.when(new_best, score).otherwise(best_score)
     return best
+
+
+def lang_id(col: str) -> Column:
+    """Heuristic language ID in one expression (see lang_hit_counts /
+    lang_from_hits for the two-phase form that avoids re-tokenizing —
+    the when-chain repeats each score, so inlining the regex here
+    costs ~3 extractions per language)."""
+    toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    return lang_from_hits(
+        {
+            lang: F.expr(
+                f"size(filter({toks}, x -> x IN"
+                f" ({', '.join(chr(39) + m + chr(39) for m in markers)})))"
+            )
+            for lang, markers in LANG_MARKERS.items()
+        }
+    )

@@ -395,16 +395,18 @@ def _embedding_neardup(spark, t):
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
         )
     )
-    vecs = corpus.select(
-        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    )
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
         " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+    # squared norm once per VECTOR (persisted), not once per PAIR:
+    # drops the per-pair work from 3 dot products to 1.  sqrt(n2a*n2b)
+    # is arithmetically identical to the oracle's per-pair form.
+    vecs = corpus.select(
+        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    ).withColumn("n2", F.expr(dot.format(a="v", b="v"))).persist()
     cos = F.expr(
-        f"{dot.format(a='a.v', b='b.v')}"
-        f" / sqrt({dot.format(a='a.v', b='a.v')} * {dot.format(a='b.v', b='b.v')})"
+        f"{dot.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)"
     )
     return (
         vecs.alias("a")

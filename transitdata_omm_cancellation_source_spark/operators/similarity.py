@@ -101,18 +101,18 @@ def _q(name: str, survey_ref: str, oracle: str | None):
 
 
 def _vectors(t) -> DataFrame:
+    # squared norm computed once per vector; every pair then needs a
+    # single dot product (sqrt(q.n2*c.n2) equals the oracle's per-pair
+    # norm arithmetic exactly).
     return t["embeddings"].select(
         "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    )
+    ).withColumn("n2", F.expr(_DOT_S.format(a="v", b="v")))
 
 
 def _cos_s() -> F.Column:
     # built lazily: module import must not touch the SparkContext
     # (Python workers re-import this module when unpickling UDFs).
-    return F.expr(
-        f"{_DOT_S.format(a='q.v', b='c.v')}"
-        f" / sqrt({_DOT_S.format(a='q.v', b='q.v')} * {_DOT_S.format(a='c.v', b='c.v')})"
-    )
+    return F.expr(f"{_DOT_S.format(a='q.v', b='c.v')} / sqrt(q.n2 * c.n2)")
 
 
 def _topk(scored: DataFrame) -> DataFrame:

@@ -121,9 +121,21 @@ def _langid_sql() -> str:
     """,
 )
 def _langid(spark, t):
+    # tokenize once into a column, then the argmax chain touches only
+    # cheap int hit-counts (the one-expression lang_id form re-runs the
+    # regex ~15x per row through the when-chain duplication).
+    withw = t["documents"].withColumn("__w", X.words("text"))
+    hits = withw.select(
+        "doc_id",
+        *[c.alias(f"__h_{lang}") for lang, c in X.lang_hit_counts("__w").items()],
+    )
     return (
-        t["documents"]
-        .select("doc_id", X.lang_id("text").alias("lang_pred"))
+        hits.select(
+            "doc_id",
+            X.lang_from_hits(
+                {lang: f"__h_{lang}" for lang in X.LANG_MARKERS}
+            ).alias("lang_pred"),
+        )
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
