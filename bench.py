@@ -42,6 +42,8 @@ HEADLINE = [
     "mm_frame_sample",
     "events_json_props_extract",
     "events_tumbling_window",
+    "events_session_window",
+    "embedding_label_centroid",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",

@@ -322,9 +322,38 @@ _SIMHASH_SH_D = f"""
     """,
 )
 def _simhash(spark, t):
+    # Same restructuring as minhash: the one-expression simhash64 is a
+    # 3-level interpreted lambda per doc; instead explode tokens once,
+    # hash each token in a single flat pass, then compute the 62 bit
+    # votes as plain codegen'd sum(CASE ...) aggregates (one shuffle on
+    # doc_id) and assemble the fingerprint with literal-power arithmetic.
+    # Identical math to functions.text.simhash64 / the oracle's
+    # relational form; zero-token docs drop out of the groupBy exactly
+    # as they vanish from the oracle's unnest.
     corpus = planted_corpus(t["documents"])
-    # persist: simhash64 is the dominant cost; both self-join sides read it.
-    sh = corpus.select("doc_id", X.simhash64("text").alias("sh64")).persist()
+    toks = corpus.select("doc_id", F.explode(X.words("text")).alias("tok"))
+    h = F.expr(
+        f"aggregate(split(tok, ''), CAST(0 AS BIGINT),"
+        f" (acc, x) -> (acc * 31 + ascii(x)) % {P})"
+    )
+    wide = toks.withColumn("h", h).select(
+        "doc_id", (F.col("h") + (F.col("h") * 2654435761 % P) * P).alias("w")
+    )
+    votes = wide.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(w div {1 << j}) % 2 = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(62)
+        ]
+    )
+    sh64 = None
+    for j in range(62):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sh64 = term if sh64 is None else sh64 + term
+    sh = votes.select(
+        "doc_id", sh64.cast("long").alias("sh64")
+    ).persist()
     chunks = sh.select(
         "doc_id",
         "sh64",

@@ -212,6 +212,49 @@ def _knn_lsh(spark, t):
     return _topk(scored)
 
 
+def _centroid_pdf(pdf):
+    """Grouped-map kernel: per-label centroid with a deterministic
+    left-fold sum (rows sorted by vec_id, sequential accumulation) so
+    the double arithmetic matches the oracle's ordered list_reduce
+    bit-for-bit.  numpy's pairwise summation would NOT."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    acc = np.zeros(mat.shape[1], dtype=np.float64)
+    for row in mat:
+        acc = acc + row
+    n = mat.shape[0]
+    return pd.DataFrame(
+        {
+            "label": pdf["label"].iloc[0],
+            "dim": range(mat.shape[1]),
+            "centroid": [round(v / n, 6) for v in acc],
+            "n_vecs": n,
+        }
+    )
+
+
+@_q(
+    "embedding_label_centroid",
+    "north-star: applyInPandas grouped-map aggregation (per-label centroid)",
+    f"""
+    SELECT label, CAST(j AS INTEGER) AS dim,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(CAST(embedding[j + 1] AS DOUBLE) ORDER BY vec_id)),
+                 (a, x) -> a + x) / count(*), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM embeddings, (SELECT unnest(range(0, {DIM})) AS j)
+    GROUP BY label, j
+    """,
+)
+def _label_centroid(spark, t):
+    return t["embeddings"].groupBy("label").applyInPandas(
+        _centroid_pdf, "label int, dim int, centroid double, n_vecs long"
+    )
+
+
 @_q(
     "knn_ivf_label",
     "north-star: IVF-style cell-restricted search (label as coarse quantizer)",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..streaming.messages import PAYLOAD_FIELDS, SCHEMA_TAG
 from ..streaming.poller import SnapshotStore, run_poll_cycle
-from ..streaming.windows import windowed_event_counts
+from ..streaming.windows import sessionized_event_counts, windowed_event_counts
 from .cancellation import QueryParams, cancellation_oracle_sql, cancellation_pipeline
 from .queries import QuerySpec, register
 
@@ -107,6 +107,41 @@ register(
         FROM events GROUP BY event_type
         """,
         survey_ref="north-star: semi-structured JSON prop extraction (get_json_object)",
+    ),
+)
+
+
+def _build_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return sessionized_event_counts(events, "30 minutes")
+
+
+register(
+    "events_session_window",
+    QuerySpec(
+        build=_build_sessionized,
+        oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        """,
+        survey_ref="north-star streaming: session windows (gap merge; "
+        "gaps-and-islands oracle)",
     ),
 )
 

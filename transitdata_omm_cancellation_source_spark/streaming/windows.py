@@ -14,6 +14,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge.
+
+    ``F.session_window`` is Spark's native sessionization (dynamic-
+    length windows, end = last event + gap, end-exclusive); on a
+    stream it requires a watermark to finalize sessions.  The batch
+    result equals the classic gaps-and-islands SQL, which is what the
+    DuckDB oracle computes.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
