@@ -141,31 +141,44 @@ _JACCARD_TAU = 0.5
     """,
 )
 def _ngram_jaccard(spark, t):
+    # Prefix-filtered exact set-similarity join (PPJoin-style): two sets
+    # with Jaccard >= tau MUST share a shingle within their first
+    # |s| - ceil(tau*|s|) + 1 shingles under a canonical (sorted-hash)
+    # order, so only those prefixes are inverted-indexed — the
+    # candidate join touches ~(1-tau) of the shingle mass and the
+    # exact verification (array_intersect on the full sorted sets)
+    # discards false positives.  Result set identical to the oracle's
+    # full inverted-index join; only the candidate generation shrinks.
     corpus = planted_corpus(t["documents"])
-    # persist: the shingle arrays feed both sides of the inverted-index
-    # self-join plus the two size lookups — 4 consumers, 1 computation.
     sh = corpus.select(
-        "doc_id", X.shingle_hashes("text").alias("shingles")
+        "doc_id", F.array_sort(X.shingle_hashes("text")).alias("shingles")
     ).persist()
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    shared = (
-        a.join(
-            b,
+    prefix_len = (
+        F.size("shingles") - F.ceil(F.size("shingles") * F.lit(_JACCARD_TAU)) + 1
+    ).cast("int")
+    inv = sh.select(
+        "doc_id",
+        F.explode(F.slice("shingles", 1, prefix_len)).alias("shingle"),
+    )
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .distinct()
     )
-    sized = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    jac = F.col("n_shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    jac = inter / (
+        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    )
     return (
-        shared.join(sized.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sized.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
