@@ -200,6 +200,77 @@ def _running(spark, t):
 
 
 @_q(
+    "customers_without_recent_orders",
+    "analytics: anti-join at fact scale (existence-negation, the A3 'new' pattern generalized)",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    ANTI JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def _anti(spark, t):
+    recent = t["orders"].filter(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        t["customer"]
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "large_order_customers",
+    "analytics: aggregate-HAVING + semi join (TPC-H Q18 pattern)",
+    """
+    SELECT c.c_custkey, c.c_name, big.o_orderkey,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey AS o_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    ) big
+    JOIN orders o ON o.o_orderkey = big.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def _q18(spark, t):
+    qty = F.sum(_dec("l_quantity"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(qty.alias("total_qty"))
+        .filter(F.col("total_qty") > 250)  # HAVING
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "distinct_users_per_event_type",
+    "analytics: exact distinct aggregation (count distinct expands to two-phase agg)",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def _distinct(spark, t):
+    return t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
     "region_nation_rollup",
     "analytics: hierarchical ROLLUP totals (grouping sets)",
     """

@@ -238,8 +238,11 @@ def _minhash_lsh(spark, t):
     # docs with zero shingles drop out of the groupBy, which is
     # equivalent to the sentinel path (their pairs never verify).
     corpus = planted_corpus(t["documents"])
+    # array_sort: min/intersect are order-insensitive, but sorting makes
+    # this plan byte-identical to the jaccard query's persisted shingle
+    # set, so a workload running both computes shingles once.
     sh = corpus.select(
-        "doc_id", X.shingle_hashes("text").alias("shingles")
+        "doc_id", F.array_sort(X.shingle_hashes("text")).alias("shingles")
     ).persist()
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = inv.groupBy("doc_id").agg(
