@@ -100,12 +100,43 @@ def word_shingles(col: str, k: int = 3) -> Column:
 
 
 def shingle_hashes(col: str, k: int = 3, mod: int = HASH_MOD) -> Column:
-    """Distinct polyhashes of the k-word shingles (minhash input)."""
+    """Distinct polyhashes of the k-word shingles (minhash input).
+
+    Character-fold form; prefer the two-step word_hashes ->
+    shingles_from_word_hashes pipeline in hot paths — it hashes each
+    word once instead of re-folding every character of every
+    (overlapping) shingle.
+    """
     toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)),"
         f" i -> aggregate(split(concat_ws(' ', slice({toks}, i, {k})), ''),"
         f"               CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % {mod})))"
+    )
+
+
+def word_hashes(col: str, mod: int = HASH_MOD) -> Column:
+    """Per-word polyhash array (each word's characters folded once)."""
+    toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    return F.expr(
+        f"transform({toks}, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
+        f" (acc, x) -> (acc * 31 + ascii(x)) % {mod}))"
+    )
+
+
+def shingles_from_word_hashes(
+    wh_col: str, k: int = 3, mod: int = HASH_MOD
+) -> Column:
+    """Distinct k-shingle keys composed from per-word hashes with flat
+    arithmetic: fold(acc * 1000003 + wh[i+j]) mod P.  O(k) ops per
+    shingle instead of O(k * word_len) char folds; every product stays
+    under 2^51."""
+    comb = f"element_at({wh_col}, i)"
+    for j in range(1, k):
+        comb = f"(({comb}) * 1000003 + element_at({wh_col}, i + {j})) % {mod}"
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({wh_col}) - {k - 1}, 0)), i -> {comb}))"
     )
 
 

@@ -72,14 +72,25 @@ _CORPUS_D = """
 
 _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
-#: DuckDB k=3 word-shingle polyhash set (mirrors functions.text.shingle_hashes)
-_SHINGLES_D = (
-    f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - 2, 0) + 1),"
-    f" i -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    f"   list_transform(string_split(array_to_string(list_slice({_WORDS}, i, i + 2), ' '), ''),"
-    f"     x -> CAST(ascii(x) AS BIGINT))),"
-    f"   (acc, x) -> (acc * 31 + x) % {P})))"
+#: DuckDB per-word polyhash array (mirrors functions.text.word_hashes)
+_WORD_HASHES_D = (
+    f"list_transform({_WORDS}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(string_split(t, ''), x -> CAST(ascii(x) AS BIGINT))),"
+    f" (acc, x) -> (acc * 31 + x) % {P}))"
 )
+
+#: DuckDB k=3 shingle keys composed from per-word hashes (mirrors
+#: functions.text.shingles_from_word_hashes): each word's characters
+#: fold once; shingle keys are flat O(k) combines.
+_SHINGLES_D = (
+    f"list_distinct(list_transform(range(1, greatest(len(wh) - 2, 0) + 1),"
+    f" i -> ((wh[i] * 1000003 + wh[i + 1]) % {P} * 1000003 + wh[i + 2]) % {P}))"
+)
+
+#: CTE prefix producing sh(doc_id, shingles) from corpus via wh
+_SH_CTE_D = f"""
+    whs AS (SELECT doc_id, {_WORD_HASHES_D} AS wh FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM whs)"""
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -124,7 +135,7 @@ _JACCARD_TAU = 0.5
     "north-star: exact n-gram Jaccard near-dup pairs (inverted-index join, no cross join)",
     f"""
     WITH corpus AS ({_CORPUS_D}),
-    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM corpus),
+    {_SH_CTE_D},
     inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -150,9 +161,14 @@ def _ngram_jaccard(spark, t):
     # discards false positives.  Result set identical to the oracle's
     # full inverted-index join; only the candidate generation shrinks.
     corpus = planted_corpus(t["documents"])
-    sh = corpus.select(
-        "doc_id", F.array_sort(X.shingle_hashes("text")).alias("shingles")
-    ).persist()
+    sh = (
+        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
+        .select(
+            "doc_id",
+            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
+        )
+        .persist()
+    )
     prefix_len = (
         F.size("shingles") - F.ceil(F.size("shingles") * F.lit(_JACCARD_TAU)) + 1
     ).cast("int")
@@ -206,7 +222,7 @@ _BANDS_D = (
     "north-star: MinHash signatures + LSH banding + exact Jaccard verification",
     f"""
     WITH corpus AS ({_CORPUS_D}),
-    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM corpus),
+    {_SH_CTE_D},
     sig AS (SELECT doc_id, shingles, {_SIG_D} AS sig FROM sh),
     bands AS (SELECT doc_id, unnest({_BANDS_D}) AS band_key FROM sig),
     cand AS (
@@ -241,9 +257,14 @@ def _minhash_lsh(spark, t):
     # array_sort: min/intersect are order-insensitive, but sorting makes
     # this plan byte-identical to the jaccard query's persisted shingle
     # set, so a workload running both computes shingles once.
-    sh = corpus.select(
-        "doc_id", F.array_sort(X.shingle_hashes("text")).alias("shingles")
-    ).persist()
+    sh = (
+        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
+        .select(
+            "doc_id",
+            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
+        )
+        .persist()
+    )
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = inv.groupBy("doc_id").agg(
         *[
