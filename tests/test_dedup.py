@@ -115,3 +115,50 @@ def test_first_encountered_canceled_wins(spark):
     mock_cancellation(rows, "9", "CANCELED", NOW_MS)
     out = run(spark, rows)
     assert len(out) == 1 and out[0].ts_epoch_ms == NOW_MS - 1000
+
+
+def test_canceled_tie_on_encounter_order_is_deterministic(spark):
+    """Two CANCELED rows with EQUAL dc_last_modified: the appended
+    ts_epoch_ms sort key must pick the same survivor on every engine
+    and partitioning (round-1 latent nondeterminism).  Both the Spark
+    window and the DuckDB oracle rule break the tie toward the lower
+    timestamp."""
+    import duckdb
+    from pyspark.sql import Row
+
+    rows = [
+        Row(dvj_id="9", deviation_case_id=1, status="CANCELED",
+            ts_epoch_ms=NOW_MS, dc_last_modified=7, route_id="a",
+            direction_id=1, start_date="20180101", start_time="11:22:00"),
+        Row(dvj_id="9", deviation_case_id=1, status="CANCELED",
+            ts_epoch_ms=NOW_MS - 1000, dc_last_modified=7, route_id="b",
+            direction_id=1, start_date="20180101", start_time="11:22:00"),
+    ]
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(ordering)
+        out = priority_argmax(
+            df, ["dvj_id", "deviation_case_id"], "status",
+            "dc_last_modified", "ts_epoch_ms",
+        ).collect()
+        assert len(out) == 1 and out[0].ts_epoch_ms == NOW_MS - 1000
+        assert out[0].route_id == "b"
+    # the oracle's ORDER BY (plans/cancellation.py) picks identically
+    con = duckdb.connect()
+    got = con.execute(f"""
+        WITH decoded(dvj_id, deviation_case_id, status, ts_epoch_ms,
+                     dc_last_modified, route_id) AS (
+            VALUES ('9', 1, 'CANCELED', {NOW_MS}, 7, 'a'),
+                   ('9', 1, 'CANCELED', {NOW_MS - 1000}, 7, 'b')
+        )
+        SELECT route_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY dvj_id, deviation_case_id
+                ORDER BY CASE WHEN status = 'CANCELED' THEN 0 ELSE 1 END ASC,
+                         CASE WHEN status = 'CANCELED' THEN 0.0
+                              ELSE -CAST(ts_epoch_ms AS DOUBLE) END ASC,
+                         dc_last_modified ASC,
+                         ts_epoch_ms ASC) AS rn
+            FROM decoded) WHERE rn = 1
+    """).fetchall()
+    con.close()
+    assert got == [("b",)]

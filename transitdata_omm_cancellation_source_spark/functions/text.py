@@ -91,11 +91,19 @@ def fingerprint_md5(col: str) -> Column:
 
 
 def word_shingles(col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text."""
+    """Distinct k-word shingles of the normalized text.
+
+    Guarded for docs with fewer than ``k`` words: Spark's
+    ``sequence(1, 0)`` is the *descending* [1, 0], so an unguarded
+    transform would index position 0 and throw — short docs must yield
+    an empty array (as the DuckDB ``range`` form naturally does).
+    """
     toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)),"
+        f"CASE WHEN size({toks}) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
         f" i -> concat_ws(' ', slice({toks}, i, {k}))))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 
@@ -109,9 +117,11 @@ def shingle_hashes(col: str, k: int = 3, mod: int = HASH_MOD) -> Column:
     """
     toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)),"
+        f"CASE WHEN size({toks}) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
         f" i -> aggregate(split(concat_ws(' ', slice({toks}, i, {k})), ''),"
         f"               CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % {mod})))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
 
 
@@ -134,9 +144,12 @@ def shingles_from_word_hashes(
     comb = f"element_at({wh_col}, i)"
     for j in range(1, k):
         comb = f"(({comb}) * 1000003 + element_at({wh_col}, i + {j})) % {mod}"
+    # CASE guard, not greatest(..., 0): sequence(1, 0) descends through
+    # index 0 and element_at(wh, 0) throws — a < k-word doc must yield [].
     return F.expr(
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size({wh_col}) - {k - 1}, 0)), i -> {comb}))"
+        f"CASE WHEN size({wh_col}) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, size({wh_col}) - {k - 1}), i -> {comb}))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
 
 

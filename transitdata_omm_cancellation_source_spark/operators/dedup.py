@@ -40,6 +40,12 @@ def priority_argmax(
     encounter order (ascending) for winner rows and negated timestamp
     (i.e. max-first, earliest-of-ties-first via key 3) for the rest —
     a faithful, distributed ``filterDuplicates``.
+
+    The final ``ts_col`` key makes the ordering deterministic when two
+    winner-status rows share the same encounter-order value (the
+    reference inherits whatever order SQL Server emitted for that tie;
+    a distributed engine must not let partitioning pick the survivor).
+    The DuckDB oracle (plans/cancellation.py) appends the same key.
     """
     status_rank: Column = F.when(F.col(status_col) == winner, 0).otherwise(1)
     tie_key: Column = (
@@ -51,6 +57,7 @@ def priority_argmax(
         status_rank.asc(),
         tie_key.asc(),
         F.col(encounter_order_col).asc(),
+        F.col(ts_col).asc(),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -314,7 +314,8 @@ dedup AS (
         PARTITION BY dvj_id, deviation_case_id
         ORDER BY CASE WHEN status = 'CANCELED' THEN 0 ELSE 1 END ASC,
                  CASE WHEN status = 'CANCELED' THEN 0.0 ELSE -CAST(ts_epoch_ms AS DOUBLE) END ASC,
-                 dc_last_modified ASC
+                 dc_last_modified ASC,
+                 ts_epoch_ms ASC
     ) AS rn
     FROM decoded
 )

@@ -101,7 +101,7 @@ register(
         build=_build_json_props,
         oracle="""
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                      / count(*), 6) AS avg_k
         FROM events GROUP BY event_type

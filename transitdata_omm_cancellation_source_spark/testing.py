@@ -38,12 +38,41 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+#: numpy dtype kind -> canonical family.  The driver's external hash is
+#: dtype-sensitive (it serializes values), so a local pass must require
+#: the same numeric family on both sides — an int64 Spark sum vs a
+#: DuckDB HUGEINT/float oracle column is a real mismatch even when the
+#: values print identically (the round-1 red row).
+_KIND_FAMILY = {
+    "i": "int", "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "timestamp",
+    "m": "interval",
+    "O": "object",
+    "S": "object", "U": "object",
+}
+
+
+def _dtype_family(series: pd.Series) -> str:
+    return _KIND_FAMILY.get(series.dtype.kind, series.dtype.kind)
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of human-readable mismatches (empty = parity)."""
     problems: list[str] = []
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
         return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    for col in a.columns:
+        fa, fb = _dtype_family(a[col]), _dtype_family(b[col])
+        if fa != fb:
+            problems.append(
+                f"{col}: dtype family differs: spark={a[col].dtype} ({fa})"
+                f" oracle={b[col].dtype} ({fb})"
+            )
+    if problems:
+        return problems
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} oracle={len(b)}"]
     for col in a.columns:
