@@ -35,10 +35,46 @@ def test_q3_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_knn_broadcasts_query_set(spark):
-    plan = _plan(spark, "knn_lsh_hyperplane")
-    # bucket equi-join with the broadcast query side
-    assert "BroadcastHashJoin" in plan
+def test_knn_candidates_equi_join_without_forced_broadcast(spark):
+    """The query set is corpus-proportional (vec_id % 50), so the plan
+    must not hard-pin a broadcast hint on it — AQE broadcasts while it
+    fits and degrades to shuffle when it doesn't.  The candidate join
+    stays an equi join either way."""
+    for name in ("knn_lsh_hyperplane", "knn_ivf_label"):
+        df = REGISTRY[name].build(spark, SF_SMOKE)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in optimized, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_lsh_results_identical_without_broadcast(spark):
+    """Join-strategy independence: forcing the shuffle path (broadcast
+    threshold -1) must give byte-identical top-k results."""
+    def rows():
+        df = REGISTRY["knn_lsh_hyperplane"].build(spark, SF_SMOKE)
+        return sorted(map(tuple, df.collect()))
+
+    default = rows()
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced_shuffle = rows()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert default == forced_shuffle
+
+
+def test_embedding_neardup_blocks_on_label_and_band(spark):
+    """The near-dup candidate join key must include the LSH band key —
+    label-only blocking is O(n²/label) all-pairs at scale."""
+    import re
+
+    df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Join \[label#\d+, b#\d+, k#\d+L?\]", plan), plan[:2000]
+    assert "CartesianProduct" not in plan
 
 
 def test_jaccard_candidates_are_equi_join(spark):

@@ -432,28 +432,60 @@ _DOT_D = (
 )
 
 
-@_q(
-    "dedup_embedding_cosine",
-    "north-star: embedding cosine near-dup within label blocks",
-    f"""
+def _embedding_oracle() -> str:
+    from ..functions.hyperplane import N_BANDS, band_key_duck, bucket_expr_duck
+
+    return f"""
     WITH corpus AS (
         SELECT vec_id, embedding, label FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id, embedding, label
         FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    vb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               {bucket_expr_duck("CAST(embedding AS DOUBLE[])")} AS bucket
+        FROM corpus
+    ),
+    bands AS (
+        SELECT vec_id, label, b, {band_key_duck("bucket", "b")} AS k
+        FROM vb, (SELECT unnest(range(0, {N_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.label = b.label AND a.b = b.b AND a.k = b.k
+         AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_DOT_D.format(a="a.embedding", b="b.embedding")}
-                 / sqrt({_DOT_D.format(a="a.embedding", b="a.embedding")}
-                        * {_DOT_D.format(a="b.embedding", b="b.embedding")}), 6) AS cosine
-    FROM corpus a JOIN corpus b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DOT_D.format(a="a.embedding", b="b.embedding")}
-          / sqrt({_DOT_D.format(a="a.embedding", b="a.embedding")}
-                 * {_DOT_D.format(a="b.embedding", b="b.embedding")}) >= {_COSINE_TAU}
-    """,
+    SELECT vec_a, vec_b,
+           round({_DOT_D.format(a="a.v", b="b.v")}
+                 / sqrt({_DOT_D.format(a="a.v", b="a.v")}
+                        * {_DOT_D.format(a="b.v", b="b.v")}), 6) AS cosine
+    FROM cand
+    JOIN vb a ON a.vec_id = vec_a
+    JOIN vb b ON b.vec_id = vec_b
+    WHERE {_DOT_D.format(a="a.v", b="b.v")}
+          / sqrt({_DOT_D.format(a="a.v", b="a.v")}
+                 * {_DOT_D.format(a="b.v", b="b.v")}) >= {_COSINE_TAU}
+    """
+
+
+@_q(
+    "dedup_embedding_cosine",
+    "north-star: embedding cosine near-dup, (label x LSH-band) blocked candidates",
+    _embedding_oracle(),
 )
 def _embedding_neardup(spark, t):
+    # Candidate generation is an equi-join on (label, band, band_key):
+    # the 8 hyperplane sign bits (shared with knn_lsh_hyperplane) split
+    # into 4 bands of 2 bits, and a pair is a candidate when any band
+    # matches within its label.  That bounds the join fan-out by bucket
+    # occupancy instead of label size — label-only blocking is O(n²/L)
+    # all-pairs and melts down on a hot label at 100x data.  Both
+    # engines block identically, and the exact cosine >= tau
+    # verification below keeps emitted pairs exact for every candidate.
+    from ..functions.hyperplane import N_BANDS, band_key_spark, bucket_expr_spark
+
     corpus = t["embeddings"].unionAll(
         t["embeddings"]
         .filter(F.col("vec_id") % 20 == 0)
@@ -468,23 +500,52 @@ def _embedding_neardup(spark, t):
     # squared norm once per VECTOR (persisted), not once per PAIR:
     # drops the per-pair work from 3 dot products to 1.  sqrt(n2a*n2b)
     # is arithmetically identical to the oracle's per-pair form.
-    vecs = corpus.select(
-        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    ).withColumn("n2", F.expr(dot.format(a="v", b="v"))).persist()
-    cos = F.expr(
-        f"{dot.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)"
+    vecs = (
+        corpus.select(
+            "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+        )
+        .withColumn("n2", F.expr(dot.format(a="v", b="v")))
+        .withColumn("bucket", bucket_expr_spark("v"))
+        .persist()
     )
-    return (
-        vecs.alias("a")
+    # slim (vec_id, label, band, key) frame for candidate generation —
+    # the 64-double vectors never ride through the exploded self-join.
+    bands = vecs.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), band_key_spark("bucket", b).alias("k")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "label", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    cand = (
+        bands.alias("a")
         .join(
-            vecs.alias("b"),
+            bands.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    cos = F.expr(f"{dot.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)")
+    return (
+        cand.join(vecs.alias("a"), F.col("a.vec_id") == F.col("vec_a"))
+        .join(vecs.alias("b"), F.col("b.vec_id") == F.col("vec_b"))
         .filter(cos >= _COSINE_TAU)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_a",
+            "vec_b",
             F.round(cos, 6).alias("cosine"),
         )
     )

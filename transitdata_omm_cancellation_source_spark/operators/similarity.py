@@ -31,61 +31,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.hyperplane import (  # registry-free shared primitives
+    DIM,
+    DOT_D as _DOT_D,
+    DOT_S as _DOT_S,
+    bucket_expr_duck,
+    bucket_expr_spark,
+    broadcast_if_small,
+)
 from ..plans.queries import QuerySpec, register
 
-DIM = 64
-N_PLANES = 8
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query set (~2% of corpus)
-
-
-def _hyperplane_weight(j: int, d: int) -> float:
-    v = (1103515245 * (j * 97 + d) + 12345) % 2147483647
-    return 1.0 if v % 2 == 0 else -1.0
-
-
-HYPERPLANES = [
-    [_hyperplane_weight(j, d) for d in range(DIM)] for j in range(N_PLANES)
-]
-
-# --- shared expression text (Spark SQL and DuckDB agree on these) -----------
-
-_DOT_S = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-)
-_DOT_D = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-    " list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),"
-    " (acc, x) -> acc + x)"
-)
-
-
-def _plane_lit_spark(j: int) -> str:
-    return "array(" + ", ".join(f"{w}D" for w in HYPERPLANES[j]) + ")"
-
-
-def _plane_lit_duck(j: int) -> str:
-    return "[" + ", ".join(str(w) for w in HYPERPLANES[j]) + "]"
-
-
-def bucket_expr_spark(vec: str) -> F.Column:
-    """256-bucket hyperplane LSH key as a flat codegen expression."""
-    bits = [
-        f"(CASE WHEN {_DOT_S.format(a=vec, b=_plane_lit_spark(j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    ]
-    return F.expr("(" + " + ".join(bits) + ")").cast("int")
-
-
-def bucket_expr_duck(vec: str) -> str:
-    bits = [
-        f"(CASE WHEN {_DOT_D.format(a=vec, b=_plane_lit_duck(j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    ]
-    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
 
 def _q(name: str, survey_ref: str, oracle: str | None):
@@ -165,10 +122,16 @@ _VEC_CTE = """
     """,
 )
 def _knn_bruteforce(spark, t):
+    # The query set is a fixed fraction of the corpus, so the broadcast
+    # is gated on its measured size: forced-broadcast of a
+    # corpus-proportional side OOMs at 100x scale, while an ungated
+    # nested-loop join is exactly what brute force means — O(|Q|*N) is
+    # this operator's documented contract either way.
     vecs = _vectors(t)
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q_side = broadcast_if_small(q.alias("q"), q.count(), row_bytes=8 * DIM + 100)
     scored = (
-        F.broadcast(q.alias("q"))
+        q_side
         .join(vecs.alias("c"), F.col("c.vec_id") != F.col("q.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
@@ -194,10 +157,13 @@ def _knn_bruteforce(spark, t):
     """,
 )
 def _knn_lsh(spark, t):
+    # No broadcast hint: the bucket predicate is an equi-join key, so
+    # the shuffle plan scales and AQE broadcasts while the (corpus-
+    # proportional) query side actually fits.
     vecs = _vectors(t).withColumn("bucket", bucket_expr_spark("v"))
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
-        F.broadcast(q.alias("q"))
+        q.alias("q")
         .join(
             vecs.alias("c"),
             (F.col("c.bucket") == F.col("q.bucket"))
@@ -212,11 +178,18 @@ def _knn_lsh(spark, t):
     return _topk(scored)
 
 
-def _centroid_pdf(pdf):
-    """Grouped-map kernel: per-label centroid with a deterministic
-    left-fold sum (rows sorted by vec_id, sequential accumulation) so
-    the double arithmetic matches the oracle's ordered list_reduce
-    bit-for-bit.  numpy's pairwise summation would NOT."""
+#: fixed chunk width (by vec_id range) for the two-phase centroid fold.
+#: Bounds every grouped-map task to <= CENTROID_CHUNK rows regardless of
+#: label cardinality or corpus size — the one-task-per-label shape the
+#: naive groupBy("label") grouped map degenerates to at 100 TB.
+CENTROID_CHUNK = 1024
+
+
+def _centroid_chunk_pdf(pdf):
+    """Phase-1 kernel: per (label, chunk) partial sums.  Rows sorted by
+    vec_id, sequential accumulation — a deterministic left fold the
+    DuckDB oracle reproduces exactly (numpy's pairwise summation would
+    NOT)."""
     import numpy as np
     import pandas as pd
 
@@ -225,33 +198,73 @@ def _centroid_pdf(pdf):
     acc = np.zeros(mat.shape[1], dtype=np.float64)
     for row in mat:
         acc = acc + row
-    n = mat.shape[0]
     return pd.DataFrame(
         {
             "label": pdf["label"].iloc[0],
+            "chunk": pdf["chunk"].iloc[0],
             "dim": range(mat.shape[1]),
-            "centroid": [round(v / n, 6) for v in acc],
-            "n_vecs": n,
+            "s": acc,
+            "n": mat.shape[0],
+        }
+    )
+
+
+def _centroid_combine_pdf(pdf):
+    """Phase-2 kernel: fold chunk partials in chunk order (groups are
+    one row per chunk — bounded by corpus/CENTROID_CHUNK, never by
+    label size)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("chunk")
+    acc = 0.0
+    for s in pdf["s"]:
+        acc += s
+    n = int(pdf["n"].sum())
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "dim": [int(pdf["dim"].iloc[0])],
+            "centroid": [round(acc / n, 6)],
+            "n_vecs": [n],
         }
     )
 
 
 @_q(
     "embedding_label_centroid",
-    "north-star: applyInPandas grouped-map aggregation (per-label centroid)",
+    "north-star: two-phase applyInPandas aggregation (chunked deterministic fold)",
     f"""
+    WITH per_chunk AS (
+        SELECT label, vec_id // {CENTROID_CHUNK} AS chunk, j,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(embedding[j + 1] AS DOUBLE) ORDER BY vec_id)),
+                   (a, x) -> a + x) AS s,
+               count(*) AS n
+        FROM embeddings, (SELECT unnest(range(0, {DIM})) AS j)
+        GROUP BY label, chunk, j
+    )
     SELECT label, CAST(j AS INTEGER) AS dim,
            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list(CAST(embedding[j + 1] AS DOUBLE) ORDER BY vec_id)),
-                 (a, x) -> a + x) / count(*), 6) AS centroid,
-           count(*) AS n_vecs
-    FROM embeddings, (SELECT unnest(range(0, {DIM})) AS j)
-    GROUP BY label, j
+                     list(s ORDER BY chunk)), (a, x) -> a + x)
+                 / CAST(sum(n) AS DOUBLE), 6) AS centroid,
+           CAST(sum(n) AS BIGINT) AS n_vecs
+    FROM per_chunk GROUP BY label, j
     """,
 )
 def _label_centroid(spark, t):
-    return t["embeddings"].groupBy("label").applyInPandas(
-        _centroid_pdf, "label int, dim int, centroid double, n_vecs long"
+    # Two-phase deterministic fold: phase 1 reduces fixed vec_id-range
+    # chunks (task memory bounded at any scale), phase 2 combines the
+    # per-chunk partials in chunk order.  The chunked summation tree is
+    # part of the operator's contract — the oracle computes the same
+    # (((c0)+c1)+c2) ordering, so parity stays bit-exact.
+    chunked = t["embeddings"].withColumn(
+        "chunk", F.expr(f"vec_id div {CENTROID_CHUNK}")
+    )
+    partials = chunked.groupBy("label", "chunk").applyInPandas(
+        _centroid_chunk_pdf, "label int, chunk long, dim int, s double, n long"
+    )
+    return partials.groupBy("label", "dim").applyInPandas(
+        _centroid_combine_pdf, "label int, dim int, centroid double, n_vecs long"
     )
 
 
@@ -268,10 +281,12 @@ def _label_centroid(spark, t):
     """,
 )
 def _knn_ivf(spark, t):
+    # No broadcast hint — same reasoning as _knn_lsh (label is the
+    # equi-join cell key).
     vecs = _vectors(t)
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
-        F.broadcast(q.alias("q"))
+        q.alias("q")
         .join(
             vecs.alias("c"),
             (F.col("c.label") == F.col("q.label"))
