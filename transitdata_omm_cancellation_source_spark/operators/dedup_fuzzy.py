@@ -129,6 +129,13 @@ def _exact(spark, t):
 
 _JACCARD_TAU = 0.5
 
+#: a shingle holding more than this fraction of the total shingle mass
+#: is a "hot" heavy hitter (stopword n-gram).  By pigeonhole at most
+#: 1/fraction shingles can exceed the cap, so the hot set is BOUNDED
+#: (<= 5000 here) no matter how large the corpus is — safe to collect
+#: to the driver and embed as a literal.
+_HOT_SHINGLE_MASS_FRACTION = 2e-4
+
 
 @_q(
     "dedup_ngram_jaccard",
@@ -154,12 +161,19 @@ _JACCARD_TAU = 0.5
 def _ngram_jaccard(spark, t):
     # Prefix-filtered exact set-similarity join (PPJoin-style): two sets
     # with Jaccard >= tau MUST share a shingle within their first
-    # |s| - ceil(tau*|s|) + 1 shingles under a canonical (sorted-hash)
-    # order, so only those prefixes are inverted-indexed — the
-    # candidate join touches ~(1-tau) of the shingle mass and the
-    # exact verification (array_intersect on the full sorted sets)
-    # discards false positives.  Result set identical to the oracle's
-    # full inverted-index join; only the candidate generation shrinks.
+    # |s| - ceil(tau*|s|) + 1 shingles under ANY canonical total order,
+    # so only those prefixes are inverted-indexed.  The canonical order
+    # is (is_hot, shingle hash): heavy-hitter shingles sort LAST, so a
+    # doc's prefix holds its rarest shingles and a hot stopword shingle
+    # (df² candidate fan-out, the skew that melts a 100 TB corpus) only
+    # enters the candidate join for docs made almost entirely of hot
+    # shingles.  Recall is exactly preserved — the lemma holds for any
+    # common total order — and the reorder is doc-local array math on
+    # the cached shingle sets: no extra shuffle, unlike a df-join +
+    # per-doc window (measured 1.4-2.8 s slower at sf0.1).  The exact
+    # verification (array_intersect on the full sets) discards false
+    # positives, so the result set is identical to the oracle's full
+    # inverted-index join.
     corpus = planted_corpus(t["documents"])
     sh = (
         corpus.select("doc_id", X.word_hashes("text").alias("wh"))
@@ -169,12 +183,30 @@ def _ngram_jaccard(spark, t):
         )
         .persist()
     )
+    total_mass = sh.agg(F.sum(F.size("shingles"))).first()[0] or 0
+    cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
+    hot = [
+        r[0]
+        for r in sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .collect()
+    ]
+    if hot:
+        hot_lit = F.lit(sorted(hot))
+        ordered = F.concat(
+            F.filter("shingles", lambda s: ~F.array_contains(hot_lit, s)),
+            F.filter("shingles", lambda s: F.array_contains(hot_lit, s)),
+        )
+    else:  # common case below heavy-hitter scale: pure hash order
+        ordered = F.col("shingles")
     prefix_len = (
         F.size("shingles") - F.ceil(F.size("shingles") * F.lit(_JACCARD_TAU)) + 1
     ).cast("int")
     inv = sh.select(
         "doc_id",
-        F.explode(F.slice("shingles", 1, prefix_len)).alias("shingle"),
+        F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
     )
     cand = (
         inv.alias("a")
