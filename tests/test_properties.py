@@ -79,7 +79,14 @@ def test_now_strings_roundtrip(instant):
     parsed = dt.datetime.strptime(s_ts, "%Y-%m-%d %H:%M:%S").replace(
         tzinfo=ZoneInfo("Europe/Helsinki")
     )
-    assert parsed == instant.replace(microsecond=0)
+    # A wall-clock string is inherently ambiguous during the DST
+    # fall-back hour (the reference accepts this by binding local
+    # strings, OmmConnector.java:62); the reparse must hit the same
+    # instant under one of the two folds.  Python defines inter-zone
+    # == as always-False for fold-ambiguous datetimes, so compare
+    # epoch seconds, not datetime objects.
+    want = instant.replace(microsecond=0).timestamp()
+    assert want in (parsed.timestamp(), parsed.replace(fold=1).timestamp())
     assert s_day == s_ts[:10]
 
 

@@ -11,7 +11,7 @@ O(n) per executor and valid at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,18 +32,26 @@ def snapshot_repeated(
 
 
 def diff_counts(
-    cur: DataFrame, prev: DataFrame | None, key: str = "dvj_id"
+    cur: DataFrame,
+    prev: DataFrame | None,
+    key: str = "dvj_id",
+    extra: dict[str, Column] | None = None,
 ) -> DataFrame:
     """One-row DataFrame (total, new, repeated) — the reference's log line.
 
     Computed as a single aggregation over an existence flag (one join,
-    one pass) rather than two separate counting jobs.
+    one pass) rather than two separate counting jobs.  ``extra`` adds
+    caller-supplied aggregate columns to the SAME pass (e.g. the F8
+    combination counter) so operational counters never cost a second
+    job over the batch.
     """
+    extras = [c.alias(n) for n, c in (extra or {}).items()]
     if prev is None:
         return cur.agg(
             F.count(F.lit(1)).alias("total"),
             F.count(F.lit(1)).alias("new"),
             F.lit(0).cast("long").alias("repeated"),
+            *extras,
         )
     prev_keys = prev.select(F.col(key).alias(key)).distinct().withColumn(
         "__seen", F.lit(1)
@@ -54,5 +62,6 @@ def diff_counts(
             F.count(F.lit(1)).alias("total"),
             F.count(F.when(F.col("__seen").isNull(), 1)).alias("new"),
             F.count(F.when(F.col("__seen").isNotNull(), 1)).alias("repeated"),
+            *extras,
         )
     )

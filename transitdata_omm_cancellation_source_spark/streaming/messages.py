@@ -43,11 +43,25 @@ PAYLOAD_FIELDS = [
 SCHEMA_TAG = "transitdata.TripCancellation"
 
 
-def encode_messages(records: DataFrame, ordered: bool = False) -> DataFrame:
-    """Deduplicated records -> keyed sink-ready messages."""
+def encode_messages(
+    records: DataFrame, ordered: bool = False, value_format: str = "json"
+) -> DataFrame:
+    """Deduplicated records -> keyed sink-ready messages.
+
+    ``value_format="protobuf"`` emits real wire-format bytes
+    (streaming/protobuf.py, the E3 path —
+    ``OmmCancellationHandler.java:112-148,236``); ``"json"`` is the
+    portable default.
+    """
+    if value_format == "protobuf":
+        from .protobuf import protobuf_value
+
+        value = protobuf_value(PAYLOAD_FIELDS).alias("value_bytes")
+    else:
+        value = F.to_json(F.struct(*PAYLOAD_FIELDS)).alias("value_json")
     out = records.select(
         F.col("dvj_id").alias("key"),
-        F.to_json(F.struct(*PAYLOAD_FIELDS)).alias("value_json"),
+        value,
         F.col("ts_epoch_ms").alias("event_time_ms"),
         F.col("dvj_id").alias("prop_dvj_id"),
         F.lit(SCHEMA_TAG).alias("prop_schema"),

@@ -25,9 +25,12 @@ from __future__ import annotations
 
 import os
 import shutil
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..observability import get_json_logger, monotonic_ms, warn_if_slow
 from ..operators.diff import diff_counts
 from ..plans.cancellation import QueryParams, cancellation_pipeline
 from .messages import encode_messages
@@ -73,27 +76,61 @@ class SnapshotStore:
             shutil.rmtree(stale, ignore_errors=True)
 
 
+def _f8_combo() -> "F.Column":
+    """F8 — the deviation/affected-departure type pair the reference
+    logs specially (``OmmCancellationHandler.java:243-247``); counted
+    per cycle inside the diff aggregation pass.  Built lazily: Column
+    construction needs an active SparkContext."""
+    return F.count(
+        F.when(
+            (F.col("deviation_cases_type") == "CANCEL_DEPARTURE")
+            & (F.col("affected_departures_type") == "CANCEL_ENTIRE_DEPARTURE"),
+            1,
+        )
+    )
+
+
 def run_poll_cycle(
     spark: SparkSession,
     store: SnapshotStore,
     params: QueryParams | None = None,
     sink_dir: str | None = None,
+    clock: Callable[[], float] = monotonic_ms,
+    logger=None,
 ) -> dict:
     """One tick: pipeline -> diff vs snapshot -> publish -> replace state.
 
     Returns the reference's log-line counts {total, new, repeated}
-    (``OmmCancellationHandler.java:206-224``).
+    (``OmmCancellationHandler.java:206-224``) plus:
+
+    - ``cancel_departure_combo`` — F8 special-cased rows
+      (``OmmCancellationHandler.java:243-247``), counted in the same
+      aggregation pass as the diff;
+    - ``duration_ms`` — the cycle's wall time; a JSON-structured
+      warning fires above the reference's 4000 ms SLO
+      (``OmmConnector.java:86-89``).  ``clock`` is injectable for
+      deterministic tests.
     """
+    logger = logger or get_json_logger()
+    t0 = clock()
     cur = cancellation_pipeline(spark, params).persist()
     try:
         prev = store.read(spark)
-        counts = diff_counts(cur, prev).collect()[0].asDict()
+        counts = diff_counts(
+            cur, prev, extra={"cancel_departure_combo": _f8_combo()}
+        ).collect()[0].asDict()
         messages = encode_messages(cur)
         if sink_dir is not None:
             messages.write.mode("append").parquet(sink_dir)
         store.replace(cur)
     finally:
         cur.unpersist()
+    counts["duration_ms"] = clock() - t0
+    warn_if_slow(logger, counts["duration_ms"])
+    logger.info(
+        "Poll cycle complete",
+        extra={"fields": {k: counts[k] for k in sorted(counts)}},
+    )
     return counts
 
 
