@@ -80,3 +80,21 @@ def test_embedding_neardup_blocks_on_label_and_band(spark):
 def test_jaccard_candidates_are_equi_join(spark):
     plan = _plan(spark, "dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_merge_form_without_join_fanout(spark):
+    """The as-of join must be the union+sort+last-fill merge plan: no
+    join node at all, so a hot user with a million orders costs
+    O(orders) rows, never orders x events fan-out."""
+    plan = _plan(spark, "events_asof_latest_order")
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_topk_ranks_preaggregated_set(spark):
+    """Top-k per group: the window must rank the aggregated (type,
+    user) counts, not raw events — a HashAggregate sits below the
+    Window in the plan."""
+    plan = _plan(spark, "events_top_users_per_type")
+    assert "CartesianProduct" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")

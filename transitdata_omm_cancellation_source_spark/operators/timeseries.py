@@ -1,0 +1,164 @@
+"""Time-series / ranking operators over the ``events`` stream table.
+
+North-star additions beyond the reference surface (the reference has
+no as-of joins, quantiles, or top-k — SURVEY §2.4/§2.6 note their
+absence), each in its scale-correct Spark form:
+
+- ``events_asof_latest_order``: as-of (backward) join — every event
+  picks the user's latest order at-or-before the event time.  The
+  plan is the MERGE form: union both inputs, one shuffle+sort per
+  key, ``last(ignorenulls)`` over an unbounded-preceding window.
+  Unlike the naive inequality join + argmax, per-key cost is
+  O(events + orders) regardless of how many orders a hot user has —
+  the fan-out-free as-of at 100 TB.  (DuckDB's native ASOF JOIN
+  leaves equal-timestamp ties unspecified, so the oracle uses the
+  explicit ranked form with the same (date, orderkey) tie-break.)
+- ``events_value_quantiles``: exact interpolated per-group quantiles
+  (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+  interpolation at rank (n-1)p).  Exact quantiles sort each group —
+  fine while groups fit a partition spill; the documented 100 TB
+  path is ``approx_percentile`` (KLL/GK sketch, mergeable, one pass),
+  which has no cross-engine-exact oracle and so is not the registered
+  parity query.
+- ``events_top_users_per_type``: distributed top-k per group — full
+  pre-aggregation first (map-side combine shrinks the stream to one
+  row per (type, user)), then rank on the reduced set.  The window
+  never sees raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..plans.queries import QuerySpec, register
+
+
+def _q(name: str, survey_ref: str, oracle: str | None):
+    def deco(fn):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = load_tables(spark, sf_dir)
+            return fn(spark, tables)
+
+        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return deco
+
+
+@_q(
+    "events_asof_latest_order",
+    "north-star: as-of backward join (merge form: union + sort + last-fill)",
+    """
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts AS event_ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, event_ts,
+           o_orderkey AS order_key, o_orderdate AS order_date,
+           o_totalprice AS order_total
+    FROM ranked WHERE rn = 1
+    """,
+)
+def _asof_latest_order(spark, t):
+    # kind 0 (orders) sorts before kind 1 (events) at equal ts, making
+    # the join boundary inclusive (o_orderdate <= ts); equal-date
+    # orders tie-break on o_orderkey, so the fill is deterministic.
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    events = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        orders.unionByName(events)
+        .withColumn("order_key", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("order_date", F.last("o_orderdate", ignorenulls=True).over(w))
+        .withColumn("order_total", F.last("o_totalprice", ignorenulls=True).over(w))
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        "order_key",
+        "order_date",
+        "order_total",
+    )
+
+
+@_q(
+    "events_value_quantiles",
+    "north-star: exact interpolated per-group quantiles (percentile ≡ quantile_cont)",
+    """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def _value_quantiles(spark, t):
+    q = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("q"),
+    )
+    return q.select(
+        "event_type",
+        "n",
+        F.round(q["q"][0], 6).alias("p50"),
+        F.round(q["q"][1], 6).alias("p90"),
+        F.round(q["q"][2], 6).alias("p99"),
+    )
+
+
+@_q(
+    "events_top_users_per_type",
+    "north-star: distributed top-k per group (pre-aggregate, then rank)",
+    """
+    WITH counts AS (
+        SELECT event_type, user_id, count(*) AS n_events
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n_events, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY n_events DESC, user_id ASC) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def _top_users_per_type(spark, t):
+    counts = t["events"].groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n_events", F.col("rank").cast("int").alias("rank"))
+    )

@@ -76,3 +76,4 @@ from ..operators import dedup_fuzzy  # noqa: E402,F401
 from ..operators import multimodal  # noqa: E402,F401
 from ..operators import similarity  # noqa: E402,F401
 from ..operators import textops  # noqa: E402,F401
+from ..operators import timeseries  # noqa: E402,F401
