@@ -33,6 +33,45 @@ def _corpus() -> list[tuple[int, str]]:
     return docs
 
 
+def test_short_docs_flow_through_dedup_family(spark):
+    """Regression for the round-1 short-doc crash, end-to-end: the
+    planted-corpus dedup builders must not throw on 0/1/2-word docs
+    and must still match the oracle (short docs simply contribute no
+    shingles, on both engines)."""
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        _minhash_lsh,
+        _simhash,
+    )
+
+    rows = [
+        (1, ""),                      # empty
+        (2, "solo"),                  # 1 word
+        (3, "two words"),             # k-1 words
+        (7, "   !!! ??? "),           # punctuation-only
+        (11, "alpha beta gamma delta epsilon common tail"),
+        (13, "alpha beta gamma delta epsilon common fin"),   # near-dup of 11
+        (21, "completely different text about something else entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    for fn, name, expect_pair in [
+        (_ngram_jaccard, "dedup_ngram_jaccard", True),
+        (_minhash_lsh, "dedup_minhash_lsh", True),
+        # simhash over 7-token docs legitimately lands above hamming 7
+        # for a 1-word edit — parity (both engines empty) is the check.
+        (_simhash, "dedup_simhash", False),
+    ]:
+        out = fn(spark, {"documents": docs}).toPandas()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        oracle = con.execute(REGISTRY[name].oracle).df()
+        con.close()
+        assert compare_frames(out, oracle) == [], name
+        if expect_pair:
+            pairs = set(zip(out["doc_a"], out["doc_b"]))
+            assert (11, 13) in pairs, name  # genuine near-dup found
+
+
 def test_hot_shingle_corpus_matches_oracle(spark):
     rows = _corpus()
     docs = spark.createDataFrame(rows, "doc_id long, text string")
