@@ -581,3 +581,98 @@ def _embedding_neardup(spark, t):
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# --- duplicate-cluster canonicalization --------------------------------------
+
+#: safety ceiling for label propagation; convergence needs O(cluster
+#: diameter) rounds and near-dup clusters are shallow (a hub document
+#: and its variants), so hitting this indicates pathological input.
+_MAX_LABEL_ROUNDS = 20
+
+
+def _cluster_oracle() -> str:
+    # the pair graph IS the minhash query's output; DuckDB computes the
+    # same components via recursive-CTE transitive closure (exact, and
+    # cheap on the bounded near-dup graph).
+    from ..plans.queries import REGISTRY
+
+    minhash = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash}),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS canonical_doc
+    FROM reach GROUP BY a
+    """
+
+
+@_q(
+    "dedup_cluster_canonical",
+    "north-star: duplicate-cluster canonicalization "
+    "(connected components via iterative min-label propagation)",
+    _cluster_oracle(),
+)
+def _cluster_canonical(spark, t):
+    # The step after pair finding in a real dedup pipeline: group the
+    # near-dup pairs into connected components and elect min(doc_id)
+    # as each cluster's canonical survivor.  Components are computed
+    # by iterative min-label propagation — each round is one equi-join
+    # + min-aggregate, both shuffle-bounded on the (sparse) edge set,
+    # so the algorithm is executor-parallel at any scale; the driver
+    # only sees a one-scalar convergence check per round.  Rounds
+    # needed = cluster diameter, which is small for near-dup graphs by
+    # construction (variants cluster around a source document).
+    pairs = _minhash_lsh(spark, t).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(_MAX_LABEL_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_label", labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - safety ceiling
+        raise RuntimeError("label propagation did not converge")
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("canonical_doc"),
+    )
