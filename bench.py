@@ -43,7 +43,11 @@ HEADLINE = [
     "events_json_props_extract",
     "events_tumbling_window",
     "events_session_window",
+    "events_asof_latest_order",
+    "events_value_quantiles",
+    "events_top_users_per_type",
     "embedding_label_centroid",
+    "dedup_cluster_canonical",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
