@@ -624,54 +624,84 @@ def _cluster_oracle() -> str:
 def _cluster_canonical(spark, t):
     # The step after pair finding in a real dedup pipeline: group the
     # near-dup pairs into connected components and elect min(doc_id)
-    # as each cluster's canonical survivor.  Components are computed
-    # by iterative min-label propagation — each round is one equi-join
-    # + min-aggregate, both shuffle-bounded on the (sparse) edge set,
-    # so the algorithm is executor-parallel at any scale; the driver
-    # only sees a one-scalar convergence check per round.  Rounds
-    # needed = cluster diameter, which is small for near-dup graphs by
-    # construction (variants cluster around a source document).
-    pairs = _minhash_lsh(spark, t).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
+    # as each cluster's canonical survivor, via iterative min-label
+    # propagation.  Plan shape is tuned so each round is ONE Spark
+    # action over a small, cached edge frame:
+    #
+    # - ``pairs`` is persisted BEFORE the union that mirrors it, so the
+    #   expensive minhash pair-finding subtree runs exactly once (an
+    #   unpersisted union would recompute it per branch).
+    # - Self-loops are folded into a static, persisted edge frame
+    #   ``e2``; joining e2 to the current labels on dst picks up each
+    #   node's own label through its self-loop, so a round is a single
+    #   equi-join + min-aggregate — no second "carry old label" join.
+    # - Round 0 needs no join at all: with identity labels, the
+    #   neighborhood min is just min(dst) per src.
+    # - Convergence is read off the same aggregate (new label < old
+    #   label), so the driver runs one count per round.
+    #
+    # Everything is shuffle-bounded on the (sparse) edge set, hence
+    # executor-parallel at any scale; rounds needed = cluster diameter,
+    # small for near-dup graphs by construction (variants cluster
+    # around a source document).
+    pairs = _minhash_lsh(spark, t).select("doc_a", "doc_b").persist()
+    # one generator pass emits both edge directions plus self-loops;
+    # duplicates are harmless under min-aggregation, so no distinct
+    # (and hence no extra shuffle) is needed.
+    e2 = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
+    # round 0: labels are the identity, so label(dst) == dst.
+    cached = (
+        e2.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "node")
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
+    labels = cached
     for _ in range(_MAX_LABEL_ROUNDS):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+        agg = (
+            e2.join(labels, e2["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_label", labels["label"])
-                ).alias("label"),
+            .agg(
+                F.min("label").alias("new_label"),
+                # the self-loop row (src==dst) carries src's own label
+                F.min(
+                    F.when(e2["src"] == e2["dst"], F.col("label"))
+                ).alias("old_label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        changed = agg.filter(F.col("new_label") < F.col("old_label")).count()
+        cached.unpersist()
+        cached = agg
+        labels = agg.select(
+            F.col("src").alias("node"), F.col("new_label").alias("label")
         )
-        labels.unpersist()
-        labels = new_labels
         if changed == 0:
             break
     else:  # pragma: no cover - safety ceiling
         raise RuntimeError("label propagation did not converge")
-    edges.unpersist()
+    # the final labels frame is materialized (the convergence count ran
+    # on it), so the upstream caches can be released; lineage recompute
+    # only happens if the final cache is also evicted.
+    pairs.unpersist()
+    e2.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").cast("long").alias("canonical_doc"),

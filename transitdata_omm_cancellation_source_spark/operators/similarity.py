@@ -195,9 +195,10 @@ def _centroid_chunk_pdf(pdf):
 
     pdf = pdf.sort_values("vec_id")
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    acc = np.zeros(mat.shape[1], dtype=np.float64)
-    for row in mat:
-        acc = acc + row
+    # cumsum is sequential by definition, so its last row IS the
+    # left fold (0 + r0) + r1 + ... at C speed (numpy's sum() would
+    # pairwise-reorder and break oracle bit-parity).
+    acc = mat.cumsum(axis=0)[-1]
     return pd.DataFrame(
         {
             "label": pdf["label"].iloc[0],
@@ -205,27 +206,6 @@ def _centroid_chunk_pdf(pdf):
             "dim": range(mat.shape[1]),
             "s": acc,
             "n": mat.shape[0],
-        }
-    )
-
-
-def _centroid_combine_pdf(pdf):
-    """Phase-2 kernel: fold chunk partials in chunk order (groups are
-    one row per chunk — bounded by corpus/CENTROID_CHUNK, never by
-    label size)."""
-    import pandas as pd
-
-    pdf = pdf.sort_values("chunk")
-    acc = 0.0
-    for s in pdf["s"]:
-        acc += s
-    n = int(pdf["n"].sum())
-    return pd.DataFrame(
-        {
-            "label": [int(pdf["label"].iloc[0])],
-            "dim": [int(pdf["dim"].iloc[0])],
-            "centroid": [round(acc / n, 6)],
-            "n_vecs": [n],
         }
     )
 
@@ -256,15 +236,33 @@ def _label_centroid(spark, t):
     # chunks (task memory bounded at any scale), phase 2 combines the
     # per-chunk partials in chunk order.  The chunked summation tree is
     # part of the operator's contract — the oracle computes the same
-    # (((c0)+c1)+c2) ordering, so parity stays bit-exact.
+    # (((c0)+c1)+c2) ordering, so parity stays bit-exact.  Phase 2 is
+    # JVM-side: array_sort on (chunk, s) structs orders by chunk, and
+    # F.aggregate performs the left fold inside codegen — no second
+    # Python stage for what is a per-(label, dim) scalar fold.
     chunked = t["embeddings"].withColumn(
         "chunk", F.expr(f"vec_id div {CENTROID_CHUNK}")
     )
     partials = chunked.groupBy("label", "chunk").applyInPandas(
         _centroid_chunk_pdf, "label int, chunk long, dim int, s double, n long"
     )
-    return partials.groupBy("label", "dim").applyInPandas(
-        _centroid_combine_pdf, "label int, dim int, centroid double, n_vecs long"
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("chunk", "s"))),
+        F.lit(0.0),
+        lambda a, x: a + x["s"],
+    )
+    return (
+        partials.groupBy("label", "dim")
+        .agg(
+            folded.alias("folded"),
+            F.sum("n").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("folded") / F.col("n_vecs"), 6).alias("centroid"),
+            "n_vecs",
+        )
     )
 
 
