@@ -48,6 +48,9 @@ HEADLINE = [
     "events_top_users_per_type",
     "embedding_label_centroid",
     "dedup_cluster_canonical",
+    "corpus_ngram_topk",
+    "corpus_decontaminate",
+    "corpus_prep_pipeline",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",

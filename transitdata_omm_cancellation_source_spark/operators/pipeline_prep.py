@@ -1,0 +1,417 @@
+"""Training-corpus preparation operators over ``documents``.
+
+The operations a large-scale LLM training-data pipeline runs between
+raw crawl and tokenizer, each expressed Spark-first and each with an
+exact DuckDB oracle:
+
+- ``corpus_hash_split``:    deterministic content-hash train/val/test
+                            assignment (shuffle-free map; duplicate
+                            texts land in the same split by construction)
+- ``corpus_ngram_topk``:    corpus-level top-k word bigrams (partial
+                            map-side aggregation + TakeOrdered — the
+                            scalable "top 50 of 10^11" shape)
+- ``corpus_decontaminate``: drop documents sharing any 3-word shingle
+                            with a benchmark/eval set (shingle-level
+                            semi-join, then doc-level anti-join; the
+                            benchmark side is eval-suite-sized, so its
+                            exploded shingle set stays broadcastable)
+- ``text_pii_redact``:      regex PII scrubbing (emails, phone numbers)
+                            with per-doc match counts and a redacted-
+                            text digest; single-pass, shuffle-free
+- ``corpus_prep_pipeline``: the end-to-end composition — quality gate
+                            -> language filter -> exact dedup -> hash
+                            split -> per-split token accounting
+
+Scale notes: splits and PII are pure per-row maps (parallel per parquet
+split at any scale).  The n-gram top-k aggregates with map-side combine
+and never materializes a global sort — ``orderBy().limit(k)`` compiles
+to TakeOrdered.  Decontamination's only data-proportional shuffle is
+the corpus-side explode; the benchmark side is tiny by definition.
+The prep pipeline's one wide shuffle is the dedup groupBy on the text
+fingerprint.
+
+The reference has no corpus operators (it is a cancellation ETL,
+`OmmCancellationHandler.java:106-166`); this module is north-star
+surface per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import text as X
+from ..plans.queries import QuerySpec, register
+from .dedup_fuzzy import _CORPUS_D, planted_corpus
+
+P = X.HASH_MOD
+
+_WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+#: DuckDB polyhash over an arbitrary string expression (mirrors
+#: functions.text.polyhash).
+_POLY_D = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({expr}, ''), x -> CAST(ascii(x) AS BIGINT))),"
+    f" (acc, x) -> (acc * 31 + x) % {P})"
+)
+
+
+def _q(name: str, survey_ref: str, oracle: str | None):
+    def deco(fn):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = load_tables(spark, sf_dir)
+            return fn(spark, tables)
+
+        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return deco
+
+
+# --- deterministic content-hash split ---------------------------------------
+
+#: percent thresholds: [0, TRAIN) train, [TRAIN, VAL) val, rest test.
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90
+
+_NORM_TEXT_D = f"array_to_string({_WORDS_D}, ' ')"
+_NORM_TEXT_S = "array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"
+
+
+@_q(
+    "corpus_hash_split",
+    "north-star: deterministic content-hash train/val/test split",
+    f"""
+    WITH b AS (
+        SELECT doc_id, CAST({_POLY_D.format(expr=_NORM_TEXT_D)} % 100 AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def _hash_split(spark, t):
+    # Hash of the NORMALIZED TEXT, not the doc_id: byte-identical
+    # near-duplicate documents land in the same split by construction,
+    # so exact dupes can never straddle the train/test boundary — the
+    # standard leakage guard.  Pure projection: no shuffle, perfectly
+    # parallel per parquet split at any corpus size.
+    bucket = (X.polyhash(_NORM_TEXT_S) % 100).cast("int")
+    return t["documents"].select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- corpus-level n-gram top-k ----------------------------------------------
+
+_TOPK_NGRAMS = 50
+
+
+@_q(
+    "corpus_ngram_topk",
+    "north-star: corpus-wide top-k word bigrams (map-side combine + TakeOrdered)",
+    f"""
+    WITH w AS (SELECT {_WORDS_D} AS w FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS ngram
+        FROM w
+    )
+    SELECT ngram, count(*) AS n_occurrences
+    FROM bg GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {_TOPK_NGRAMS}
+    """,
+)
+def _ngram_topk(spark, t):
+    # Occurrence counts (not per-doc distinct): every bigram instance
+    # votes.  groupBy(count) gets map-side partial aggregation for
+    # free; orderBy().limit(k) compiles to TakeOrdered — no global
+    # sort of the (huge) distinct-ngram space ever materializes.  The
+    # (count DESC, ngram ASC) order makes the selected top-k SET
+    # deterministic under ties, which is what the oracle compares.
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN"
+        " transform(sequence(1, size(__w) - 1),"
+        " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        t["documents"]
+        .select(X.words("text").alias("__w"))
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(_TOPK_NGRAMS)
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+#: every doc_id divisible by this is "the benchmark/eval set" — a
+#: deterministic stand-in for the held-out suites a production pipeline
+#: decontaminates against.
+_BENCH_MOD = 97
+
+
+@_q(
+    "corpus_decontaminate",
+    "north-star: eval-set decontamination via shingle semi-join + doc anti-join",
+    f"""
+    WITH whs AS (SELECT doc_id, {{wh}} AS wh FROM documents),
+    sh AS (SELECT doc_id, {{sh}} AS shingles FROM whs),
+    inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    binv AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+        WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM inv JOIN binv USING (shingle)
+    )
+    SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles
+    FROM sh
+    WHERE doc_id % {_BENCH_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """.format(
+        wh=(
+            f"list_transform({_WORDS_D}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(string_split(t, ''), x -> CAST(ascii(x) AS BIGINT))),"
+            f" (acc, x) -> (acc * 31 + x) % {P}))"
+        ),
+        sh=(
+            f"list_distinct(list_transform(range(1, greatest(len(wh) - 2, 0) + 1),"
+            f" i -> ((wh[i] * 1000003 + wh[i + 1]) % {P} * 1000003 + wh[i + 2]) % {P}))"
+        ),
+    ),
+)
+def _decontaminate(spark, t):
+    # A doc is contaminated when it shares ANY 3-word shingle with the
+    # benchmark set.  Candidate detection is a semi-join at the
+    # SHINGLE level (one equi-shuffle on a bounded key) and removal is
+    # an anti-join at the DOC level — never a cross join, never a
+    # collected id list.  The benchmark side is eval-suite-sized by
+    # definition, so AQE broadcasts its exploded shingles; the corpus
+    # side streams through at any scale.  Shingle hashing reuses the
+    # per-word polyhash fold shared with the dedup family
+    # (functions/text.py), so the oracle is structurally identical.
+    sh = t["documents"].select(
+        "doc_id",
+        X.word_hashes("text").alias("wh"),
+    ).select(
+        "doc_id",
+        X.shingles_from_word_hashes("wh").alias("shingles"),
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench_keys = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        corpus_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(bench_keys, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus_sh.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+#: RE2- and Java-regex compatible patterns (no lookaround, no backrefs).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{7,}"
+
+#: deterministic PII planting: the synthetic corpus contains no real
+#: PII, so every 7th doc gets an email and every 11th a phone number
+#: appended (both derived from doc_id) — the oracle plants identically.
+_PII_TEXT_D = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0"
+    "         THEN ' mailto user' || CAST(doc_id AS VARCHAR) || '@example.org'"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0"
+    "         THEN ' tel +35840' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')"
+    "         ELSE '' END"
+)
+
+
+@_q(
+    "text_pii_redact",
+    "north-star: regex PII scrub (emails, phones) with counts + digest",
+    f"""
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_D} AS ptext FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}', 0)) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(ptext, '{_PHONE_RE}', 0)) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    """,
+)
+def _pii_redact(spark, t):
+    # Single-pass per-row map, zero shuffles.  Patterns avoid
+    # lookaround/backreferences so Java (Spark) and RE2 (DuckDB)
+    # produce identical matches; DuckDB needs the explicit 'g' flag to
+    # match Spark's replace-all default.  The md5 digest proves the
+    # full redacted text matches byte-for-byte without hauling the
+    # text through the compare harness.
+    ptext = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" mailto user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" tel +35840"),
+                F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+            ),
+        ).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("ptext"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    # Spark SQL string literals process backslash escapes (DuckDB's do
+    # not), so patterns embedded in F.expr need their backslashes
+    # doubled — same convention as functions.text.token_count_bpe.
+    email_sql = _EMAIL_RE.replace("\\", "\\\\")
+    phone_sql = _PHONE_RE.replace("\\", "\\\\")
+    return (
+        t["documents"]
+        .select("doc_id", ptext.alias("ptext"))
+        .select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(ptext, '{email_sql}', 0)")).alias(
+                "n_emails"
+            ),
+            F.size(F.expr(f"regexp_extract_all(ptext, '{phone_sql}', 0)")).alias(
+                "n_phones"
+            ),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )
+
+
+# --- end-to-end corpus prep pipeline ----------------------------------------
+
+
+def _stopword_in_d() -> str:
+    return ", ".join("'" + w + "'" for w in X.STOPWORDS_EN)
+
+
+def _prep_oracle() -> str:
+    from .textops import _langid_sql
+
+    sw_ratio = (
+        f"CAST(len(list_filter({_WORDS_D}, x -> x IN ({_stopword_in_d()}))) AS DOUBLE)"
+        f" / len({_WORDS_D})"
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_D}),
+    gated AS (
+        SELECT doc_id, text FROM corpus
+        WHERE length(text) >= 100 AND len({_WORDS_D}) > 0
+          AND {sw_ratio} >= 0.05
+    ),
+    lang AS (
+        SELECT doc_id, text FROM gated
+        WHERE {_langid_sql()} = 'en'
+    ),
+    dedup AS (
+        SELECT min(doc_id) AS doc_id,
+               arbitrary(md5(array_to_string({_WORDS_D}, ' '))) AS fp,
+               arbitrary(len({_WORDS_D})) AS n_words
+        FROM lang
+        GROUP BY md5(array_to_string({_WORDS_D}, ' '))
+    ),
+    split AS (
+        SELECT *, CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+                       WHEN b < {_SPLIT_VAL} THEN 'val'
+                       ELSE 'test' END AS split
+        FROM (SELECT *, {_POLY_D.format(expr="fp")} % 100 AS b FROM dedup)
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words_total,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM split GROUP BY split
+    """
+
+
+@_q(
+    "corpus_prep_pipeline",
+    "north-star: composed prep pipeline (quality -> lang -> dedup -> split)",
+    _prep_oracle(),
+)
+def _prep_pipeline(spark, t):
+    # The full corpus-prep composition as ONE logical plan, so Catalyst
+    # fuses the per-row stages (quality ratios, language argmax,
+    # fingerprint) into a single scan-side projection: the only wide
+    # exchanges in the physical plan are the dedup groupBy and the
+    # final 3-row split aggregate.  Stage order mirrors production
+    # pipelines: cheap row-local gates first (shrink before shuffling),
+    # content dedup before split assignment so survivors alone pay the
+    # hash.  Splitting on the FINGERPRINT hash keeps near-identical
+    # survivors consistent with corpus_hash_split's leakage guard.
+    corpus = planted_corpus(t["documents"])
+    nw = F.size(X.words("text"))
+    sw = X.stopword_ratio("text")
+    gated = corpus.filter(
+        (F.length("text") >= 100) & (nw > 0) & (sw >= 0.05)
+    )
+    withw = gated.withColumn("__w", X.words("text"))
+    hits = withw.select(
+        "doc_id",
+        "text",
+        *[c.alias(f"__h_{lang}") for lang, c in X.lang_hit_counts("__w").items()],
+    )
+    lang = hits.filter(
+        X.lang_from_hits({lang: f"__h_{lang}" for lang in X.LANG_MARKERS}) == "en"
+    )
+    dedup = (
+        lang.select(
+            "doc_id",
+            X.fingerprint_md5("text").alias("fp"),
+            F.size(X.words("text")).alias("n_words"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_words").alias("n_words"),
+        )
+    )
+    bucket = X.polyhash("fp") % 100
+    split = F.when(bucket < _SPLIT_TRAIN, "train").when(
+        bucket < _SPLIT_VAL, "val"
+    ).otherwise("test")
+    return (
+        dedup.select("doc_id", "n_words", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words_total"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

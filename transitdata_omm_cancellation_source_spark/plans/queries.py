@@ -76,4 +76,8 @@ from ..operators import dedup_fuzzy  # noqa: E402,F401
 from ..operators import multimodal  # noqa: E402,F401
 from ..operators import similarity  # noqa: E402,F401
 from ..operators import textops  # noqa: E402,F401
+
+# pipeline_prep composes textops' language-ID oracle, so it must import
+# after textops.
+from ..operators import pipeline_prep  # noqa: E402,F401
 from ..operators import timeseries  # noqa: E402,F401
