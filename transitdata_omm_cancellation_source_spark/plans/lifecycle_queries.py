@@ -166,3 +166,63 @@ register(
         "(same operator serves readStream + watermark)",
     ),
 )
+
+
+def _build_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 with real wire bytes: pipeline -> encode -> decode -> fields.
+
+    The Spark side pushes every surviving record through the protobuf
+    wire-format codec (streaming/protobuf.py; Arrow-batched pandas
+    UDFs) and projects the decoded payload, so any encoding defect
+    breaks the hash.  The oracle never sees bytes — it projects the
+    same fields straight off the relational pipeline, applying proto3
+    default-value elision (empty string / zero int encode to nothing
+    and decode to NULL) via nullif, which is exactly the lossy-ness
+    the wire format is *specified* to have
+    (OmmCancellationHandler.java:112-148,236).
+    """
+    from ..streaming.messages import encode_messages
+    from ..streaming.protobuf import TRIP_CANCELLATION_FIELDS, decode_messages
+
+    load_tables(spark, sf_dir)
+    records = cancellation_pipeline(spark, QueryParams(mode="NOW"))
+    msgs = encode_messages(records, value_format="protobuf")
+    decoded = decode_messages(msgs)
+    return decoded.select(
+        "key",
+        "event_time_ms",
+        *[
+            F.col(f"payload.{name}").alias(name)
+            for _, name, _ in TRIP_CANCELLATION_FIELDS
+        ],
+    )
+
+
+def _pb_roundtrip_oracle() -> str:
+    from ..streaming.protobuf import TRIP_CANCELLATION_FIELDS
+
+    cols = ",\n               ".join(
+        (
+            f"CAST(nullif({name}, 0) AS BIGINT) AS {name}"
+            if kind == "int"
+            else f"nullif({name}, '') AS {name}"
+        )
+        for _, name, kind in TRIP_CANCELLATION_FIELDS
+    )
+    return f"""
+        WITH base AS ({cancellation_oracle_sql(QueryParams(mode="NOW"))})
+        SELECT dvj_id AS key, ts_epoch_ms AS event_time_ms,
+               {cols}
+        FROM base
+        """
+
+
+register(
+    "e3_protobuf_roundtrip",
+    QuerySpec(
+        build=_build_pb_roundtrip,
+        oracle=_pb_roundtrip_oracle(),
+        survey_ref="E3/S6: TripCancellation wire-format encode/decode round trip "
+        "(OmmCancellationHandler.java:112-148,236)",
+    ),
+)
