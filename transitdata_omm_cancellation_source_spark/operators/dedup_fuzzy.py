@@ -331,11 +331,16 @@ def _minhash_lsh(spark, t):
     jac = inter / (
         F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
     )
+    # The verified-pairs frame is tiny (near-dup pairs only) and is the
+    # exact subtree _cluster_canonical re-derives; persisting it lets a
+    # workload running both queries generate candidates once — the same
+    # cross-query cache sharing the sorted shingle sets already get.
     return (
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .persist()
     )
 
 
