@@ -162,3 +162,50 @@ def _top_users_per_type(spark, t):
         .filter(F.col("rank") <= 3)
         .select("event_type", "user_id", "n_events", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@_q(
+    "events_value_quantiles_sketch",
+    "north-star 100 TB path: one-pass mergeable quantile sketch (approx_percentile)",
+    None,  # sketch values are engine-specific — no cross-engine oracle;
+    # pinned instead by tests/test_sketches.py error bounds vs the
+    # exact events_value_quantiles query.
+)
+def _value_quantiles_sketch(spark, t):
+    # The scale path the exact query's docstring promises: a GK/KLL-
+    # style summary built in ONE pass with map-side partial merge —
+    # no per-group sort, bounded memory per task, mergeable across any
+    # partitioning.  At 100 TB this is the only quantile shape that
+    # doesn't spill-sort the fact table; accuracy 10000 bounds rank
+    # error at 1e-4 * n.
+    q = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("q"),
+    )
+    return q.select(
+        "event_type",
+        "n",
+        F.round(q["q"][0], 6).alias("p50"),
+        F.round(q["q"][1], 6).alias("p90"),
+        F.round(q["q"][2], 6).alias("p99"),
+    )
+
+
+@_q(
+    "events_distinct_users_sketch",
+    "north-star 100 TB path: HLL++ distinct-count sketch (approx_count_distinct)",
+    None,  # HLL register values are engine-specific — rows-only here;
+    # pinned by tests/test_sketches.py relative-error bound vs the
+    # exact distinct_users_per_event_type query.
+)
+def _distinct_users_sketch(spark, t):
+    # Exact per-group distinct needs a (group, user) de-dup shuffle
+    # before counting; the HLL++ sketch replaces that with fixed-size
+    # mergeable registers updated in one pass — the standard trade at
+    # fact scale.  rsd 0.02 => ~2 % typical relative error.
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
