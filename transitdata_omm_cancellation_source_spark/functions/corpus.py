@@ -1,0 +1,34 @@
+"""Shared planted-duplicate corpus construction for the dedup and
+corpus-prep operator families.
+
+Lives under ``functions/`` (registry-free) so operator modules can
+share it without import cycles: operator modules import
+``plans.queries`` at module level for registration, so any helper
+imported BY two operator modules must not itself live in one of them
+(the module that happens to be imported first would still be
+partially initialized when the registry import chain loops back into
+it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def planted_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ perturbed copies of every 10th doc (id + 1e6)."""
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" corpusmarker")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(dups)
+
+
+#: DuckDB form of the same construction (oracle CTE body).
+CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' corpusmarker' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""

@@ -53,22 +53,11 @@ def _q(name: str, survey_ref: str, oracle: str | None):
 
 
 # --- shared corpus with planted near-duplicates -----------------------------
+# (construction lives in functions/corpus.py — registry-free — so
+# pipeline_prep can share it without an operator-module import cycle)
 
-def planted_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ perturbed copies of every 10th doc (id + 1e6)."""
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" corpusmarker")).alias("text"),
-    )
-    return docs.select("doc_id", "text").unionAll(dups)
-
-
-_CORPUS_D = """
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text || ' corpusmarker' AS text
-    FROM documents WHERE doc_id % 10 = 0
-"""
+from ..functions.corpus import CORPUS_SQL as _CORPUS_D  # noqa: E402
+from ..functions.corpus import planted_corpus  # noqa: E402,F401
 
 _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 

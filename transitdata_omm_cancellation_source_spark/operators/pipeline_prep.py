@@ -42,8 +42,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions import text as X
+from ..functions.corpus import CORPUS_SQL as _CORPUS_D
+from ..functions.corpus import planted_corpus
 from ..plans.queries import QuerySpec, register
-from .dedup_fuzzy import _CORPUS_D, planted_corpus
 
 P = X.HASH_MOD
 
