@@ -1,0 +1,100 @@
+"""Late-data semantics for the windowed streaming operators: the
+"watermark-ready" claim in streaming/windows.py, exercised on a real
+two-batch file-source stream.
+
+Spark's watermark advances at batch end (max event time - delay), so:
+batch 1 establishes a watermark, batch 2 delivers one row older than
+that watermark (must be DROPPED from its already-open window) and one
+fresh row that pushes the watermark far enough to finalize the early
+windows in append mode.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from transitdata_omm_cancellation_source_spark.streaming.windows import (
+    windowed_event_counts,
+)
+
+_SCHEMA = "ts timestamp, event_type string, user_id long, value double"
+
+
+def _rows(*ts_strings):
+    return [
+        (datetime.fromisoformat(s), "click", 1, 1.0) for s in ts_strings
+    ]
+
+
+def test_append_mode_drops_rows_behind_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    # batch 1: three rows in [10:00, 11:00) + one at 11:30 that sets
+    # the post-batch watermark to 11:20 — PAST the 10:00 window's end,
+    # so append mode finalizes and emits that window in this batch and
+    # evicts its state.  (A row merely later than the watermark but
+    # inside a still-open window would be accepted: Spark only
+    # guarantees dropping rows whose window is already finalized.)
+    spark.createDataFrame(
+        _rows(
+            "2024-01-01 10:05:00",
+            "2024-01-01 10:20:00",
+            "2024-01-01 10:40:00",
+            "2024-01-01 11:30:00",
+        ),
+        _SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src))
+    windowed = windowed_event_counts(stream, "1 hour", watermark="10 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("wmtest")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        # batch 2: one LATE row at 10:30 — its window is finalized and
+        # its state evicted, so the row MUST be dropped (not resurrect
+        # a duplicate 10:00 output row) — and one at 12:30 that
+        # advances the watermark to 12:20, finalizing the 11:00 window.
+        spark.createDataFrame(
+            _rows("2024-01-01 10:30:00", "2024-01-01 12:30:00"), _SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = sorted(
+        (r["win_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql("SELECT * FROM wmtest").collect()
+    )
+    # exactly one 10:00 row (3 on-time events; the late row neither
+    # counted nor re-emitted) and one 11:00 row; the 12:00 window is
+    # still open (watermark 12:20 < 13:00), so append emits nothing.
+    assert out == [("10:00", 3), ("11:00", 1)]
+
+
+def test_batch_mode_ignores_watermark(spark):
+    # The same operator on a batch frame: watermark is a no-op
+    # (late data cannot exist), every row counts.
+    df = spark.createDataFrame(
+        _rows(
+            "2024-01-01 10:05:00",
+            "2024-01-01 10:30:00",
+            "2024-01-01 11:05:00",
+        ),
+        _SCHEMA,
+    )
+    out = {
+        r["win_start"].strftime("%H:%M"): r["n_events"]
+        for r in windowed_event_counts(df, "1 hour", watermark="10 minutes").collect()
+    }
+    assert out == {"10:00": 2, "11:00": 1}

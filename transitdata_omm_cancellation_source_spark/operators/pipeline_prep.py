@@ -208,13 +208,19 @@ def _decontaminate(spark, t):
     # side streams through at any scale.  Shingle hashing reuses the
     # per-word polyhash fold shared with the dedup family
     # (functions/text.py), so the oracle is structurally identical.
+    #
+    # The persist is load-bearing, not a cache nicety: exploding an
+    # UNpersisted nested-lambda array column re-evaluates the whole
+    # word-hash/shingle expression tree per EMITTED row (measured 87 s
+    # vs 0.3 s at sf0.1 — interpreted higher-order functions don't
+    # codegen), and the frame is consumed by three plan branches.
     sh = t["documents"].select(
         "doc_id",
         X.word_hashes("text").alias("wh"),
     ).select(
         "doc_id",
         X.shingles_from_word_hashes("wh").alias("shingles"),
-    )
+    ).persist()
     corpus_sh = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
     bench_keys = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
