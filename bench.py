@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_lsh_hyperplane",
     "knn_ivf_label",
+    "knn_ivf_kmeans",
     "mm_decode_features",
     "mm_frame_sample",
     "events_json_props_extract",

@@ -297,3 +297,107 @@ def _knn_ivf(spark, t):
         )
     )
     return _topk(scored)
+
+
+def _ivf_kmeans_oracle() -> str:
+    from ..plans.queries import REGISTRY
+
+    centroid_oracle = REGISTRY["embedding_label_centroid"].oracle
+    dot_vc = _DOT_D.format(a="v.v", b="ct.cv")
+    dot_vv = _DOT_D.format(a="v.v", b="v.v")
+    dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
+    return f"""
+    WITH cent AS ({centroid_oracle}),
+    cvec AS (
+        SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+        FROM cent GROUP BY label
+    ),
+    {_VEC_CTE},
+    pairs AS (
+        SELECT v.vec_id, ct.c_label,
+               {dot_vc} / sqrt({dot_vv} * {dot_cc}) AS cos_c
+        FROM v CROSS JOIN cvec ct
+    ),
+    assign AS (
+        SELECT vec_id, c_label AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_c DESC, c_label) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ),
+    cand AS (SELECT v.*, a.cell FROM v JOIN assign a USING (vec_id)),
+    qc AS (SELECT * FROM cand WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        FROM qc q JOIN cand c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    )
+    {_ORACLE_TAIL}
+    """
+
+
+@_q(
+    "knn_ivf_kmeans",
+    "north-star: IVF with a LEARNED coarse quantizer (deterministic centroids, "
+    "nearest-centroid assignment, cell-confined search)",
+    _ivf_kmeans_oracle(),
+)
+def _knn_ivf_kmeans(spark, t):
+    # The full IVF construction, not the label shortcut: (1) train the
+    # quantizer — per-label centroids via the chunked deterministic
+    # fold (shared plan with embedding_label_centroid, so a workload
+    # running both computes it once); (2) assign EVERY vector to its
+    # nearest centroid by cosine; (3) search only the query's cell.
+    #
+    # Scale shape: the centroid table is #cells rows — fixed by the
+    # quantizer, NOT corpus-proportional — so broadcasting it is safe
+    # at any data size (unlike the query-set broadcasts round 1
+    # flagged).  Assignment emits N x #cells slim rows (vec_id, cell,
+    # score) — the vectors themselves never ride the shuffle — and the
+    # per-vector argmax is one window on vec_id.  Search is an
+    # equi-join on the learned cell key, the same prunable shape as
+    # knn_ivf_label.  A production IVF iterates Lloyd steps; one
+    # deterministic step keeps the oracle exact while exercising the
+    # identical plan.
+    vecs = _vectors(t)
+    cent_rows = _label_centroid(spark, t)
+    cvec = (
+        cent_rows.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.centroid)").alias("cv"),
+        )
+        .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
+    )
+    pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("ct.c_label").alias("c_label"),
+        F.expr(
+            f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("c_label").asc()
+    )
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+        .persist()  # slim (vec_id, cell); feeds both sides of the search join
+    )
+    cand = vecs.join(assign, "vec_id")
+    q = cand.filter(F.col("vec_id") % QUERY_MOD == 0)
+    scored = (
+        q.alias("q")
+        .join(
+            cand.alias("c"),
+            (F.col("c.cell") == F.col("q.cell"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos_s().alias("cos"),
+        )
+    )
+    return _topk(scored)
