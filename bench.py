@@ -52,6 +52,8 @@ HEADLINE = [
     "corpus_ngram_topk",
     "corpus_decontaminate",
     "corpus_prep_pipeline",
+    "corpus_token_chunks",
+    "corpus_pack_sequences",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",

@@ -92,3 +92,63 @@ def test_decontaminate_drops_shingle_overlap(spark):
     )
     kept = {r["doc_id"] for r in _decontaminate(spark, {"documents": docs}).collect()}
     assert kept == {1, 3}
+
+
+def test_token_chunks_geometry(spark):
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _CHUNK,
+        _STRIDE,
+        _token_chunks,
+    )
+
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_tokens"])
+        for r in _token_chunks(spark, {"documents": docs}).collect()
+    )
+    # doc 1: 100 words -> chunks starting at words 1/49/97 hold
+    # 64 / 52 (only 52 words remain) / 4 tokens; doc 2: one short
+    # chunk; doc 3 (empty) emits nothing.
+    assert rows == [(1, 0, 64), (1, 1, 52), (1, 2, 4), (2, 0, 3)]
+    assert _STRIDE == _CHUNK - 16
+
+
+def test_pack_sequences_matches_global_prefix_sum(spark):
+    from pyspark.sql import functions as F
+
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _PACK_BUDGET,
+        _PACK_RANGE,
+        _pack_sequences,
+    )
+
+    # doc_ids straddle three prefix-sum ranges so the distributed
+    # two-phase offsets are actually exercised across range boundaries.
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    docs = spark.createDataFrame(
+        [
+            doc(5, 100),
+            doc(7, 200),
+            doc(_PACK_RANGE + 1, 30),
+            doc(2 * _PACK_RANGE + 9, 250),
+            doc(2 * _PACK_RANGE + 10, 10),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["pack_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"])
+        for r in _pack_sequences(spark, {"documents": docs}).collect()
+    }
+    # global running offsets: 0, 100, 300, 330, 580 -> packs 0,0,1,1,2
+    assert out == {
+        0: (2, 300, 5),
+        1: (2, 280, _PACK_RANGE + 1),
+        2: (1, 10, 2 * _PACK_RANGE + 10),
+    }
+    assert _PACK_BUDGET == 256

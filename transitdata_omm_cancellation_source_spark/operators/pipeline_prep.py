@@ -21,6 +21,13 @@ exact DuckDB oracle:
 - ``corpus_prep_pipeline``: the end-to-end composition — quality gate
                             -> language filter -> exact dedup -> hash
                             split -> per-split token accounting
+- ``corpus_token_chunks``:  overlapping fixed-window chunking (the step
+                            feeding the tokenizer; shuffle-free 1->N
+                            fan-out, chunk content pinned by digest)
+- ``corpus_pack_sequences``: concat-then-cut packing into context-
+                            window bins via a DISTRIBUTED two-phase
+                            prefix sum (the oracle's global window
+                            form serializes through one task at scale)
 
 Scale notes: splits and PII are pure per-row maps (parallel per parquet
 split at any scale).  The n-gram top-k aggregates with map-side combine
@@ -37,7 +44,7 @@ surface per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -421,4 +428,127 @@ def _prep_pipeline(spark, t):
             F.sum("n_words").alias("n_words_total"),
             F.min("doc_id").alias("first_doc"),
         )
+    )
+
+
+# --- tokenizer-facing chunking and packing ----------------------------------
+
+#: chunk geometry: CHUNK-word windows advancing by CHUNK - OVERLAP words.
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+#: context-window budget for sequence packing, in words.
+_PACK_BUDGET = 256
+
+#: doc_id range width for the distributed prefix sum in packing.
+_PACK_RANGE = 1 << 20
+
+
+@_q(
+    "corpus_token_chunks",
+    "north-star: overlapping fixed-window document chunking (1->N fan-out)",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_D} AS w FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, (len(w) - 1) // {_STRIDE} + 1)) AS chunk_idx,
+               w
+        FROM w WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(w, chunk_idx * {_STRIDE} + 1,
+                               chunk_idx * {_STRIDE} + {_CHUNK})) AS INTEGER)
+               AS chunk_tokens,
+           md5(array_to_string(list_slice(w, chunk_idx * {_STRIDE} + 1,
+                                          chunk_idx * {_STRIDE} + {_CHUNK}), ' '))
+               AS chunk_md5
+    FROM chunks
+    """,
+)
+def _token_chunks(spark, t):
+    # The step between cleaning and tokenization: overlapping
+    # fixed-size word windows (stride = chunk - overlap), one output
+    # row per chunk.  Pure per-row fan-out — explode over a cheap
+    # arithmetic sequence (codegen-friendly; the expensive nested-HOF
+    # explode pathology documented in _decontaminate does not apply to
+    # flat regex/slice expressions) — so it parallelizes per parquet
+    # split with zero shuffle at any corpus size.  Chunk text is
+    # emitted as an md5 digest: parity proves the exact byte content
+    # of every chunk without hauling text through the compare harness.
+    w = t["documents"].select("doc_id", X.words("text").alias("w")).filter(
+        F.size("w") > 0
+    )
+    chunks = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, (size(w) - 1) div {_STRIDE})")
+        ).alias("chunk_idx"),
+        "w",
+    )
+    sliced = F.expr(f"slice(w, chunk_idx * {_STRIDE} + 1, {_CHUNK})")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sliced).alias("chunk_tokens"),
+        F.md5(F.array_join(sliced, " ")).alias("chunk_md5"),
+    )
+
+
+@_q(
+    "corpus_pack_sequences",
+    "north-star: concat-then-cut sequence packing via distributed prefix sum",
+    f"""
+    WITH d AS (
+        SELECT doc_id, len({_WORDS_D}) AS n FROM documents
+        WHERE len({_WORDS_D}) > 0
+    ),
+    c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n AS start_off
+        FROM d
+    )
+    SELECT CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY pack_id
+    """,
+)
+def _pack_sequences(spark, t):
+    # Concat-then-cut packing (the shape LLM pipelines actually use):
+    # documents concatenated in doc_id order are cut into
+    # _PACK_BUDGET-token context windows; a doc belongs to the pack
+    # its first token lands in.  The global running offset is computed
+    # as a DISTRIBUTED two-phase prefix sum — per-range subtotals
+    # (one small aggregate), cumulated on the tiny range table, then
+    # broadcast back and added to intra-range running sums — because
+    # the textbook global-window form (the oracle's SQL) serializes
+    # the whole corpus through ONE task at scale.  Results are
+    # identical; only the physical shape differs.
+    d = (
+        t["documents"]
+        .select("doc_id", F.size(X.words("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("rng", F.expr(f"doc_id div {_PACK_RANGE}"))
+    )
+    rng_totals = d.groupBy("rng").agg(F.sum("n").alias("rng_n"))
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    rng_offsets = rng_totals.withColumn(
+        "rng_off", F.coalesce(F.sum("rng_n").over(w_rng), F.lit(0))
+    ).select("rng", "rng_off")
+    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = (
+        d.join(F.broadcast(rng_offsets), "rng")
+        .withColumn(
+            "start_off",
+            F.col("rng_off") + F.coalesce(F.sum("n").over(w_in), F.lit(0)),
+        )
+        .withColumn("pack_id", F.expr(f"start_off div {_PACK_BUDGET}"))
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )
