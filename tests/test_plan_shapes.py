@@ -98,3 +98,42 @@ def test_topk_ranks_preaggregated_set(spark):
     plan = _plan(spark, "events_top_users_per_type")
     assert "CartesianProduct" not in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_decontaminate_semi_anti_no_cartesian(spark):
+    """Contamination detection must stay semi-join at the shingle level
+    and anti-join at the doc level — never a cross join, never a
+    collected id list materialized into the plan."""
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_broadcasts_only_the_centroid_table(spark):
+    """The centroid table is #cells rows (fixed by the quantizer), so
+    its broadcast is scale-safe; the corpus-proportional search join
+    must remain an equi hash join."""
+    plan = _plan(spark, "knn_ivf_kmeans")
+    assert "BroadcastNestedLoopJoin" in plan  # centroid cross-assign (tiny side)
+    assert "CartesianProduct" not in plan
+    # the cell-confined search is an equi join on the learned cell key
+    import re
+
+    assert re.search(r"Join.*cell", plan), plan[:2000]
+
+
+def test_pack_sequences_windows_are_range_partitioned(spark):
+    """The data-proportional window must be partitioned by the prefix-
+    sum range key — a global (empty-partition-spec) window over the
+    corpus would serialize through one task.  The only global window
+    allowed is the one over the tiny per-range totals table."""
+    plan = _plan(spark, "corpus_pack_sequences")
+    assert "CartesianProduct" not in plan
+    import re
+
+    # the intra-range running sum: Window ... partitioned by rng
+    assert re.search(r"Window.*partitionBy=\[rng", plan) or re.search(
+        r"Window \[sum\(n.*\[rng#?\d*", plan
+    ), plan[:3000]
