@@ -37,6 +37,7 @@ HEADLINE = [
     "text_fingerprint",
     "knn_bruteforce_cosine",
     "knn_lsh_hyperplane",
+    "knn_lsh_multiprobe",
     "knn_ivf_label",
     "knn_ivf_kmeans",
     "mm_decode_features",

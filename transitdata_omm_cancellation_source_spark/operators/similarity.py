@@ -401,3 +401,65 @@ def _knn_ivf_kmeans(spark, t):
         )
     )
     return _topk(scored)
+
+
+def _multiprobe_oracle() -> str:
+    from ..functions.hyperplane import N_PLANES
+
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+    WITH {_VEC_CTE},
+    vb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM v),
+    qb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM q),
+    probes AS (
+        SELECT vec_id, v, unnest([{probe_list}]) AS probe FROM qb
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        FROM probes q JOIN vb c ON c.bucket = q.probe AND c.vec_id <> q.vec_id
+    )
+    {_ORACLE_TAIL}
+    """
+
+
+@_q(
+    "knn_lsh_multiprobe",
+    "north-star: multi-probe hyperplane LSH (query bucket + all hamming-1 "
+    "neighbors; recall recovery without widening the index)",
+    _multiprobe_oracle(),
+)
+def _knn_lsh_multiprobe(spark, t):
+    # Single-probe LSH misses a true neighbor whenever ANY of the 8
+    # sign bits disagrees; probing the 8 hamming-1 buckets too drops
+    # the miss condition to >= 2 disagreeing bits, at a fixed 9x
+    # fan-out on the QUERY side only — the corpus index is untouched
+    # and candidate generation stays a plain equi-join on the bucket
+    # key (partition-prunable, AQE-planned, no broadcast hint for the
+    # same corpus-proportionality reason as single-probe).  This is
+    # the standard recall/latency knob of bucketed ANN at 100 TB:
+    # widen probes, never the index.
+    from ..functions.hyperplane import N_PLANES
+
+    vecs = _vectors(t).withColumn("bucket", bucket_expr_spark("v"))
+    probe_arr = "array(bucket, " + ", ".join(
+        f"bucket ^ {1 << i}" for i in range(N_PLANES)
+    ) + ")"
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        "vec_id", "v", "n2", F.explode(F.expr(probe_arr)).alias("probe")
+    )
+    scored = (
+        q.alias("q")
+        .join(
+            vecs.alias("c"),
+            (F.col("c.bucket") == F.col("q.probe"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cos_s().alias("cos"),
+        )
+    )
+    return _topk(scored)
