@@ -98,3 +98,52 @@ def test_batch_mode_ignores_watermark(spark):
         for r in windowed_event_counts(df, "1 hour", watermark="10 minutes").collect()
     }
     assert out == {"10:00": 2, "11:00": 1}
+
+
+def test_session_windows_finalize_and_drop_late(spark, tmp_path):
+    from transitdata_omm_cancellation_source_spark.streaming.windows import (
+        sessionized_event_counts,
+    )
+
+    src = tmp_path / "ssrc"
+    ckpt = tmp_path / "sckpt"
+    src.mkdir()
+
+    # batch 1: two events 10 min apart (one session, gap 30 min) and a
+    # 13:00 event pushing the watermark to 12:50 — past the first
+    # session's end (10:40), so it is finalized and emitted.
+    spark.createDataFrame(
+        _rows("2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 13:00:00"),
+        _SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src))
+    sessions = sessionized_event_counts(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessiontest")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late 10:20 event (its session is closed — must be
+        # dropped, not resurrect/extend it) and a 15:00 event that
+        # finalizes the 13:00 session.
+        spark.createDataFrame(
+            _rows("2024-01-01 10:20:00", "2024-01-01 15:00:00"), _SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = sorted(
+        (r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessiontest").collect()
+    )
+    # session 1: 10:00-10:40 (10:10 + 30 min gap) with 2 events — the
+    # late 10:20 neither extends it nor re-emits it; session 2:
+    # 13:00-13:30 with 1 event; the 15:00 session is still open.
+    assert out == [("10:00", "10:40", 2), ("13:00", "13:30", 1)]
