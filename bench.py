@@ -46,6 +46,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "events_asof_latest_order",
+    "events_attribution_range_join",
     "events_value_quantiles",
     "events_top_users_per_type",
     "embedding_label_centroid",

@@ -137,3 +137,17 @@ def test_pack_sequences_windows_are_range_partitioned(spark):
     assert re.search(r"Window.*partitionBy=\[rng", plan) or re.search(
         r"Window \[sum\(n.*\[rng#?\d*", plan
     ), plan[:3000]
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The attribution range join must hash-join on (user, day-bin)
+    with the timestamp range as a residual condition — never a
+    nested-loop over per-user event lists."""
+    plan = _plan(spark, "events_attribution_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"Join \[user_id#\d+L?, day#\d+", plan) or re.search(
+        r"Join.*user_id.*day", plan
+    ), plan[:3000]

@@ -24,6 +24,11 @@ absence), each in its scale-correct Spark form:
   pre-aggregation first (map-side combine shrinks the stream to one
   row per (type, user)), then rank on the reduced set.  The window
   never sees raw events.
+- ``events_attribution_range_join``: range join (no native Spark
+  operator) as day-bin bucketing: bin width == range width bounds an
+  anchor's window to two consecutive bins, so candidates come from a
+  plain (user, day) equi-join and the exact timestamp range is a
+  residual filter.
 """
 
 from __future__ import annotations
@@ -208,4 +213,70 @@ def _distinct_users_sketch(spark, t):
     return t["events"].groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+@_q(
+    "events_attribution_range_join",
+    "north-star: range join (follow-on events within 24h of a signup) via "
+    "time-bin bucketing — the scalable form of a join Spark lacks natively",
+    """
+    WITH j AS (
+        SELECT a.event_id, a.user_id, e.event_type, e.ts
+        FROM events a JOIN events e
+          ON e.user_id = a.user_id
+         AND e.event_id <> a.event_id
+         AND e.ts >= a.ts
+         AND e.ts < a.ts + INTERVAL 24 HOUR
+        WHERE a.event_type = 'signup'
+    )
+    SELECT event_id, user_id, count(*) AS n_follow,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           min(ts) AS first_follow_ts, max(ts) AS last_follow_ts
+    FROM j GROUP BY event_id, user_id
+    """,
+)
+def _attribution_range_join(spark, t):
+    # Attribution-window join: for every signup, aggregate the same
+    # user's events inside the following 24 hours.  A naive range join
+    # (equi on user + ts BETWEEN) compiles to a per-key nested scan;
+    # the scalable form bins both sides by calendar DAY (bin width ==
+    # range width, so an anchor's window spans AT MOST two consecutive
+    # days), joins on (user, day) — a plain shuffle-prunable equi-join
+    # whose fan-out is bounded by per-day-per-user occupancy — and
+    # applies the exact timestamp range as a post-join filter.  Day
+    # numbers come from pure DATE arithmetic on both sides (no
+    # epoch/timezone functions: tz-dependent offsets could disagree
+    # near bin boundaries and silently drop candidates).
+    day = "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+    ev = t["events"].select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("event_type").alias("e_type"),
+        F.col("ts").alias("e_ts"),
+        F.expr(day).alias("day"),
+    )
+    anchors = t["events"].filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.expr("CAST(ts + INTERVAL 24 HOUR AS TIMESTAMP_NTZ)").alias("end_ts"),
+        F.explode(F.expr(f"array({day}, {day} + 1)")).alias("day"),
+    )
+    j = anchors.join(
+        ev,
+        (anchors["user_id"] == ev["e_user"])
+        & (anchors["day"] == ev["day"])
+        & (anchors["event_id"] != ev["e_id"])
+        & (ev["e_ts"] >= anchors["a_ts"])
+        & (ev["e_ts"] < anchors["end_ts"]),
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum(F.when(F.col("e_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.min("e_ts").alias("first_follow_ts"),
+        F.max("e_ts").alias("last_follow_ts"),
     )
