@@ -151,3 +151,14 @@ def test_range_join_is_binned_equi_join(spark):
     assert re.search(r"Join \[user_id#\d+L?, day#\d+", plan) or re.search(
         r"Join.*user_id.*day", plan
     ), plan[:3000]
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subqueries must decorrelate into grouped
+    aggregates joined back on the key — no per-row subquery node and
+    no cartesian shape in the physical plan."""
+    plan = _plan(spark, "orders_above_2x_customer_avg")
+    assert "Subquery" not in plan  # fully rewritten, not re-executed per row
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -305,3 +305,41 @@ def _rollup(spark, t):
             "total_acctbal",
         )
     )
+
+
+#: One SQL text, two engines: the query is passed verbatim to
+#: ``spark.sql`` AND registered as its own DuckDB oracle, which makes
+#: it a direct test of Catalyst's correlated-subquery decorrelation
+#: (the reference has no subqueries at all — SURVEY §4).  The
+#: predicate is kept in EXACT decimal arithmetic with the division
+#: multiplied through (o_totalprice * n > 2 * sum), so the per-group
+#: aggregate is associative and the comparison cannot flip on a
+#: last-ulp float difference between engines.
+_BIG_SPENDER_SQL = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,4))
+          * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def _build_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst decorrelates the two scalar subqueries into grouped
+    # aggregates joined back on o_custkey — no per-row subquery
+    # execution exists in the physical plan (pinned by
+    # tests/test_plan_shapes.py).
+    load_tables(spark, sf_dir)
+    return spark.sql(_BIG_SPENDER_SQL)
+
+
+register(
+    "orders_above_2x_customer_avg",
+    QuerySpec(
+        build=_build_correlated,
+        oracle=_BIG_SPENDER_SQL,
+        survey_ref="optimizer surface: correlated scalar-subquery decorrelation "
+        "(same SQL text on both engines)",
+    ),
+)
