@@ -343,3 +343,138 @@ register(
         "(same SQL text on both engines)",
     ),
 )
+
+
+@_q(
+    "lineitem_cube_revenue",
+    "analytics: full CUBE grouping sets with explicit grouping markers",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def _cube(spark, t):
+    # CUBE = all 2^k grouping sets in ONE pass: Catalyst expands the
+    # grouping sets before the aggregate, so the fact table is scanned
+    # once and every set shares the map-side partial — at 100 TB this
+    # beats unioning 4 separate groupBys by the 3 extra scans it
+    # avoids.  GROUPING() markers (ANSI, identical in DuckDB)
+    # disambiguate a real NULL key from a rolled-up one, which the
+    # coalesce label alone cannot.
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+#: Pivot value lists are explicit: with them Spark pivots in a single
+#: pass (map-side partials per (row-key, pivot-value)); without, it
+#: first runs a distinct scan to discover the columns.
+_ORDER_STATUSES = ["F", "O", "P"]
+
+
+@_q(
+    "orders_pivot_status_by_priority",
+    "analytics: pivot (wide conditional aggregation) with explicit value list",
+    f"""
+    SELECT o_orderpriority,
+           {", ".join(
+               f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s.lower()}"
+               for s in _ORDER_STATUSES
+           )},
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _pivot(spark, t):
+    # .pivot() compiles to exactly the oracle's conditional aggregation
+    # — one scan, one shuffle of |priorities| x |statuses| cells.  The
+    # count is wrapped in coalesce(.., 0): pivot emits NULL for an
+    # empty cell, while the SQL CASE-sum form emits 0.
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    totals = t["orders"].groupBy("o_orderpriority").agg(
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total_price")
+    )
+    return wide.join(totals, "o_orderpriority").select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _ORDER_STATUSES
+        ],
+        "total_price",
+    )
+
+
+#: Salt fan-out for the manually salted join below.
+N_SALTS = 16
+
+
+@_q(
+    "events_segment_enrich_salted",
+    "analytics: skew-safe salted equi-join (deterministic salt, replicated dim)",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def _salted_enrich(spark, t):
+    # The manual skew treatment for when AQE can't help (e.g. the
+    # skewed side feeds a streaming stateful op, or the engine below
+    # is not Spark): the fact side salts its key with a DETERMINISTIC
+    # hash of a unique column (never rand() — retries must re-salt
+    # identically), the dim side replicates each row N_SALTS times, and
+    # the join key becomes (key, salt) — a hot user's rows now land on
+    # 16 reducers instead of one.  The result is provably identical to
+    # the unsalted join (the oracle IS the unsalted join).  On vanilla
+    # batch Spark, AQE skew-split achieves this at runtime without the
+    # dim blow-up — this operator documents the portable form.
+    ev = t["events"].withColumn(
+        "salt", (F.xxhash64("event_id") % N_SALTS + N_SALTS) % N_SALTS
+    )
+    dim = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("salt"),
+    )
+    return (
+        ev.join(dim, (ev["user_id"] == dim["c_custkey"]) & (ev["salt"] == dim["salt"]))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "total_value"
+            ),
+        )
+    )

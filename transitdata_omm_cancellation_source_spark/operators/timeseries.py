@@ -29,6 +29,14 @@ absence), each in its scale-correct Spark form:
   anchor's window to two consecutive bins, so candidates come from a
   plain (user, day) equi-join and the exact timestamp range is a
   residual filter.
+- ``events_gapfill_daily``: gap-fill + LOCF (the timescale
+  ``time_bucket_gapfill``/``locf`` pattern).  The spine is generated
+  per key with ``sequence()`` + ``explode`` — fan-out bounded by each
+  key's own day span, never a global calendar cross join — and the
+  carry-forward is one ``last(ignorenulls)`` running window.
+- ``events_lag_lead_stats``: the navigation-window family (lag /
+  lead / ntile / percent_rank / cume_dist) in one pass — a single
+  shuffle on the partition key serves all five functions.
 """
 
 from __future__ import annotations
@@ -279,4 +287,114 @@ def _attribution_range_join(spark, t):
         ),
         F.min("e_ts").alias("first_follow_ts"),
         F.max("e_ts").alias("last_follow_ts"),
+    )
+
+
+@_q(
+    "events_gapfill_daily",
+    "north-star: time-series gap-fill + LOCF (per-key spine via sequence/explode, "
+    "carry-forward via last(ignorenulls) running window)",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+             GROUP BY user_id),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM span
+    )
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day_ts,
+           coalesce(d.n, 0) AS n_events,
+           d.n IS NULL AS is_gap,
+           d.day_value AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def _gapfill_daily(spark, t):
+    # Missing calendar days are materialized per key from that key's own
+    # (min, max) day span: sequence(d0, d1) fans out to span-length rows
+    # for ONE user — at 100 TB the spine is Σ(per-key span), not
+    # |keys| × |global calendar|, and it joins back on (user, day), the
+    # same prunable equi-join shape as the range join above.  Day sums
+    # are exact-decimal (associative ⇒ partitioning-independent), so the
+    # carried-forward value is deterministic too.
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("day_value"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day_ts"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+@_q(
+    "events_lag_lead_stats",
+    "north-star: navigation-window family (lag/lead/ntile/percent_rank/cume_dist "
+    "in one shuffle)",
+    """
+    SELECT event_id, user_id, ts,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+           epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS next_gap_ms,
+           CAST(ntile(4) OVER w AS INTEGER) AS ts_quartile,
+           round(percent_rank() OVER (PARTITION BY user_id
+                     ORDER BY value, event_id), 6) AS value_pct_rank,
+           round(cume_dist() OVER (PARTITION BY user_id
+                     ORDER BY value, event_id), 6) AS value_cume_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def _lag_lead_stats(spark, t):
+    # One partitionBy(user_id) shuffle serves every navigation function;
+    # both orderings carry event_id so ranks never depend on engine sort
+    # stability.  ntile/percent_rank/cume_dist definitions are shared
+    # ANSI semantics — parity is by spec, not by luck.
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    ev = t["events"].withColumn("ts_ms", ms("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts_ms") - F.lag("ts_ms").over(w_ts)).alias("gap_ms"),
+        (F.lead("ts_ms").over(w_ts) - F.col("ts_ms")).alias("next_gap_ms"),
+        F.ntile(4).over(w_ts).cast("int").alias("ts_quartile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("value_cume_dist"),
     )
