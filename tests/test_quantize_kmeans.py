@@ -1,0 +1,60 @@
+"""Semantic pins for the int8 quantization and Lloyd k-means operators
+(oracle parity is covered by test_oracle_parity; these assert the
+properties parity alone can't see)."""
+
+from __future__ import annotations
+
+from transitdata_omm_cancellation_source_spark.functions.hyperplane import DIM
+from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
+
+from conftest import SF_ORACLE
+
+
+def test_int8_reconstruction_error_bound(spark):
+    # Symmetric half-up rounding guarantees |v_j - q_j * s| <= s/2.
+    rows = (
+        REGISTRY["embedding_int8_quantize"].build(spark, SF_ORACLE).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_dims == DIM
+        if r.scale == 0.0:  # zero vector -> zero codes, zero error
+            assert r.q_l1 == 0 and r.max_abs_err == 0.0
+        else:
+            # emitted columns are rounded (err to 6 dp, scale to 9 dp),
+            # so allow half-ulp-of-rounding slack on the raw bound
+            assert r.max_abs_err <= r.scale / 2 + 5e-7
+            # codes bounded by int8 range (symmetric: amax -> ±127)
+            assert r.q_norm2 <= DIM * 127 * 127
+
+
+def test_int8_knn_recall_vs_exact(spark):
+    # Quantization perturbs each component by <= scale/2, so top-5
+    # neighbor sets should mostly survive; recall@5 is the documented
+    # trade and must stay high on the testdata.
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce_cosine"].build(spark, SF_ORACLE).collect()
+    }
+    coded = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_int8_cosine"].build(spark, SF_ORACLE).collect()
+    }
+    assert exact and len(coded) == len(exact)
+    recall = len(exact & coded) / len(exact)
+    assert recall >= 0.8, f"int8 recall@5 collapsed: {recall:.3f}"
+
+
+def test_lloyd_rounds_partition_the_corpus(spark):
+    # Every Lloyd round reassigns each vector to exactly one cell, so
+    # the final per-cell counts must partition the corpus and every
+    # surviving cell must carry all DIM dimensions.
+    n_corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    rows = REGISTRY["kmeans_lloyd_centroids"].build(spark, SF_ORACLE).collect()
+    cells = {}
+    for r in rows:
+        cells.setdefault(r.cell, []).append(r)
+    for cell, dims in cells.items():
+        assert len(dims) == DIM
+        assert len({d.n_vecs for d in dims}) == 1  # same count on every dim
+    assert sum(dims[0].n_vecs for dims in cells.values()) == n_corpus

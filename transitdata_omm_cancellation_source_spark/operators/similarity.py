@@ -185,28 +185,62 @@ def _knn_lsh(spark, t):
 CENTROID_CHUNK = 1024
 
 
-def _centroid_chunk_pdf(pdf):
-    """Phase-1 kernel: per (label, chunk) partial sums.  Rows sorted by
-    vec_id, sequential accumulation — a deterministic left fold the
-    DuckDB oracle reproduces exactly (numpy's pairwise summation would
-    NOT)."""
-    import numpy as np
-    import pandas as pd
+def _chunk_fold_pdf(key: str):
+    """Phase-1 kernel factory: per (key, chunk) partial sums.  Rows
+    sorted by vec_id, sequential accumulation — a deterministic left
+    fold the DuckDB oracle reproduces exactly (numpy's pairwise
+    summation would NOT).  ``key`` is the grouping column ("label" for
+    the static centroid, "cell" for Lloyd rounds)."""
 
-    pdf = pdf.sort_values("vec_id")
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    # cumsum is sequential by definition, so its last row IS the
-    # left fold (0 + r0) + r1 + ... at C speed (numpy's sum() would
-    # pairwise-reorder and break oracle bit-parity).
-    acc = mat.cumsum(axis=0)[-1]
-    return pd.DataFrame(
-        {
-            "label": pdf["label"].iloc[0],
-            "chunk": pdf["chunk"].iloc[0],
-            "dim": range(mat.shape[1]),
-            "s": acc,
-            "n": mat.shape[0],
-        }
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # cumsum is sequential by definition, so its last row IS the
+        # left fold (0 + r0) + r1 + ... at C speed (numpy's sum() would
+        # pairwise-reorder and break oracle bit-parity).
+        acc = mat.cumsum(axis=0)[-1]
+        return pd.DataFrame(
+            {
+                key: pdf[key].iloc[0],
+                "chunk": pdf["chunk"].iloc[0],
+                "dim": range(mat.shape[1]),
+                "s": acc,
+                "n": mat.shape[0],
+            }
+        )
+
+    return kernel
+
+
+def _fold_centroids(emb_with_key: DataFrame, key: str) -> DataFrame:
+    """Two-phase deterministic chunked centroid fold, keyed by ``key``.
+
+    Phase 1 reduces fixed vec_id-range chunks (task memory bounded at
+    any scale); phase 2 combines per-chunk partials in chunk order,
+    JVM-side (array_sort + F.aggregate inside codegen).  The chunked
+    summation tree is part of the operator contract — oracles compute
+    the same (((c0)+c1)+c2) ordering, so parity stays bit-exact."""
+    chunked = emb_with_key.withColumn("chunk", F.expr(f"vec_id div {CENTROID_CHUNK}"))
+    partials = chunked.groupBy(key, "chunk").applyInPandas(
+        _chunk_fold_pdf(key), f"{key} int, chunk long, dim int, s double, n long"
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("chunk", "s"))),
+        F.lit(0.0),
+        lambda a, x: a + x["s"],
+    )
+    return (
+        partials.groupBy(key, "dim")
+        .agg(folded.alias("folded"), F.sum("n").alias("n_vecs"))
+        .select(
+            key,
+            "dim",
+            F.round(F.col("folded") / F.col("n_vecs"), 6).alias("centroid"),
+            "n_vecs",
+        )
     )
 
 
@@ -232,38 +266,10 @@ def _centroid_chunk_pdf(pdf):
     """,
 )
 def _label_centroid(spark, t):
-    # Two-phase deterministic fold: phase 1 reduces fixed vec_id-range
-    # chunks (task memory bounded at any scale), phase 2 combines the
-    # per-chunk partials in chunk order.  The chunked summation tree is
-    # part of the operator's contract — the oracle computes the same
-    # (((c0)+c1)+c2) ordering, so parity stays bit-exact.  Phase 2 is
-    # JVM-side: array_sort on (chunk, s) structs orders by chunk, and
-    # F.aggregate performs the left fold inside codegen — no second
-    # Python stage for what is a per-(label, dim) scalar fold.
-    chunked = t["embeddings"].withColumn(
-        "chunk", F.expr(f"vec_id div {CENTROID_CHUNK}")
-    )
-    partials = chunked.groupBy("label", "chunk").applyInPandas(
-        _centroid_chunk_pdf, "label int, chunk long, dim int, s double, n long"
-    )
-    folded = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("chunk", "s"))),
-        F.lit(0.0),
-        lambda a, x: a + x["s"],
-    )
-    return (
-        partials.groupBy("label", "dim")
-        .agg(
-            folded.alias("folded"),
-            F.sum("n").alias("n_vecs"),
-        )
-        .select(
-            "label",
-            "dim",
-            F.round(F.col("folded") / F.col("n_vecs"), 6).alias("centroid"),
-            "n_vecs",
-        )
-    )
+    # See _fold_centroids: label is the static key (one fold, no
+    # iteration); kmeans_lloyd_centroids below reuses the same fold
+    # with the evolving cell assignment as the key.
+    return _fold_centroids(t["embeddings"], key="label")
 
 
 @_q(
@@ -463,3 +469,125 @@ def _knn_lsh_multiprobe(spark, t):
         )
     )
     return _topk(scored)
+
+
+#: Lloyd refinement rounds after the label-seeded initialization.
+#: Fixed (not convergence-tested) so the unrolled oracle below is the
+#: exact same computation.
+LLOYD_ROUNDS = 2
+
+
+def _lloyd_oracle() -> str:
+    """Unrolled-CTE oracle for the iterative Lloyd refinement.
+
+    Iterative algorithms have no single-query SQL form in general, but
+    a FIXED number of rounds unrolls exactly: one (assign, refold) CTE
+    pair per round, each the same text as the one-shot quantizer's
+    oracle.  Parity holds round-over-round because every centroid is
+    rounded to 6 decimals before the next assignment — both engines
+    enter round r+1 with bit-identical inputs.
+    """
+    from ..plans.queries import REGISTRY
+
+    cent0 = REGISTRY["embedding_label_centroid"].oracle
+    dot_vc = _DOT_D.format(a="v.v", b="ct.cv")
+    dot_vv = _DOT_D.format(a="v.v", b="v.v")
+    dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
+    parts = [
+        f"cent0 AS (SELECT label AS cell, dim, centroid, n_vecs FROM ({cent0}))",
+        _VEC_CTE.strip(),
+    ]
+    for r in range(LLOYD_ROUNDS):
+        parts.append(f"""
+    cvec{r} AS (
+        SELECT cell, list(centroid ORDER BY dim) AS cv
+        FROM cent{r} GROUP BY cell
+    ),
+    pairs{r} AS (
+        SELECT v.vec_id, ct.cell,
+               {dot_vc} / sqrt({dot_vv} * {dot_cc}) AS cos_c
+        FROM v CROSS JOIN cvec{r} ct
+    ),
+    assign{r} AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_c DESC, cell) AS rn
+            FROM pairs{r}
+        ) WHERE rn = 1
+    ),
+    pc{r} AS (
+        SELECT a.cell, e.vec_id // {CENTROID_CHUNK} AS chunk, j,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(e.embedding[j + 1] AS DOUBLE) ORDER BY e.vec_id)),
+                   (acc, x) -> acc + x) AS s,
+               count(*) AS n
+        FROM embeddings e JOIN assign{r} a USING (vec_id),
+             (SELECT unnest(range(0, {DIM})) AS j)
+        GROUP BY a.cell, chunk, j
+    ),
+    cent{r + 1} AS (
+        SELECT cell, CAST(j AS INTEGER) AS dim,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(s ORDER BY chunk)), (acc, x) -> acc + x)
+                     / CAST(sum(n) AS DOUBLE), 6) AS centroid,
+               CAST(sum(n) AS BIGINT) AS n_vecs
+        FROM pc{r} GROUP BY cell, j
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT cell, dim, centroid, n_vecs FROM cent{LLOYD_ROUNDS}"
+    )
+
+
+@_q(
+    "kmeans_lloyd_centroids",
+    "north-star: iterative Lloyd k-means refinement (fixed rounds, deterministic "
+    "chunked folds; the oracle is the same computation unrolled as CTEs)",
+    _lloyd_oracle(),
+)
+def _kmeans_lloyd(spark, t):
+    # The full distributed k-means training loop, each round two
+    # scale-correct phases:
+    #   assign: N x #cells slim rows (vec_id, cell, score) via a
+    #           broadcast of the FIXED-size centroid table (never
+    #           corpus-proportional), argmax per vector on one window;
+    #   refold: the two-phase chunked deterministic centroid fold,
+    #           keyed by the new cell — task memory bounded by
+    #           CENTROID_CHUNK regardless of how hot a cell gets.
+    # The driver-side for loop only STACKS plan operators (no action,
+    # no collect) — Catalyst sees one DAG; each round's slim
+    # assignment is persisted because round r+1's fold and assignment
+    # both consume it.  Centroids are rounded to 6 decimals each round
+    # (part of the contract, see _lloyd_oracle), so FP summation
+    # differences cannot compound across rounds.
+    vecs = _vectors(t)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    cent = _label_centroid(spark, t).withColumnRenamed("label", "cell")
+    for _ in range(LLOYD_ROUNDS):
+        cvec = (
+            cent.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
+            .select(
+                F.col("cell").alias("c_cell"),
+                F.expr("transform(dc, x -> x.centroid)").alias("cv"),
+            )
+            .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
+        )
+        pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("ct.c_cell").alias("c_cell"),
+            F.expr(
+                f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
+            ).alias("cos_c"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), F.col("c_cell").asc()
+        )
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("c_cell").alias("cell"))
+            .persist()
+        )
+        cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
+    return cent

@@ -81,3 +81,7 @@ from ..operators import textops  # noqa: E402,F401
 # after textops.
 from ..operators import pipeline_prep  # noqa: E402,F401
 from ..operators import timeseries  # noqa: E402,F401
+
+# quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
+# composes embedding_label_centroid's, so both import after similarity.
+from ..operators import quantize  # noqa: E402,F401
