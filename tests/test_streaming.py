@@ -113,3 +113,44 @@ def test_jdbc_template_selection_and_binding():
     assert "DC.last_modified >= '2024-01-10 00:00:00'" in past_sql
     with pytest.raises(ValueError):
         cancellation_query(QueryParams(now="1; DROP TABLE x"))
+
+
+def test_poller_protobuf_sink_streaming_e2e(spark, tmp_path):
+    """Full streaming path with REAL wire bytes: rate trigger ->
+    foreachBatch poll cycle -> protobuf-encoded keyed messages in the
+    sink -> decode back to the pipeline's fields (E3 end to end)."""
+    from transitdata_omm_cancellation_source_spark.plans.cancellation import (
+        cancellation_pipeline,
+    )
+    from transitdata_omm_cancellation_source_spark.streaming.poller import poller_query
+    from transitdata_omm_cancellation_source_spark.streaming.protobuf import (
+        decode_messages,
+    )
+
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    sink = str(tmp_path / "sink")
+    q = poller_query(
+        spark, store, QueryParams(mode="NOW"), sink_dir=sink,
+        interval="1 seconds", checkpoint_dir=str(tmp_path / "ckpt"),
+        value_format="protobuf",
+    )
+    try:
+        deadline = time.time() + 60
+        while store.current_version() is None and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    msgs = spark.read.parquet(sink)
+    assert "value_bytes" in msgs.columns  # wire bytes, not the JSON stand-in
+    decoded = decode_messages(msgs).select("key", "event_time_ms", "payload.*")
+    originals = {r["dvj_id"]: r for r in cancellation_pipeline(
+        spark, QueryParams(mode="NOW")).collect()}
+    rows = decoded.collect()
+    assert len(rows) >= len(originals) > 0  # >= : cycles re-emit the full set
+    for row in rows[:25]:
+        ref = originals[row["key"]]
+        assert row["route_id"] == ref["route_id"]
+        assert row["status"] == ref["status"]
+        assert row["event_time_ms"] == ref["ts_epoch_ms"]

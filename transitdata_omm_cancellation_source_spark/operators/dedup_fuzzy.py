@@ -238,6 +238,68 @@ _BANDS_D = (
 )
 
 
+def _minhash_shingles(t) -> DataFrame:
+    """Persisted sorted shingle sets of the planted corpus.
+
+    array_sort: min/intersect are order-insensitive, but sorting makes
+    this plan byte-identical to the jaccard query's persisted shingle
+    set, so a workload running both computes shingles once."""
+    corpus = planted_corpus(t["documents"])
+    return (
+        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
+        .select(
+            "doc_id",
+            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
+        )
+        .persist()
+    )
+
+
+def _band_candidates(sh: DataFrame) -> DataFrame:
+    """LSH-banded candidate pairs (doc_a < doc_b) from shingle sets.
+
+    Scale-first formulation: the naive shape (a 64-lambda higher-order
+    transform per row, recomputed on both sides of the band self-join)
+    is interpreted per-element and quadratically wasteful.  Instead:
+    explode shingles ONCE, compute the 64 min-hashes as plain codegen'd
+    min() aggregates (one shuffle on doc_id), fold band keys as flat
+    column arithmetic.  Same math as functions.text.minhash_signature/
+    band_keys (oracles unchanged); docs with zero shingles drop out of
+    the groupBy, which is equivalent to the sentinel path (their pairs
+    never verify).  Shared by the Jaccard-verified and edit-distance-
+    verified dedup queries — identical subtree, one cached compute."""
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("s") + F.lit(i * i + 1)) % P).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
+    )
+
+    def band_key(b: int):
+        acc = F.lit(b).cast("long")
+        for r in range(_ROWS):
+            acc = (acc * 1000003 + F.col(f"m{b * _ROWS + r}")) % P
+        return acc
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[band_key(b) for b in range(_BANDS)])).alias("band_key"),
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 @_q(
     "dedup_minhash_lsh",
     "north-star: MinHash signatures + LSH banding + exact Jaccard verification",
@@ -264,58 +326,8 @@ _BANDS_D = (
     """,
 )
 def _minhash_lsh(spark, t):
-    # Scale-first formulation: the naive shape (a 64-lambda higher-order
-    # transform per row, recomputed on both sides of the band self-join)
-    # is interpreted per-element and quadratically wasteful.  Instead:
-    # explode shingles ONCE, compute the 64 min-hashes as plain codegen'd
-    # min() aggregates (one shuffle on doc_id), fold band keys as flat
-    # column arithmetic, and persist the shingle sets reused by the
-    # self-join branches and the verification joins.  Same math as
-    # functions.text.minhash_signature/band_keys (oracle unchanged);
-    # docs with zero shingles drop out of the groupBy, which is
-    # equivalent to the sentinel path (their pairs never verify).
-    corpus = planted_corpus(t["documents"])
-    # array_sort: min/intersect are order-insensitive, but sorting makes
-    # this plan byte-identical to the jaccard query's persisted shingle
-    # set, so a workload running both computes shingles once.
-    sh = (
-        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
-        .select(
-            "doc_id",
-            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
-        )
-        .persist()
-    )
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = inv.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(2 * i + 1) * F.col("s") + F.lit(i * i + 1)) % P).alias(f"m{i}")
-            for i in range(_NUM_HASHES)
-        ]
-    )
-
-    def band_key(b: int):
-        acc = F.lit(b).cast("long")
-        for r in range(_ROWS):
-            acc = (acc * 1000003 + F.col(f"m{b * _ROWS + r}")) % P
-        return acc
-
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[band_key(b) for b in range(_BANDS)])).alias("band_key"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    sh = _minhash_shingles(t)
+    cand = _band_candidates(sh)
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     jac = inter / (
         F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
@@ -330,6 +342,80 @@ def _minhash_lsh(spark, t):
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .persist()
+    )
+
+
+# --- edit-distance verification on the LSH candidates -----------------------
+
+#: verification window: Levenshtein is O(L^2) per pair, so the verify
+#: step compares fixed-length prefixes — bounding per-pair cost at any
+#: corpus scale.  The planted duplicates append a token at the END, so
+#: prefix distance for them is 0 (long docs) or <= the marker length.
+_ED_PREFIX, _ED_TAU = 200, 20
+
+
+@_q(
+    "dedup_edit_distance",
+    "north-star: edit-distance near-dup — MinHash-banded candidate generation, "
+    "Levenshtein verification on bounded prefixes",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    {_SH_CTE_D},
+    sig AS (SELECT doc_id, shingles, {_SIG_D} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_D}) AS band_key FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(lev AS INTEGER) AS edit_distance,
+           round(1.0 - CAST(lev AS DOUBLE) / greatest(len(pa), len(pb), 1), 6)
+               AS similarity
+    FROM (
+        SELECT doc_a, doc_b,
+               substr(ca.text, 1, {_ED_PREFIX}) AS pa,
+               substr(cb.text, 1, {_ED_PREFIX}) AS pb,
+               levenshtein(substr(ca.text, 1, {_ED_PREFIX}),
+                           substr(cb.text, 1, {_ED_PREFIX})) AS lev
+        FROM cand
+        JOIN corpus ca ON ca.doc_id = doc_a
+        JOIN corpus cb ON cb.doc_id = doc_b
+    ) WHERE lev <= {_ED_TAU}
+    """,
+)
+def _edit_distance(spark, t):
+    # Same two-phase shape as every fuzzy-dedup operator here: bounded
+    # candidate generation (the MinHash band join — EXACTLY the frame
+    # _minhash_lsh builds, so a workload running both shares the
+    # persisted shingles and the band join via cached-plan matching),
+    # then a different verifier — character-level Levenshtein, the
+    # right tool when near-duplication is typo-/OCR-shaped rather than
+    # token-shuffle-shaped.  The O(L^2) distance runs on fixed
+    # {_ED_PREFIX}-char prefixes so per-pair verify cost is a constant,
+    # never corpus- or document-length-proportional.
+    corpus = planted_corpus(t["documents"])
+    cand = _band_candidates(_minhash_shingles(t))
+    pa, pb = (
+        F.substring(F.col("ca.text"), 1, _ED_PREFIX),
+        F.substring(F.col("cb.text"), 1, _ED_PREFIX),
+    )
+    lev = F.levenshtein(pa, pb)
+    return (
+        cand.join(corpus.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(corpus.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            F.greatest(F.length(pa), F.length(pb), F.lit(1)).alias("den"),
+        )
+        .filter(F.col("lev") <= _ED_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev").cast("int").alias("edit_distance"),
+            F.round(1.0 - F.col("lev") / F.col("den"), 6).alias("similarity"),
+        )
     )
 
 

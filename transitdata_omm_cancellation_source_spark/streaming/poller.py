@@ -97,6 +97,7 @@ def run_poll_cycle(
     sink_dir: str | None = None,
     clock: Callable[[], float] = monotonic_ms,
     logger=None,
+    value_format: str = "json",
 ) -> dict:
     """One tick: pipeline -> diff vs snapshot -> publish -> replace state.
 
@@ -119,7 +120,7 @@ def run_poll_cycle(
         counts = diff_counts(
             cur, prev, extra={"cancel_departure_combo": _f8_combo()}
         ).collect()[0].asDict()
-        messages = encode_messages(cur)
+        messages = encode_messages(cur, value_format=value_format)
         if sink_dir is not None:
             messages.write.mode("append").parquet(sink_dir)
         store.replace(cur)
@@ -141,6 +142,7 @@ def poller_query(
     sink_dir: str | None = None,
     interval: str = "30 seconds",
     checkpoint_dir: str | None = None,
+    value_format: str = "json",
 ):
     """The reference's scheduler loop as a streaming query.
 
@@ -154,7 +156,7 @@ def poller_query(
     )
 
     def on_tick(_batch_df: DataFrame, _batch_id: int) -> None:
-        run_poll_cycle(spark, store, params, sink_dir)
+        run_poll_cycle(spark, store, params, sink_dir, value_format=value_format)
 
     writer = (
         ticks.writeStream.foreachBatch(on_tick)
