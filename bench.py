@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_edit_distance",
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
@@ -40,6 +41,9 @@ HEADLINE = [
     "knn_lsh_multiprobe",
     "knn_ivf_label",
     "knn_ivf_kmeans",
+    "knn_int8_cosine",
+    "embedding_int8_quantize",
+    "kmeans_lloyd_centroids",
     "mm_decode_features",
     "mm_frame_sample",
     "events_json_props_extract",
@@ -49,6 +53,8 @@ HEADLINE = [
     "events_attribution_range_join",
     "events_value_quantiles",
     "events_top_users_per_type",
+    "events_gapfill_daily",
+    "events_lag_lead_stats",
     "embedding_label_centroid",
     "dedup_cluster_canonical",
     "corpus_ngram_topk",
@@ -61,6 +67,8 @@ HEADLINE = [
     "tpch_q5_region_revenue",
     "window_running_customer_total",
     "region_nation_rollup",
+    "lineitem_cube_revenue",
+    "events_segment_enrich_salted",
 ]
 
 

@@ -478,3 +478,44 @@ def _salted_enrich(spark, t):
             ),
         )
     )
+
+
+@_q(
+    "promo_revenue_share_monthly",
+    "analytics: conditional-aggregate ratio over a broadcast dim join "
+    "(TPC-H Q14 pattern; completes coverage of every testdata table)",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                 6) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def _promo_share(spark, t):
+    # Q14 shape: fact joins a part dim (broadcast — |part| is fixed by
+    # the catalog, not data-proportional), then a conditional/total
+    # ratio per month.  Both sums stay exact-decimal until ONE final
+    # double division, so the ratio is partitioning-independent.
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,4)"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("timestamp").alias("ship_month")
+        )
+        .agg(
+            F.round(F.lit(100.0) * promo.cast("double") / F.sum(disc).cast("double"), 6)
+            .alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
