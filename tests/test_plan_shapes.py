@@ -49,6 +49,22 @@ def test_knn_candidates_equi_join_without_forced_broadcast(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_knn_int8_searches_inside_buckets(spark):
+    """The int8 search must be an equi join on the integer-LSH bucket
+    key — the r2 all-pairs form (join on vec_id inequality alone) was
+    O(N²/|mod|) and the slowest bench query.  No forced broadcast of
+    the corpus-proportional query side either."""
+    df = REGISTRY["knn_int8_cosine"].build(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(r"Join \[bucket#\d+\]", plan), plan[:2000]
+
+
 def test_knn_lsh_results_identical_without_broadcast(spark):
     """Join-strategy independence: forcing the shuffle path (broadcast
     threshold -1) must give byte-identical top-k results."""

@@ -28,10 +28,15 @@ def test_multiprobe_dominates_single_probe(spark):
 
 
 def test_bruteforce_bounds_every_approximate_variant(spark):
+    # the exact baseline answers a fixed-size query sample (QUERY_CAP),
+    # so the bound is asserted on the sampled queries each variant
+    # shares with it — domination must hold on every common query.
     exact = _rank1(spark, "knn_bruteforce_cosine")
+    assert exact  # the capped sample is non-empty at test sf
     for name in ("knn_lsh_hyperplane", "knn_lsh_multiprobe", "knn_ivf_label",
                  "knn_ivf_kmeans"):
         approx = _rank1(spark, name)
-        assert set(approx) <= set(exact), name
-        for qid, cos in approx.items():
-            assert cos <= exact[qid] + 1e-9, (name, qid)
+        common = set(approx) & set(exact)
+        assert common, name
+        for qid in common:
+            assert approx[qid] <= exact[qid] + 1e-9, (name, qid)

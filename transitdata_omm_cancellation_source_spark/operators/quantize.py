@@ -15,7 +15,10 @@ component).  Two operators:
   cancel inside cosine (cos = <q_a, q_b> / (|q_a| |q_b|) exactly),
   so ranking needs only INTEGER dot products — associative, overflow-
   safe (127^2 * 64 << 2^63) and bit-deterministic on any engine, a
-  stronger parity story than any float fold.
+  stronger parity story than any float fold.  Candidates come from the
+  hyperplane-LSH bucket key recomputed on the codes (±1 planes ->
+  integer sign bits), so the search is an equi-join on the bucket —
+  the float corpus is never read after quantization.
 
 Quantization arithmetic is written with the IDENTICAL expression text
 on both engines (same divide, same floor(x + 0.5) half-up rule), so
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.hyperplane import HYPERPLANES, N_PLANES
 from ..plans.queries import QuerySpec, register
 from .similarity import QUERY_MOD, TOP_K
 
@@ -90,6 +94,13 @@ def _int8_quantize(spark, t):
     # (sum, l1, norm2) + max reconstruction error over-determines the
     # code vector, so the oracle catches any divergence without
     # serializing arrays through the hash.
+    # GOTCHA (cost, not correctness): a lambda that references an outer
+    # per-row column (e.g. ``transform(v, x -> x / s)``) gets ``s`` —
+    # and everything CollapseProject inlined into it, here the full
+    # array_max pass — re-evaluated PER ELEMENT in the interpreted HOF
+    # path: O(dim²) per row.  Feeding the scalar in through
+    # ``array_repeat(s, size(v))`` evaluates it once per row no matter
+    # what the optimizer inlines.
     v = t["embeddings"].select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
     )
@@ -100,7 +111,17 @@ def _int8_quantize(spark, t):
         "s", F.expr("CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END")
     )
     coded = scaled.withColumn(
-        "q", F.expr("transform(v, x -> CAST(floor(x / s + 0.5) AS INT))")
+        "q",
+        F.expr(
+            "zip_with(v, array_repeat(s, size(v)),"
+            " (x, sc) -> CAST(floor(x / sc + 0.5) AS INT))"
+        ),
+    ).withColumn(
+        "recon",
+        F.expr(
+            "zip_with(q, array_repeat(s, size(q)),"
+            " (c, sc) -> CAST(c AS DOUBLE) * sc)"
+        ),
     )
     fold_int = "aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a + x)"
     return coded.select(
@@ -113,7 +134,7 @@ def _int8_quantize(spark, t):
         F.expr(fold_int.format(arr="transform(q, x -> abs(x))")).alias("q_l1"),
         F.expr(fold_int.format(arr="transform(q, x -> x * x)")).alias("q_norm2"),
         F.round(
-            F.expr("array_max(zip_with(v, q, (x, c) -> abs(x - CAST(c AS DOUBLE) * s)))"),
+            F.expr("array_max(zip_with(v, recon, (x, r) -> abs(x - r)))"),
             6,
         ).alias("max_abs_err"),
     )
@@ -130,6 +151,41 @@ _IDOT_D = (
     " z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))),"
     " (acc, x) -> acc + x)"
 )
+
+
+# --- integer hyperplane bucket over the CODES -------------------------------
+# The LSH bucket of knn_lsh_hyperplane, recomputed on the int8 codes
+# with pure integer arithmetic: plane weights are ±1, so each sign bit
+# is sign(sum ±q_j) — exact, overflow-safe, bit-identical on any
+# engine.  Bucketing on the codes (not the floats) means the search
+# index IS the compressed representation end to end: at 100 TB the
+# float corpus is read once by the quantizer and never again.
+
+
+def _iplane_lit_spark(j: int) -> str:
+    return "array(" + ", ".join(str(int(w)) for w in HYPERPLANES[j]) + ")"
+
+
+def _iplane_lit_duck(j: int) -> str:
+    return "[" + ", ".join(str(int(w)) for w in HYPERPLANES[j]) + "]"
+
+
+def _ibucket_spark() -> str:
+    bits = [
+        f"(CASE WHEN {_IDOT_S.format(a='q', b=_iplane_lit_spark(j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
+def _ibucket_duck() -> str:
+    bits = [
+        f"(CASE WHEN {_IDOT_D.format(a='q', b=_iplane_lit_duck(j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
 
 def _int8_knn_oracle() -> str:
@@ -150,7 +206,8 @@ def _int8_knn_oracle() -> str:
     ),
     normed AS (
         SELECT vec_id, q,
-               {_IDOT_D.format(a="q", b="q")} AS qn2
+               {_IDOT_D.format(a="q", b="q")} AS qn2,
+               {_ibucket_duck()} AS bucket
         FROM coded
     ),
     qs AS (SELECT * FROM normed WHERE vec_id % {QUERY_MOD} = 0),
@@ -158,7 +215,8 @@ def _int8_knn_oracle() -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST({dot_qc} AS DOUBLE)
                    / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.qn2 AS DOUBLE)) AS cos
-        FROM qs q JOIN normed c ON c.vec_id <> q.vec_id AND c.qn2 > 0
+        FROM qs q JOIN normed c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id AND c.qn2 > 0
         WHERE q.qn2 > 0
     )
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
@@ -172,8 +230,8 @@ def _int8_knn_oracle() -> str:
 
 @_q(
     "knn_int8_cosine",
-    "north-star: top-k cosine search on int8 codes (integer dot products — "
-    "scales cancel; 4x smaller index, bit-deterministic ranking)",
+    "north-star: top-k cosine search on int8 codes inside integer-LSH "
+    "buckets (scales cancel; 4x smaller index, bit-deterministic ranking)",
     _int8_knn_oracle(),
 )
 def _knn_int8(spark, t):
@@ -182,27 +240,41 @@ def _knn_int8(spark, t):
     # integer multiply-accumulate — SIMD-friendly JVM codegen here, and
     # at 100 TB the index that rides every shuffle/broadcast is 4x
     # smaller than the float corpus the brute-force baseline moves.
-    # Same documented O(|Q| x N) contract as knn_bruteforce_cosine
-    # (the bucketed variants show the candidate-pruning path).
+    # Candidate generation is the same 256-bucket hyperplane LSH as
+    # knn_lsh_hyperplane, but computed ON the codes with ±1-weight
+    # integer dots — an equi-join on the bucket key, shuffle-bounded
+    # and partition-prunable at 100 TB (the r2 all-pairs form was the
+    # slowest bench query and grew O(N²/|mod|)).  Approximate by
+    # design, exactly like the float LSH path; recall trade documented.
+    # scale fed into the lambda via array_repeat: see _int8_quantize's
+    # per-element-recompute gotcha (same math, O(dim) per row not O(dim²)).
     coded = (
         t["embeddings"]
         .select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"))
         .withColumn("amax", F.expr("array_max(transform(v, x -> abs(x)))"))
         .withColumn(
+            "s", F.expr("CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END")
+        )
+        .withColumn(
             "q",
             F.expr(
-                "transform(v, x -> CAST(floor(x / (CASE WHEN amax = 0 THEN 1.0"
-                " ELSE amax / 127.0 END) + 0.5) AS INT))"
+                "zip_with(v, array_repeat(s, size(v)),"
+                " (x, sc) -> CAST(floor(x / sc + 0.5) AS INT))"
             ),
         )
         .withColumn("qn2", F.expr(_IDOT_S.format(a="q", b="q")))
         .filter(F.col("qn2") > 0)
-        .select("vec_id", "q", "qn2")
+        .withColumn("bucket", F.expr(_ibucket_spark()))
+        .select("vec_id", "q", "qn2", "bucket")
     )
     qs = coded.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
         qs.alias("q")
-        .join(coded.alias("c"), F.col("c.vec_id") != F.col("q.vec_id"))
+        .join(
+            coded.alias("c"),
+            (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),

@@ -43,6 +43,12 @@ from ..plans.queries import QuerySpec, register
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query set (~2% of corpus)
+#: Brute-force query-set cap: vec_id < QUERY_MOD * 32 limits the EXACT
+#: baseline to a fixed-size (<=32) deterministic sample, so its
+#: O(|Q| x N) contract is linear in corpus size at any scale.  The
+#: bucketed variants keep the corpus-proportional query set — their
+#: equi-join candidate generation is the scale path.
+QUERY_CAP = QUERY_MOD * 32
 
 
 def _q(name: str, survey_ref: str, oracle: str | None):
@@ -111,25 +117,33 @@ _VEC_CTE = """
 
 @_q(
     "knn_bruteforce_cosine",
-    "north-star: exact cosine top-k (broadcast query set x full corpus)",
+    "north-star: exact cosine top-k (fixed-size broadcast query sample x "
+    "full corpus — linear in N)",
     f"""
     WITH {_VEC_CTE},
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
         FROM q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {QUERY_CAP}
     )
     {_ORACLE_TAIL}
     """,
 )
 def _knn_bruteforce(spark, t):
-    # The query set is a fixed fraction of the corpus, so the broadcast
-    # is gated on its measured size: forced-broadcast of a
-    # corpus-proportional side OOMs at 100x scale, while an ungated
-    # nested-loop join is exactly what brute force means — O(|Q|*N) is
-    # this operator's documented contract either way.
+    # Exact baseline with an HONEST contract at any scale: the query
+    # set is a fixed-size deterministic sample (vec_id % QUERY_MOD == 0
+    # AND vec_id < QUERY_CAP -> <=32 queries), so the nested-loop scan
+    # is O(32 x N) — linear in corpus size — and the query side is
+    # broadcast-sized by construction, no measured count needed (the
+    # build stays a lazy plan).  The bucketed LSH/IVF variants handle
+    # corpus-proportional query sets.
     vecs = _vectors(t)
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    q_side = broadcast_if_small(q.alias("q"), q.count(), row_bytes=8 * DIM + 100)
+    q = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    )
+    q_side = broadcast_if_small(
+        q.alias("q"), QUERY_CAP // QUERY_MOD, row_bytes=8 * DIM + 100
+    )
     scored = (
         q_side
         .join(vecs.alias("c"), F.col("c.vec_id") != F.col("q.vec_id"))
