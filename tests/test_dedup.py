@@ -162,3 +162,35 @@ def test_canceled_tie_on_encounter_order_is_deterministic(spark):
     """).fetchall()
     con.close()
     assert got == [("b",)]
+
+
+# --- connected-components label propagation ----------------------------------
+
+
+def test_long_chain_converges_within_round_cap(spark):
+    """A 60-node duplicate chain (diameter 59, 3x the 20-round cap)
+    must fully converge: pointer doubling makes propagation O(log d),
+    so plain neighbor-min (which would need 59 rounds) is insufficient
+    and would leave the chain tail partially labeled."""
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        propagate_min_labels,
+    )
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.label for r in propagate_min_labels(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_components_and_singleton_self_pair(spark):
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        propagate_min_labels,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 40)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.label for r in propagate_min_labels(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40}

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions import text as X
+from ..observability import get_json_logger
 from ..plans.queries import QuerySpec, register
 
 P = X.HASH_MOD
@@ -665,9 +666,11 @@ def _embedding_neardup(spark, t):
 
 # --- duplicate-cluster canonicalization --------------------------------------
 
-#: safety ceiling for label propagation; convergence needs O(cluster
-#: diameter) rounds and near-dup clusters are shallow (a hub document
-#: and its variants), so hitting this indicates pathological input.
+#: safety ceiling for label propagation; with the pointer-doubling jump
+#: convergence needs O(log(cluster diameter)) rounds, so 20 rounds cover
+#: component diameters up to ~2^19 — far beyond any near-dup graph.
+#: Hitting the cap logs a warning and returns the partial labels rather
+#: than aborting (see propagate_min_labels).
 _MAX_LABEL_ROUNDS = 20
 
 
@@ -721,10 +724,31 @@ def _cluster_canonical(spark, t):
     #   label), so the driver runs one count per round.
     #
     # Everything is shuffle-bounded on the (sparse) edge set, hence
-    # executor-parallel at any scale; rounds needed = cluster diameter,
-    # small for near-dup graphs by construction (variants cluster
-    # around a source document).
-    pairs = _minhash_lsh(spark, t).select("doc_a", "doc_b").persist()
+    # executor-parallel at any scale.  A pointer-doubling jump
+    # (label <- label(label)) after each neighbor-min round makes
+    # convergence O(log diameter) instead of O(diameter), so a chain of
+    # incrementally-edited near-dups (a~b, b~c, ...) of any realistic
+    # length fits inside the round cap; if the cap is ever hit anyway
+    # the current (partially-converged) labels are returned with a
+    # JSON-log warning rather than aborting the whole query.
+    pairs = _minhash_lsh(spark, t).select("doc_a", "doc_b")
+    labels = propagate_min_labels(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("canonical_doc"),
+    )
+
+
+def propagate_min_labels(pairs):
+    """Connected components of an undirected pair graph via min-label
+    propagation with pointer doubling; returns (node, label) with label
+    = the component's minimum node id.
+
+    ``pairs`` is any DataFrame with two node-id columns named
+    ``doc_a``/``doc_b`` (one row per undirected edge; duplicates are
+    harmless under min-aggregation).
+    """
+    pairs = pairs.persist()
     # one generator pass emits both edge directions plus self-loops;
     # duplicates are harmless under min-aggregation, so no distinct
     # (and hence no extra shuffle) is needed.
@@ -774,15 +798,41 @@ def _cluster_canonical(spark, t):
             F.col("src").alias("node"), F.col("new_label").alias("label")
         )
         if changed == 0:
+            # Stability under neighbor-min from a monotone-descending,
+            # component-confined labeling implies labels ARE the
+            # component minima (any adjacent inequality would have
+            # changed), so no jump is needed on the final round.
             break
+        # pointer-doubling jump: label <- label(label).  Every label
+        # value is itself a node (min over node ids) and every node has
+        # a labels row (self-loops), so the self-join shortcuts chains:
+        # effective propagation distance doubles per round -> O(log d)
+        # rounds for diameter d.  Two scans of the same cached `agg`,
+        # no extra persist.
+        labels = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("l.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.coalesce("jlabel", "l.label").alias("label"),
+            )
+        )
     else:  # pragma: no cover - safety ceiling
-        raise RuntimeError("label propagation did not converge")
+        get_json_logger().warning(
+            "label propagation hit the round cap; returning "
+            "partially-converged labels",
+            extra={"event": "cluster_canonical_round_cap",
+                   "rounds": _MAX_LABEL_ROUNDS},
+        )
     # the final labels frame is materialized (the convergence count ran
     # on it), so the upstream caches can be released; lineage recompute
     # only happens if the final cache is also evicted.
     pairs.unpersist()
     e2.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").cast("long").alias("canonical_doc"),
-    )
+    return labels
