@@ -154,3 +154,59 @@ def test_poller_protobuf_sink_streaming_e2e(spark, tmp_path):
         assert row["route_id"] == ref["route_id"]
         assert row["status"] == ref["status"]
         assert row["event_time_ms"] == ref["ts_epoch_ms"]
+
+
+def test_fail_fast_supervisor_closes_app_on_failed_cycle(spark, tmp_path):
+    """Main.java:53-81 — a failing cycle terminates the query and the
+    supervisor's close hook fires (System.exit/app.close analogue)."""
+    import threading
+
+    from transitdata_omm_cancellation_source_spark.streaming.poller import (
+        run_supervised,
+    )
+
+    closed = threading.Event()
+
+    def boom(*_a, **_k):
+        raise RuntimeError("injected cycle failure")
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    q = run_supervised(
+        spark, store, QueryParams(mode="NOW"),
+        interval="1 seconds", checkpoint_dir=str(tmp_path / "ckpt"),
+        close=closed.set, cycle=boom,
+    )
+    try:
+        assert closed.wait(timeout=60), "close hook never fired"
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive
+        assert q.exception() is not None
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_fail_fast_supervisor_ignores_clean_stop(spark, tmp_path):
+    """A caller-initiated stop() must NOT trigger application close."""
+    import threading
+
+    from transitdata_omm_cancellation_source_spark.streaming.poller import (
+        run_supervised,
+    )
+
+    load_tables(spark, SF_SMOKE)
+    closed = threading.Event()
+    store = SnapshotStore(str(tmp_path / "snap"))
+    q = run_supervised(
+        spark, store, QueryParams(mode="NOW"), sink_dir=str(tmp_path / "sink"),
+        interval="1 seconds", checkpoint_dir=str(tmp_path / "ckpt"),
+        close=closed.set,
+    )
+    deadline = time.time() + 60
+    while store.current_version() is None and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert store.current_version() is not None
+    assert not closed.wait(timeout=5)

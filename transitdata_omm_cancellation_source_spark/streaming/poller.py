@@ -29,6 +29,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..observability import get_json_logger, monotonic_ms, warn_if_slow
 from ..operators.diff import diff_counts
@@ -143,26 +144,116 @@ def poller_query(
     interval: str = "30 seconds",
     checkpoint_dir: str | None = None,
     value_format: str = "json",
+    cycle: Callable | None = None,
 ):
     """The reference's scheduler loop as a streaming query.
 
     A rate stream supplies the clock; every trigger runs one poll
     cycle in ``foreachBatch``.  Returns the started StreamingQuery
     (caller owns ``stop()`` / ``awaitTermination`` — the reference's
-    fail-fast shutdown maps to the query terminating on error).
+    fail-fast shutdown maps to the query terminating on error; see
+    ``run_supervised`` for the full Main.java close-the-app analogue).
+
+    ``cycle`` overrides the per-tick work (defaults to
+    ``run_poll_cycle``); tests inject failing cycles through it.
     """
     ticks = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
+    cycle = cycle or run_poll_cycle
 
     def on_tick(_batch_df: DataFrame, _batch_id: int) -> None:
-        run_poll_cycle(spark, store, params, sink_dir, value_format=value_format)
+        cycle(spark, store, params, sink_dir, value_format=value_format)
 
     writer = (
         ticks.writeStream.foreachBatch(on_tick)
         .trigger(processingTime=interval)
-        .queryName("omm-cancellation-poller")
+        .queryName(POLLER_QUERY_NAME)
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+POLLER_QUERY_NAME = "omm-cancellation-poller"
+
+
+class FailFastListener(StreamingQueryListener):
+    """Close-the-application-on-failed-cycle semantics as a listener.
+
+    The reference catches every exception class a poll cycle can throw
+    and tears the whole app down — scheduler shutdown + app close
+    (``Main.java:53-66`` catch arms, ``closeApplication``
+    ``Main.java:74-81``).  In Structured Streaming a failed
+    ``foreachBatch`` terminates the StreamingQuery; this listener turns
+    that termination into application shutdown by invoking ``close``
+    (default: ``spark.stop``, the ``System.exit``/``app.close``
+    analogue) whenever a tracked query dies WITH an exception.  A clean
+    ``stop()`` (no exception) does not trigger it.
+
+    Tracks only queries named ``POLLER_QUERY_NAME`` (ids recorded from
+    start events), so unrelated streaming queries on the same session
+    don't take the app down.
+    """
+
+    def __init__(self, close: Callable[[], None], logger=None,
+                 query_name: str = POLLER_QUERY_NAME):
+        self._close = close
+        self._logger = logger or get_json_logger()
+        self._query_name = query_name
+        self._tracked_ids: set[str] = set()
+
+    def onQueryStarted(self, event) -> None:
+        if event.name == self._query_name:
+            self._tracked_ids.add(str(event.id))
+
+    def onQueryProgress(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        if str(event.id) not in self._tracked_ids:
+            return
+        if event.exception is None:
+            return  # caller-initiated stop, not a failed cycle
+        self._logger.error(
+            "Unknown exception at poll cycle",
+            extra={"fields": {"event": "poll_cycle_failed",
+                              "exception": event.exception}},
+        )
+        # Main.java:75 — "Closing application"
+        self._logger.warning(
+            "Closing application",
+            extra={"fields": {"event": "closing_application"}},
+        )
+        self._close()
+
+
+def run_supervised(
+    spark: SparkSession,
+    store: SnapshotStore,
+    params: QueryParams | None = None,
+    sink_dir: str | None = None,
+    interval: str = "30 seconds",
+    checkpoint_dir: str | None = None,
+    value_format: str = "json",
+    close: Callable[[], None] | None = None,
+    cycle: Callable | None = None,
+):
+    """Start the poller under fail-fast supervision (Main.java:53-81).
+
+    Registers a :class:`FailFastListener` (close hook defaults to
+    ``spark.stop``) and starts ``poller_query``.  Returns the started
+    StreamingQuery; the caller owns ``awaitTermination``.  Any cycle
+    failure terminates the query, and the listener then closes the
+    application — the reference's catch-log-closeApplication arms.
+    """
+    listener = FailFastListener(close or spark.stop)
+    spark.streams.addListener(listener)
+    return poller_query(
+        spark, store, params, sink_dir,
+        interval=interval, checkpoint_dir=checkpoint_dir,
+        value_format=value_format, cycle=cycle,
+    )
