@@ -94,3 +94,37 @@ def test_composed_shingles_match_duckdb_oracle_fold(docs):
     con.close()
     for doc_id, sh in duck:
         assert sorted(sh) == spark_rows[doc_id], f"doc {doc_id}"
+
+
+def test_planted_corpus_carries_short_doc(spark):
+    """The driver-oracle corpus must include the sub-shingle-length
+    document so the empty-shingle guards run in every oracle-checked
+    dedup query, not only in these unit tests (both corpus forms)."""
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+    from transitdata_omm_cancellation_source_spark.functions.corpus import (
+        CORPUS_SQL,
+        SHORT_DOC_ID,
+        SHORT_DOC_TEXT,
+        planted_corpus,
+    )
+    from conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_SMOKE)
+    row = (
+        planted_corpus(t["documents"])
+        .filter(F.col("doc_id") == SHORT_DOC_ID)
+        .collect()
+    )
+    assert [(r.doc_id, r.text) for r in row] == [(SHORT_DOC_ID, SHORT_DOC_TEXT)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    duck = con.execute(
+        f"SELECT text FROM ({CORPUS_SQL}) WHERE doc_id = {SHORT_DOC_ID}"
+    ).fetchall()
+    con.close()
+    assert duck == [(SHORT_DOC_TEXT,)]

@@ -16,19 +16,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: planted sub-shingle-length document: 2 words < the k=3 shingle
+#: window, so every shingle/minhash path must take its empty-array
+#: guard (functions/text.py word_shingles / shingle_hashes /
+#: shingles_from_word_hashes) on driver-oracle runs, not only in unit
+#: tests.  The id sits far above the dup-copy range (doc_id + 1e6).
+SHORT_DOC_ID = 2_000_000
+SHORT_DOC_TEXT = "tiny doc"
+
+
 def planted_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ perturbed copies of every 10th doc (id + 1e6)."""
+    """documents ∪ perturbed copies of every 10th doc (id + 1e6)
+    ∪ one sub-shingle-length document (guard-path coverage)."""
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" corpusmarker")).alias("text"),
     )
-    return docs.select("doc_id", "text").unionAll(dups)
+    short = docs.limit(1).select(
+        F.lit(SHORT_DOC_ID).cast("long").alias("doc_id"),
+        F.lit(SHORT_DOC_TEXT).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(dups).unionAll(short)
 
 
 #: DuckDB form of the same construction (oracle CTE body).
-CORPUS_SQL = """
+CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text || ' corpusmarker' AS text
     FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT CAST({SHORT_DOC_ID} AS BIGINT) AS doc_id,
+           '{SHORT_DOC_TEXT}' AS text
 """
