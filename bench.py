@@ -16,6 +16,7 @@ import re
 import sys
 import time
 
+from transitdata_omm_cancellation_source_spark.caching import release_tracked
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
 from transitdata_omm_cancellation_source_spark.plans import queries as registry
 from transitdata_omm_cancellation_source_spark.session import get_spark
@@ -102,6 +103,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for pass_no in range(2):
         if pass_no:
+            release_tracked()  # deterministic release of tracked persists
             spark.catalog.clearCache()
         for name in HEADLINE:
             if name not in specs:

@@ -1,0 +1,30 @@
+"""Tracked-persist bookkeeping: persisted shared subtrees get a
+deterministic release point instead of relying on LRU eviction."""
+
+from __future__ import annotations
+
+from transitdata_omm_cancellation_source_spark import caching
+from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def test_release_tracked_frees_query_caches(spark):
+    caching.release_tracked()  # clean slate
+    df = REGISTRY["dedup_minhash_lsh"].build(spark, SF_SMOKE)
+    df.count()  # materialize: fills the tracked caches
+    assert len(caching._TRACKED) > 0
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    released = caching.release_tracked()
+    assert released == len(caching._TRACKED) == 0 or released > 0
+    assert len(caching._TRACKED) == 0
+    assert caching.release_tracked() == 0  # idempotent
+
+
+def test_lloyd_rounds_release(spark):
+    caching.release_tracked()
+    REGISTRY["kmeans_lloyd_centroids"].build(spark, SF_SMOKE).count()
+    assert len(caching._TRACKED) > 0
+    caching.release_tracked()
+    assert len(caching._TRACKED) == 0

@@ -65,7 +65,7 @@ def test_poller_streaming_query(spark, tmp_path):
 
 
 def test_encode_messages_json_roundtrip(spark):
-    """value_json carries every payload field, parseable back to the row."""
+    """The json-format value carries every payload field, parseable back."""
     import json
 
     from transitdata_omm_cancellation_source_spark.plans.cancellation import (
@@ -82,7 +82,7 @@ def test_encode_messages_json_roundtrip(spark):
     rows = msgs.collect()
     originals = records.orderBy("dvj_id").collect()
     assert len(rows) == len(originals) > 0
-    parsed = json.loads(rows[0]["value_json"])
+    parsed = json.loads(rows[0]["value"])
     assert set(parsed).issubset(set(PAYLOAD_FIELDS))  # nulls omitted by to_json
     first = [r for r in originals if r["dvj_id"] == rows[0]["key"]][0]
     assert parsed["route_id"] == first["route_id"]
@@ -143,7 +143,7 @@ def test_poller_protobuf_sink_streaming_e2e(spark, tmp_path):
         q.stop()
 
     msgs = spark.read.parquet(sink)
-    assert "value_bytes" in msgs.columns  # wire bytes, not the JSON stand-in
+    assert dict(msgs.dtypes)["value"] == "binary"  # wire bytes, not the JSON stand-in
     decoded = decode_messages(msgs).select("key", "event_time_ms", "payload.*")
     originals = {r["dvj_id"]: r for r in cancellation_pipeline(
         spark, QueryParams(mode="NOW")).collect()}
@@ -210,3 +210,25 @@ def test_fail_fast_supervisor_ignores_clean_stop(spark, tmp_path):
     q.stop()
     assert store.current_version() is not None
     assert not closed.wait(timeout=5)
+
+
+def test_poll_cycle_rejects_value_format_flip_on_populated_sink(spark, tmp_path):
+    """Appending protobuf bytes to a sink already holding json strings
+    must fail loudly instead of writing mixed-type parquet."""
+    import pytest
+
+    from transitdata_omm_cancellation_source_spark.streaming.poller import (
+        run_poll_cycle,
+    )
+
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    sink = str(tmp_path / "sink")
+    run_poll_cycle(spark, store, QueryParams(mode="NOW"), sink_dir=sink)
+    with pytest.raises(ValueError, match="sink schema mismatch"):
+        run_poll_cycle(
+            spark, store, QueryParams(mode="NOW"), sink_dir=sink,
+            value_format="protobuf",
+        )
+    # same format keeps appending fine
+    run_poll_cycle(spark, store, QueryParams(mode="NOW"), sink_dir=sink)

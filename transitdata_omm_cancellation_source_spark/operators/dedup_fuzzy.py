@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..catalog import load_tables
 from ..functions import text as X
 from ..observability import get_json_logger
@@ -171,8 +172,8 @@ def _ngram_jaccard(spark, t):
             "doc_id",
             F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
         )
-        .persist()
     )
+    sh = persist_tracked(sh)
     total_mass = sh.agg(F.sum(F.size("shingles"))).first()[0] or 0
     cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
     hot = [
@@ -246,13 +247,12 @@ def _minhash_shingles(t) -> DataFrame:
     this plan byte-identical to the jaccard query's persisted shingle
     set, so a workload running both computes shingles once."""
     corpus = planted_corpus(t["documents"])
-    return (
+    return persist_tracked(
         corpus.select("doc_id", X.word_hashes("text").alias("wh"))
         .select(
             "doc_id",
             F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
         )
-        .persist()
     )
 
 
@@ -337,12 +337,11 @@ def _minhash_lsh(spark, t):
     # exact subtree _cluster_canonical re-derives; persisting it lets a
     # workload running both queries generate candidates once — the same
     # cross-query cache sharing the sorted shingle sets already get.
-    return (
+    return persist_tracked(
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .persist()
     )
 
 
@@ -501,9 +500,9 @@ def _simhash(spark, t):
     for j in range(62):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sh64 = term if sh64 is None else sh64 + term
-    sh = votes.select(
-        "doc_id", sh64.cast("long").alias("sh64")
-    ).persist()
+    sh = persist_tracked(
+        votes.select("doc_id", sh64.cast("long").alias("sh64"))
+    )
     chunks = sh.select(
         "doc_id",
         "sh64",
@@ -613,13 +612,12 @@ def _embedding_neardup(spark, t):
     # squared norm once per VECTOR (persisted), not once per PAIR:
     # drops the per-pair work from 3 dot products to 1.  sqrt(n2a*n2b)
     # is arithmetically identical to the oracle's per-pair form.
-    vecs = (
+    vecs = persist_tracked(
         corpus.select(
             "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
         )
         .withColumn("n2", F.expr(dot.format(a="v", b="v")))
         .withColumn("bucket", bucket_expr_spark("v"))
-        .persist()
     )
     # slim (vec_id, label, band, key) frame for candidate generation —
     # the 64-double vectors never ride through the exploded self-join.
@@ -748,7 +746,7 @@ def propagate_min_labels(pairs):
     ``doc_a``/``doc_b`` (one row per undirected edge; duplicates are
     harmless under min-aggregation).
     """
-    pairs = pairs.persist()
+    pairs = persist_tracked(pairs)
     # one generator pass emits both edge directions plus self-loops;
     # duplicates are harmless under min-aggregation, so no distinct
     # (and hence no extra shuffle) is needed.
@@ -769,7 +767,8 @@ def propagate_min_labels(pairs):
                 ),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").persist()
+    ).select("e.src", "e.dst")
+    e2 = persist_tracked(e2)
     # round 0: labels are the identity, so label(dst) == dst.
     cached = (
         e2.groupBy("src")
@@ -779,7 +778,7 @@ def propagate_min_labels(pairs):
     )
     labels = cached
     for _ in range(_MAX_LABEL_ROUNDS):
-        agg = (
+        agg = persist_tracked(
             e2.join(labels, e2["dst"] == labels["node"])
             .groupBy("src")
             .agg(
@@ -789,7 +788,6 @@ def propagate_min_labels(pairs):
                     F.when(e2["src"] == e2["dst"], F.col("label"))
                 ).alias("old_label"),
             )
-            .persist()
         )
         changed = agg.filter(F.col("new_label") < F.col("old_label")).count()
         cached.unpersist()

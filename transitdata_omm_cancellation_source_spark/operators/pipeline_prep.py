@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..catalog import load_tables
 from ..functions import text as X
 from ..functions.corpus import CORPUS_SQL as _CORPUS_D
@@ -221,13 +222,15 @@ def _decontaminate(spark, t):
     # word-hash/shingle expression tree per EMITTED row (measured 87 s
     # vs 0.3 s at sf0.1 — interpreted higher-order functions don't
     # codegen), and the frame is consumed by three plan branches.
-    sh = t["documents"].select(
-        "doc_id",
-        X.word_hashes("text").alias("wh"),
-    ).select(
-        "doc_id",
-        X.shingles_from_word_hashes("wh").alias("shingles"),
-    ).persist()
+    sh = persist_tracked(
+        t["documents"].select(
+            "doc_id",
+            X.word_hashes("text").alias("wh"),
+        ).select(
+            "doc_id",
+            X.shingles_from_word_hashes("wh").alias("shingles"),
+        )
+    )
     corpus_sh = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
     bench_keys = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)

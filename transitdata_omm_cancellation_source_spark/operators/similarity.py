@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..catalog import load_tables
 from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
@@ -399,12 +400,11 @@ def _knn_ivf_kmeans(spark, t):
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("c_label").asc()
     )
-    assign = (
+    assign = persist_tracked(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cell"))
-        .persist()  # slim (vec_id, cell); feeds both sides of the search join
-    )
+    )  # slim (vec_id, cell); feeds both sides of the search join
     cand = vecs.join(assign, "vec_id")
     q = cand.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
@@ -597,11 +597,10 @@ def _kmeans_lloyd(spark, t):
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cos_c").desc(), F.col("c_cell").asc()
         )
-        assign = (
+        assign = persist_tracked(
             pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("c_cell").alias("cell"))
-            .persist()
         )
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
     return cent

@@ -24,6 +24,21 @@ from .cancellation import (
 
 @dataclass(frozen=True)
 class QuerySpec:
+    """One registry entry.
+
+    ``build`` returns the query's result DataFrame.  Most builders are
+    pure plan constructors (no Spark jobs until the caller acts), but a
+    few are CONTRACTUALLY EAGER — they run bounded driver actions at
+    build time where the algorithm itself needs data-dependent
+    decisions before the final plan exists: ``dedup_ngram_jaccard``
+    (total-shingle-mass agg + capped hot-shingle collect),
+    ``knn_bruteforce_cosine`` (query-sample count for the broadcast
+    gate), ``dedup_cluster_canonical`` / ``kmeans_lloyd_centroids``
+    (one convergence count per iteration round).  Plan-only consumers
+    (EXPLAIN tooling, plan-shape tests) should expect those builders to
+    submit jobs; everything else stays lazy.
+    """
+
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible, rows-only check
     survey_ref: str = ""  # SURVEY.md §2 operator ids this query covers

@@ -51,14 +51,25 @@ def encode_messages(
     ``value_format="protobuf"`` emits real wire-format bytes
     (streaming/protobuf.py, the E3 path —
     ``OmmCancellationHandler.java:112-148,236``); ``"json"`` is the
-    portable default.
+    portable default.  Both formats use the same ``value`` column name
+    (bytes vs string), so a sink's layout is format-independent —
+    but appending different formats to ONE sink still mixes types;
+    ``run_poll_cycle`` validates the existing sink schema first.
+
+    Wire-compat caveat (streaming/protobuf.py): the portable protobuf
+    codec self-assigns field numbers and encodes enums as strings —
+    valid wire format, NOT byte-compatible with the reference's
+    ``InternalMessages.TripCancellation`` descriptor.  Decoders built
+    from the upstream ``.proto`` cannot read these bytes; wire
+    ``pyspark.sql.protobuf.to_protobuf`` in with the compiled
+    descriptor where upstream compatibility is required.
     """
     if value_format == "protobuf":
         from .protobuf import protobuf_value
 
-        value = protobuf_value(PAYLOAD_FIELDS).alias("value_bytes")
+        value = protobuf_value(PAYLOAD_FIELDS).alias("value")
     else:
-        value = F.to_json(F.struct(*PAYLOAD_FIELDS)).alias("value_json")
+        value = F.to_json(F.struct(*PAYLOAD_FIELDS)).alias("value")
     out = records.select(
         F.col("dvj_id").alias("key"),
         value,

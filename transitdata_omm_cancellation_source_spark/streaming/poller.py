@@ -91,6 +91,28 @@ def _f8_combo() -> "F.Column":
     )
 
 
+def _check_sink_schema(
+    spark: SparkSession, sink_dir: str, messages: DataFrame
+) -> None:
+    """Refuse to append a value payload whose type contradicts the
+    existing sink — switching ``value_format`` against a populated sink
+    would otherwise interleave binary and string ``value`` columns in
+    one parquet directory and break every downstream read."""
+    try:
+        existing = spark.read.parquet(sink_dir).schema
+    except Exception:  # first cycle: sink doesn't exist yet
+        return
+    # names + types only: parquet read-back flips nullability flags
+    if [(f.name, f.dataType) for f in existing] != [
+        (f.name, f.dataType) for f in messages.schema
+    ]:
+        raise ValueError(
+            f"sink schema mismatch at {sink_dir}: existing {existing.simpleString()} "
+            f"!= new {messages.schema.simpleString()} — did value_format change "
+            "against an already-populated sink?"
+        )
+
+
 def run_poll_cycle(
     spark: SparkSession,
     store: SnapshotStore,
@@ -123,6 +145,7 @@ def run_poll_cycle(
         ).collect()[0].asDict()
         messages = encode_messages(cur, value_format=value_format)
         if sink_dir is not None:
+            _check_sink_schema(spark, sink_dir, messages)
             messages.write.mode("append").parquet(sink_dir)
         store.replace(cur)
     finally:

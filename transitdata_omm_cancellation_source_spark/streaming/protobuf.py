@@ -156,7 +156,7 @@ def protobuf_value(payload_fields: list[str]) -> Column:
     return _encode_udf(F.struct(*payload_fields))
 
 
-def decode_messages(df: DataFrame, value_col: str = "value_bytes") -> DataFrame:
+def decode_messages(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Inverse path for tests/consumers: bytes column -> payload struct."""
     fields = ", ".join(
         f"{name} {'long' if kind == 'int' else 'string'}"
