@@ -37,6 +37,12 @@ HEADLINE = [
     "text_quality_score",
     "text_language_id",
     "text_fingerprint",
+    "text_tfidf_topk",
+    "text_bm25_search",
+    "docs_keyword_search",
+    "corpus_mixture_sample",
+    "corpus_stratified_split",
+    "events_hopping_window",
     "knn_bruteforce_cosine",
     "knn_lsh_hyperplane",
     "knn_lsh_multiprobe",

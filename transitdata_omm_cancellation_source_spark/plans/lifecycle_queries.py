@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..streaming.messages import PAYLOAD_FIELDS, SCHEMA_TAG
 from ..streaming.poller import SnapshotStore, run_poll_cycle
-from ..streaming.windows import sessionized_event_counts, windowed_event_counts
+from ..streaming.windows import (
+    hopping_event_counts,
+    sessionized_event_counts,
+    windowed_event_counts,
+)
 from .cancellation import QueryParams, cancellation_oracle_sql, cancellation_pipeline
 from .queries import QuerySpec, register
 
@@ -149,6 +153,36 @@ register(
 def _build_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, ["events"])["events"]
     return windowed_event_counts(events, "1 hour")
+
+
+def _build_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return hopping_event_counts(events, "15 minutes", "5 minutes")
+
+
+register(
+    "events_hopping_window",
+    QuerySpec(
+        build=_build_hopping,
+        oracle="""
+        WITH exp AS (
+            SELECT e.*,
+                   make_timestamp(((epoch_ms(ts) // 300000) - k.k) * 300000000)
+                       AS win_start
+            FROM events e, (SELECT unnest([0, 1, 2]) AS k) k
+        )
+        SELECT win_start, win_start + INTERVAL 15 MINUTE AS win_end,
+               event_type,
+               count(*) AS n_events,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               count(DISTINCT user_id) AS n_users
+        FROM exp GROUP BY 1, 2, 3
+        """,
+        survey_ref="north-star streaming: hopping/sliding event-time windows "
+        "(15 min window, 5 min slide; epoch-aligned fan-out oracle)",
+    ),
+)
 
 
 register(

@@ -95,6 +95,8 @@ from ..operators import textops  # noqa: E402,F401
 # pipeline_prep composes textops' language-ID oracle, so it must import
 # after textops.
 from ..operators import pipeline_prep  # noqa: E402,F401
+from ..operators import retrieval  # noqa: E402,F401
+from ..operators import sampling  # noqa: E402,F401
 from ..operators import timeseries  # noqa: E402,F401
 
 # quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
@@ -105,22 +107,38 @@ from ..operators import quantize  # noqa: E402,F401
 # Certification-window ordering.
 #
 # The driver's correctness harness verifies the FIRST 50 registry entries in
-# registration order (CORRECTNESS_r02 cut off mid-``similarity``).  Plain
-# import order put 26 queries past the window, so they never produced a
-# driver-certified row even though they pass the same DuckDB-oracle parity
-# check locally.  Rebuild the dict with an explicit priority: flagships,
-# then every query WITHOUT a driver-certified row (the r3 certification
-# targets), then the structurally rich r2-green entries; the 17 long-stable
-# §2 micro-probes (green in r1 AND r2) register last and can rotate out of
-# the window for a round.  Names absent from the list keep their original
-# relative order after the prioritized ones; listed-but-unregistered names
-# are ignored, so this stays correct as queries are added or renamed.
+# registration order, so with more than 50 entries some rotate out each
+# round.  Round-4 rotation policy: flagships first, then every query with
+# ZERO driver-certified rows (the 6 new retrieval/sampling/hopping queries
+# and the 6 analytics added in r3 after the window was fixed), then the
+# r3-first-timers (certified exactly once, in CORRECTNESS_r03), then the
+# 17 §2 micro-probes (green in r1 AND r2, rotating back in after sitting
+# out r3).  The entries left past the window are all ≥2-round green
+# (dedup/mm/knn/tpch families: r2+r3) or pinned by dedicated unit tests
+# (sketch paths; corpus_prep_pipeline is a composition of in-window ops).
+# Names absent from the list keep their original relative order after the
+# prioritized ones; listed-but-unregistered names are ignored, so this
+# stays correct as queries are added or renamed.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # flagships — always certified
     "cancellation_pipeline_now",
     "cancellation_pipeline_past",
-    # never driver-verified (no r1 or r2 CORRECTNESS row)
+    # new in r4 — never driver-verified
+    "text_tfidf_topk",
+    "text_bm25_search",
+    "docs_keyword_search",
+    "corpus_mixture_sample",
+    "corpus_stratified_split",
+    "events_hopping_window",
+    # added in r3 past the window — never driver-verified
+    "region_nation_rollup",
+    "lineitem_cube_revenue",
+    "orders_pivot_status_by_priority",
+    "events_segment_enrich_salted",
+    "orders_above_2x_customer_avg",
+    "promo_revenue_share_monthly",
+    # certified exactly once (first row in CORRECTNESS_r03)
     "knn_ivf_kmeans",
     "knn_lsh_multiprobe",
     "kmeans_lloyd_centroids",
@@ -128,51 +146,41 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_ngram_topk",
     "corpus_decontaminate",
     "text_pii_redact",
-    "corpus_prep_pipeline",
     "corpus_token_chunks",
     "corpus_pack_sequences",
     "events_asof_latest_order",
     "events_value_quantiles",
     "events_top_users_per_type",
-    "events_value_quantiles_sketch",
-    "events_distinct_users_sketch",
     "events_attribution_range_join",
     "events_gapfill_daily",
     "events_lag_lead_stats",
     "embedding_int8_quantize",
     "knn_int8_cosine",
-    # r1-green only (no r2 row)
-    "embedding_label_centroid",
-    "knn_ivf_label",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    # r2-green, structurally rich — fill the rest of the 50-entry window
-    "s6_keyed_message_encode",
-    "a3_stateful_two_cycle_poll",
-    "e3_protobuf_roundtrip",
-    "events_json_props_extract",
-    "events_session_window",
-    "events_tumbling_window",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_canonical",
-    "mm_asset_table",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "knn_bruteforce_cosine",
-    "knn_lsh_hyperplane",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue",
-    "window_running_customer_total",
-    # everything not listed (remaining analytics + §2 micro-probes) follows
-    # in original registration order.
+    # r2-green analytics sat out r3 — rotate back in
+    "customers_without_recent_orders",
+    "large_order_customers",
+    "distinct_users_per_event_type",
+    # §2 micro-probes (green r1+r2) rotate back in after sitting out r3
+    "s1_scan_projection_pushdown",
+    "s2_parameterized_query",
+    "s5_malformed_row_skip",
+    "p2_p4_id_and_day_formatting",
+    "p3_direction_from_gid",
+    "p5_start_time_over_24h",
+    "p9_status_derivation",
+    "p11_local_to_utc_epoch_ms",
+    "f1_f4_f5_literal_and_isin",
+    "f2_null_aware_disjunction",
+    "f3_incremental_capture",
+    "j1_left_outer_join",
+    "j4_left_then_inner_interaction",
+    "j8_j10_broadcast_star_join",
+    "a2_priority_argmax_dedup",
+    "a3_snapshot_diff_counts",
+    "o1_global_sort",
+    # everything not listed (r2+r3-green dedup/mm/knn/textops/tpch families,
+    # the rows-only sketch paths, corpus_prep_pipeline) follows in original
+    # registration order and sits out this round.
 )
 
 

@@ -41,6 +41,43 @@ def sessionized_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) event-time windows x event_type.
+
+    ``F.window(ts, window, slide)`` assigns each event to
+    window/slide overlapping windows (3 for 15m/5m), all aligned to
+    the epoch on multiples of ``slide``.  State on a stream is bounded
+    by watermark + window length.  Aggregates stay order-independent
+    (count / extrema / exact distinct) so the fan-out join the oracle
+    uses reproduces them bit-for-bit.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+            "n_users",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
