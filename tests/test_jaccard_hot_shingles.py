@@ -72,6 +72,43 @@ def test_short_docs_flow_through_dedup_family(spark):
             assert (11, 13) in pairs, name  # genuine near-dup found
 
 
+def test_hot_shingle_collect_is_bounded(spark):
+    """The heavy-hitter collect carries an explicit .limit() so the
+    driver-memory bound is part of the plan, and the returned list can
+    never exceed the pigeonhole bound."""
+    from pyspark.sql import functions as F
+
+    from transitdata_omm_cancellation_source_spark.functions import text as X
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        _HOT_SHINGLE_LIMIT,
+        _HOT_SHINGLE_MASS_FRACTION,
+        _hot_shingles,
+    )
+
+    assert _HOT_SHINGLE_LIMIT == int(1 / _HOT_SHINGLE_MASS_FRACTION)
+
+    docs = spark.createDataFrame(_corpus(), "doc_id long, text string")
+    sh = docs.select("doc_id", X.word_hashes("text").alias("wh")).select(
+        "doc_id",
+        F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
+    )
+    hot = _hot_shingles(sh)
+    # the >1000-df stopword shingle is detected, within the bound
+    assert 0 < len(hot) <= _HOT_SHINGLE_LIMIT
+    # and the bound is in the physical plan, not just python-side
+    plan = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 0)
+        .limit(_HOT_SHINGLE_LIMIT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
 def test_hot_shingle_corpus_matches_oracle(spark):
     rows = _corpus()
     docs = spark.createDataFrame(rows, "doc_id long, text string")

@@ -123,9 +123,41 @@ _JACCARD_TAU = 0.5
 #: a shingle holding more than this fraction of the total shingle mass
 #: is a "hot" heavy hitter (stopword n-gram).  By pigeonhole at most
 #: 1/fraction shingles can exceed the cap, so the hot set is BOUNDED
-#: (<= 5000 here) no matter how large the corpus is — safe to collect
-#: to the driver and embed as a literal.
+#: (<= _HOT_SHINGLE_LIMIT here) no matter how large the corpus is —
+#: safe to collect to the driver and embed as a literal.
 _HOT_SHINGLE_MASS_FRACTION = 2e-4
+
+#: the pigeonhole bound above, enforced mechanically: the hot-shingle
+#: query is capped with .limit() so the driver-memory contract is in
+#: the plan itself, not just this comment.  Truncation (impossible by
+#: pigeonhole, but belt-and-braces) would still be CORRECT — the
+#: reorder only needs a total order common to all docs, and any subset
+#: of the hot set still yields one.
+_HOT_SHINGLE_LIMIT = int(1 / _HOT_SHINGLE_MASS_FRACTION)
+
+
+def _hot_shingles(sh: DataFrame) -> list[int]:
+    """Heavy-hitter shingles, collected under an explicit driver bound.
+
+    ``df > cap`` with ``cap >= total_mass * fraction`` admits fewer than
+    ``1/fraction`` shingles by pigeonhole; the ``.limit()`` makes that
+    bound part of the physical plan (CollectLimit) rather than an
+    argument in a comment, so the collect can never return more than
+    ``_HOT_SHINGLE_LIMIT`` rows regardless of corpus size.
+    """
+    total_mass = sh.agg(F.sum(F.size("shingles"))).first()[0] or 0
+    cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
+    hot = [
+        r[0]
+        for r in sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .limit(_HOT_SHINGLE_LIMIT)
+        .collect()
+    ]
+    assert len(hot) <= _HOT_SHINGLE_LIMIT
+    return hot
 
 
 @_q(
@@ -174,16 +206,7 @@ def _ngram_jaccard(spark, t):
         )
     )
     sh = persist_tracked(sh)
-    total_mass = sh.agg(F.sum(F.size("shingles"))).first()[0] or 0
-    cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
-    hot = [
-        r[0]
-        for r in sh.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cap)
-        .collect()
-    ]
+    hot = _hot_shingles(sh)
     if hot:
         hot_lit = F.lit(sorted(hot))
         ordered = F.concat(
@@ -197,14 +220,22 @@ def _ngram_jaccard(spark, t):
     ).cast("int")
     inv = sh.select(
         "doc_id",
+        F.size("shingles").alias("n_sh"),
         F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
     )
+    # PPJoin length filter: Jaccard >= tau forces
+    # min(|A|,|B|) >= tau * max(|A|,|B|)  (|A∩B| <= min and
+    # |A∩B| >= tau*|A∪B| >= tau*max), so size-incompatible candidate
+    # pairs are cut AT the join, before the distinct shuffle and the
+    # exact array_intersect verify.  Recall is exactly preserved.
     cand = (
         inv.alias("a")
         .join(
             inv.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(_JACCARD_TAU))
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(_JACCARD_TAU)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -18,8 +18,10 @@ disagree by 1 ulp on ~3 % of inputs (measured), so every idf is
 quantized with ``round(.., 9)`` *before* entering downstream
 arithmetic; all arithmetic after that point is IEEE +,*,/ (exactly
 rounded, bit-identical across engines), so scores — and therefore
-ranks — are reproducible bit-for-bit.  Verified exactly (not with a
-tolerance) in tests/test_retrieval.py.
+ranks — are reproducible bit-for-bit.  The exact cross-engine check is
+the driver's oracle-parity hash (and the same comparison in the verify
+harness); the behavioral tests in tests/test_retrieval_sampling.py
+compare a pure-Python reimplementation with a 1e-6 tolerance.
 
 Scale notes (100 TB): the tokenize→explode→count pipeline is the
 standard inverted-index build — one shuffle on (doc, term), one on
@@ -250,11 +252,21 @@ def _bm25(spark, t):
     s = contrib[0]
     for c in contrib[1:]:
         s = s + c
-    w = Window.orderBy(s.desc(), F.col("doc_id").asc())
+    # Top-N via orderBy().limit() — TakeOrderedAndProject, a per-partition
+    # heap + driver merge of N rows, never a full single-partition sort of
+    # every scored doc.  The row_number window then runs over only the
+    # N surviving rows, so its single partition is bounded by _BM25_TOPN.
+    topn = (
+        scored.select(
+            "doc_id", F.round(s, 6).alias("bm25"), s.alias("_s")
+        )
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPN)
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _BM25_TOPN)
-        .select("doc_id", F.round(s, 6).alias("bm25"), "rnk")
+        topn.withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "bm25", "rnk")
     )
 
 
