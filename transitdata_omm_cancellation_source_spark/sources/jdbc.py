@@ -18,9 +18,12 @@ Parameter binding (S2) stays driver-side string substitution of
 validated wall-clock literals, exactly the values the reference binds
 (``OmmConnector.java:53-59,72-81``) — never raw user input.
 
-Untestable against a live SQL Server in this build; covered by unit
-tests of template selection + binding, and by the parquet-backed
-pipeline for everything downstream.
+No live SQL Server exists in this build, but the JDBC execution leg
+itself runs for real: tests/test_jdbc_contract.py seeds an in-process
+embedded Derby database (driver shipped in PySpark's jars) and drives
+both readers through it, value-comparing against the parquet path.
+The T-SQL template text stays covered by the template-selection and
+binding unit tests (Derby can't parse SQL Server's dialect).
 """
 
 from __future__ import annotations
@@ -89,13 +92,27 @@ ORDER BY DC.last_modified"""
 
 
 def pushdown_query(
-    spark: SparkSession, url: str, params: QueryParams, **options: str
+    spark: SparkSession,
+    url: str,
+    params: QueryParams | None = None,
+    statement: str | None = None,
+    **options: str,
 ) -> DataFrame:
-    """Whole-statement pushdown — the reference's execution model."""
+    """Whole-statement pushdown — the reference's execution model.
+
+    Defaults to the bound cancellation template; ``statement`` lets a
+    caller push any other SQL text through the identical reader path
+    (the in-process Derby contract test uses this, since the T-SQL
+    template targets SQL Server's dialect).
+    """
+    if statement is None:
+        if params is None:
+            raise ValueError("either params or statement is required")
+        statement = cancellation_query(params)
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", cancellation_query(params))
+        .option("query", statement)
     )
     for k, v in options.items():
         reader = reader.option(k, v)
