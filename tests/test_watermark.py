@@ -82,6 +82,75 @@ def test_append_mode_drops_rows_behind_watermark(spark, tmp_path):
     assert out == [("10:00", 3), ("11:00", 1)]
 
 
+def test_hopping_windows_late_drop_across_restart(spark, tmp_path):
+    """hopping_event_counts on a stream: watermark finalizes the 3
+    overlapping windows per event in append mode, a late row whose
+    windows are all finalized is dropped, and — unlike the continuous
+    two-batch tests above — the second batch runs in a SEPARATE query
+    restarted from the checkpoint, so the watermark and emitted-window
+    state must come back from the state store."""
+    from transitdata_omm_cancellation_source_spark.streaming.windows import (
+        hopping_event_counts,
+    )
+
+    src = tmp_path / "hsrc"
+    ckpt = tmp_path / "hckpt"
+    sink = tmp_path / "hsink"
+    src.mkdir()
+
+    def run():
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # recovery, and restart-from-checkpoint is the point here.  The
+        # sink accumulates across runs; each call returns its totals.
+        stream = spark.readStream.schema(_SCHEMA).parquet(str(src))
+        hopped = hopping_event_counts(
+            stream, window="15 minutes", slide="5 minutes", watermark="10 minutes"
+        )
+        q = (
+            hopped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(
+            (r["win_start"].strftime("%H:%M"), r["n_events"])
+            for r in spark.read.parquet(str(sink)).collect()
+        )
+
+    # batch 1: two events at 10:00/10:04 (same 3 overlapping windows:
+    # 09:50, 09:55, 10:00 starts) + a 10:40 row pushing the watermark
+    # to 10:30, which finalizes exactly those 3 windows (ends 10:05,
+    # 10:10, 10:15).  The 10:40 row's own windows stay open.
+    spark.createDataFrame(
+        _rows("2024-01-01 10:00:00", "2024-01-01 10:04:00", "2024-01-01 10:40:00"),
+        _SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    assert run() == [("09:50", 2), ("09:55", 2), ("10:00", 2)]
+
+    # batch 2, FRESH query on the same checkpoint: a late 10:07 row —
+    # every window it belongs to (ends 10:10/10:15/10:20) is behind the
+    # restored 10:30 watermark, so it must be dropped entirely — plus
+    # an 11:10 row advancing the watermark to 11:00, which finalizes
+    # the 10:40 row's 3 windows (starts 10:30/10:35/10:40) exactly
+    # once, with no re-emission of the batch-1 windows.
+    spark.createDataFrame(
+        _rows("2024-01-01 10:07:00", "2024-01-01 11:10:00"), _SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    assert run() == [
+        ("09:50", 2),
+        ("09:55", 2),
+        ("10:00", 2),
+        ("10:30", 1),
+        ("10:35", 1),
+        ("10:40", 1),
+    ]
+
+
 def test_batch_mode_ignores_watermark(spark):
     # The same operator on a batch frame: watermark is a no-op
     # (late data cannot exist), every row counts.

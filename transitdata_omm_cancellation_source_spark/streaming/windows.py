@@ -53,18 +53,30 @@ def hopping_event_counts(
     window/slide overlapping windows (3 for 15m/5m), all aligned to
     the epoch on multiples of ``slide``.  State on a stream is bounded
     by watermark + window length.  Aggregates stay order-independent
-    (count / extrema / exact distinct) so the fan-out join the oracle
+    (count / extrema / distinct) so the fan-out join the oracle
     uses reproduces them bit-for-bit.
+
+    ``n_users`` is an exact distinct count on batch (oracle-checked);
+    on a stream Spark forbids exact distinct aggregation (it would
+    need unbounded per-window sets), so the streaming path swaps in
+    the mergeable HLL++ sketch (``approx_count_distinct``) — the same
+    exact-in-batch / sketch-in-motion split as the sketch-path query
+    family.
     """
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
+    n_users = (
+        F.approx_count_distinct("user_id")
+        if events.isStreaming
+        else F.countDistinct("user_id")
+    )
     return (
         events.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
-            F.countDistinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             F.col("win.start").alias("win_start"),
