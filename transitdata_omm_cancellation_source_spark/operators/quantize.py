@@ -297,3 +297,80 @@ def _knn_int8(spark, t):
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# --- per-dimension standardization (feature whitening pre-pass) -------------
+
+#: fixed-point scale for the deterministic moment sums: components are
+#: quantized to round-half-up micro-units, so the per-dimension sum
+#: and sum-of-squares are exact BIGINT folds — order-independent and
+#: bit-identical across engines; every downstream float op is then the
+#: same IEEE expression over identical integers.
+_STD_SCALE = 1_000_000
+
+
+@_q(
+    "embedding_standardize",
+    "north-star: per-dimension z-score standardization via exact "
+    "integer moment sums (whitening pre-pass for ANN / clustering)",
+    f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id,
+               CAST(unnest(range(0, len(v))) AS INTEGER) AS dim,
+               unnest(list_transform(range(0, len(v)),
+                   i -> CAST(floor(v[i + 1] * {_STD_SCALE}.0 + 0.5) AS BIGINT)))
+                   AS qx
+        FROM base
+    ),
+    stats AS (
+        SELECT dim, count(*) AS n, CAST(sum(qx) AS BIGINT) AS s,
+               CAST(sum(qx * qx) AS BIGINT) AS ss
+        FROM comp GROUP BY dim
+    )
+    SELECT c.vec_id, c.dim,
+           round((CAST(c.qx AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt(greatest(CAST(st.ss AS DOUBLE) / st.n
+                        - (CAST(st.s AS DOUBLE) / st.n)
+                          * (CAST(st.s AS DOUBLE) / st.n), 1e-18)), 6)
+               AS z_score
+    FROM comp c JOIN stats st USING (dim)
+    """,
+)
+def _standardize(spark, t):
+    # One shuffle total: the per-dimension moment aggregation (64 rows
+    # out), broadcast back onto the exploded components — the join adds
+    # no second corpus shuffle.  Moments are exact integer folds of the
+    # micro-unit codes, so mean/std — and therefore every z-score — are
+    # bit-identical on any engine and any partitioning; a raw float
+    # sum here would be partition-order-dependent.  At 100 TB the
+    # BIGINT sum-of-squares bound (1e12 per component) wants a
+    # two-level DECIMAL(38) rollup; at bench scale the headroom is 1e5.
+    comp = (
+        t["embeddings"]
+        .select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"))
+        .select("vec_id", F.posexplode("v").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.expr(
+                f"CAST(floor(x * {_STD_SCALE}.0 + 0.5) AS BIGINT)"
+            ).alias("qx"),
+        )
+    )
+    stats = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s"),
+        F.sum(F.expr("qx * qx")).alias("ss"),
+    )
+    mu = "CAST(s AS DOUBLE) / n"
+    sigma = f"sqrt(greatest(CAST(ss AS DOUBLE) / n - ({mu}) * ({mu}), 1e-18))"
+    return comp.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.expr(f"round((CAST(qx AS DOUBLE) - {mu}) / {sigma}, 6)").alias(
+            "z_score"
+        ),
+    )

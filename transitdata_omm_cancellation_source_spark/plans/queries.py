@@ -109,6 +109,7 @@ from ..operators import textops  # noqa: E402,F401
 
 # pipeline_prep composes textops' language-ID oracle, so it must import
 # after textops.
+from ..operators import behavior  # noqa: E402,F401
 from ..operators import pipeline_prep  # noqa: E402,F401
 from ..operators import retrieval  # noqa: E402,F401
 from ..operators import sampling  # noqa: E402,F401
@@ -183,6 +184,10 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only sketch paths — rows recorded r3 only, refresh
     "events_value_quantiles_sketch",
     "events_distinct_users_sketch",
+    # new in r5 — never driver-verified
+    "events_scd2_user_status",
+    "events_funnel_conversion",
+    "embedding_standardize",
     # r4-certified with a single lifetime green (new in r4)
     "text_tfidf_topk",
     "text_bm25_search",
@@ -198,12 +203,11 @@ _PRIORITY: tuple[str, ...] = (
     "promo_revenue_share_monthly",
     "knn_ivf_kmeans",
     "knn_lsh_multiprobe",
-    "kmeans_lloyd_centroids",
-    "corpus_hash_split",
-    "corpus_ngram_topk",
-    # everything not listed is r4-green (micro-probes, corpus-prep ops,
-    # int8/knn, events navigation family, r2-green analytics) and follows
-    # in original registration order, sitting out this round.
+    # everything not listed is r4-green with >= 2 lifetime green rows
+    # (micro-probes, corpus-prep ops, int8/knn, events navigation
+    # family, r2-green analytics, and the three twice-green fillers
+    # displaced by the r5-new queries) and follows in original
+    # registration order, sitting out this round.
 )
 
 
