@@ -9,6 +9,7 @@ from datetime import datetime
 
 from transitdata_omm_cancellation_source_spark.operators.behavior import (
     _funnel,
+    _retention,
     _scd2,
 )
 
@@ -71,3 +72,30 @@ def test_funnel_requires_strict_order_within_window(spark):
     assert [out[s].n_users for s in (1, 2, 3)] == [3, 1, 1]
     assert out[1].pct_of_first == 1.0
     assert abs(out[3].pct_of_first - round(1 / 3, 6)) < 1e-9
+
+
+def test_retention_cohorts_offsets_and_monday_weeks(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: first touch Wed Jan 3 -> cohort week Mon Jan 1;
+            # active again in offset weeks 1 and 3
+            ("2024-01-03 10:00:00", 1, "view"),
+            ("2024-01-10 10:00:00", 1, "click"),
+            ("2024-01-22 10:00:00", 1, "view"),
+            # user 2: first touch the following week -> its own cohort,
+            # two events inside one week count once
+            ("2024-01-08 09:00:00", 2, "view"),
+            ("2024-01-08 18:00:00", 2, "click"),
+        ],
+    )
+    out = {
+        (r.cohort_week.strftime("%Y-%m-%d"), r.week_offset): r.n_users
+        for r in _retention(spark, {"events": ev}).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+    }

@@ -519,3 +519,65 @@ def _promo_share(spark, t):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@_q(
+    "lineitem_basket_pairs",
+    "analytics: market-basket part-pair co-occurrence (order-bounded "
+    "self-join, TakeOrdered top-k with key tie-break)",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counts AS (
+        SELECT part_a, part_b, count(*) AS n_orders
+        FROM pairs GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders, rnk FROM (
+        SELECT part_a, part_b, n_orders,
+               CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+                    AS INTEGER) AS rnk
+        FROM counts
+    ) WHERE rnk <= 50
+    """,
+)
+def _basket_pairs(spark, t):
+    # Market-basket co-occurrence: the self-join is keyed on
+    # l_orderkey, so the pair fan-out per order is C(lines, 2) with
+    # lines <= 7 in this schema — bounded per key, never corpus x
+    # corpus; the shuffle is the distinct + one pair aggregation.
+    # Global top-50 goes through orderBy().limit() (TakeOrdered:
+    # per-partition heap + driver merge), and the rank window then
+    # touches only the 50 survivors, with (part_a, part_b) breaking
+    # count ties deterministically.
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    top = counts.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return top.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

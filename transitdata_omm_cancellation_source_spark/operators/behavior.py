@@ -173,3 +173,54 @@ def _funnel(spark, t):
             "pct_of_first"
         ),
     )
+
+
+@_q(
+    "events_retention_cohorts",
+    "north-star: weekly cohort retention matrix (first-touch cohort x "
+    "week offset, distinct active users)",
+    """
+    WITH first_touch AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_touch f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def _retention(spark, t):
+    # Cohort analysis — the canonical "did week-N users come back in
+    # week N+k" matrix.  Two user-keyed shuffles (first-touch min and
+    # the distinct week grid), then the first-touch frame joins back on
+    # user_id; the final (cohort, offset) aggregation is
+    # cohort-cardinality-sized.  Week truncation is ISO-Monday on both
+    # engines; offsets are exact day-diffs over multiples of 7.
+    ev = t["events"]
+    first_touch = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        active.join(first_touch, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -188,6 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_scd2_user_status",
     "events_funnel_conversion",
     "embedding_standardize",
+    "events_retention_cohorts",
+    "lineitem_basket_pairs",
     # r4-certified with a single lifetime green (new in r4)
     "text_tfidf_topk",
     "text_bm25_search",
@@ -201,8 +203,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_segment_enrich_salted",
     "orders_above_2x_customer_avg",
     "promo_revenue_share_monthly",
-    "knn_ivf_kmeans",
-    "knn_lsh_multiprobe",
     # everything not listed is r4-green with >= 2 lifetime green rows
     # (micro-probes, corpus-prep ops, int8/knn, events navigation
     # family, r2-green analytics, and the three twice-green fillers
