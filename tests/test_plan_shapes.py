@@ -178,3 +178,51 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_scd2_is_single_shuffle_no_self_join(spark):
+    """SCD2 change capture must be the two-window-pass plan over ONE
+    user_id exchange — a lag/lead formulation that re-shuffled per
+    pass, or a self-join on (user, version), would double the corpus
+    shuffle at scale."""
+    plan = _plan(spark, "events_scd2_user_status")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_standardize_broadcasts_only_dimension_stats(spark):
+    """The moment-stats table is dimension-cardinality (64 rows), so
+    broadcasting it back onto the exploded components is scale-safe;
+    the component side must never be broadcast and the only corpus
+    shuffle is the per-dimension aggregation."""
+    plan = _plan(spark, "embedding_standardize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_basket_pairs_joins_on_orderkey_with_take_ordered(spark):
+    """Pair generation must be keyed on l_orderkey (fan-out bounded by
+    per-order line count) and the global top-50 must go through
+    TakeOrderedAndProject, not a single-partition full sort."""
+    plan = _plan(spark, "lineitem_basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    assert re.search(r"Join \[l_orderkey#\d+L?\]", plan), plan[:2000]
+
+
+def test_funnel_steps_are_not_forced_broadcast(spark):
+    """The per-step user frames are user-cardinality (corpus-
+    proportional), so the plan must not pin a broadcast hint on them —
+    size-based selection may broadcast at test scale, but the logical
+    plan carries no forced strategy."""
+    df = REGISTRY["events_funnel_conversion"].build(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the only hinted broadcast is the 1-row step-one total
+    assert optimized.count("strategy=broadcast") <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
