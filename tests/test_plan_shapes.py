@@ -215,6 +215,25 @@ def test_basket_pairs_joins_on_orderkey_with_take_ordered(spark):
     assert re.search(r"Join \[l_orderkey#\d+L?\]", plan), plan[:2000]
 
 
+def test_pq_broadcasts_codebook_but_not_lut(spark):
+    """PQ search: only the fixed 128-row codebook carries a broadcast
+    hint; the per-query LUT and candidate sides are query/corpus-
+    cardinality, so their joins stay size-selected equi joins and the
+    candidate generation remains a bucket equi-join (no all-pairs)."""
+    import re
+
+    df = REGISTRY["knn_pq_adc"].build(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly two hinted broadcasts: the codebook's encode join and its
+    # LUT join — anything more means a corpus/query-proportional side
+    # picked up a forced strategy.
+    assert optimized.count("strategy=broadcast") == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join \[bucket#\d+\]", plan), plan[:2000]
+
+
 def test_funnel_steps_are_not_forced_broadcast(spark):
     """The per-step user frames are user-cardinality (corpus-
     proportional), so the plan must not pin a broadcast hint on them —

@@ -116,7 +116,9 @@ from ..operators import sampling  # noqa: E402,F401
 from ..operators import timeseries  # noqa: E402,F401
 
 # quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
-# composes embedding_label_centroid's, so both import after similarity.
+# composes embedding_label_centroid's, so both import after similarity;
+# pq reuses the same constants plus the hyperplane bucket primitives.
+from ..operators import pq  # noqa: E402,F401
 from ..operators import quantize  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -190,6 +192,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_standardize",
     "events_retention_cohorts",
     "lineitem_basket_pairs",
+    "embedding_pq_codes",
+    "knn_pq_adc",
     # r4-certified with a single lifetime green (new in r4)
     "text_tfidf_topk",
     "text_bm25_search",
@@ -197,9 +201,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_sample",
     "corpus_stratified_split",
     "events_hopping_window",
-    # twice-green (r2+r4 / r3+r4) fill to the window edge
-    "lineitem_cube_revenue",
-    "orders_pivot_status_by_priority",
+    # twice-green (r2+r4) fill to the window edge
     "events_segment_enrich_salted",
     "orders_above_2x_customer_avg",
     "promo_revenue_share_monthly",
