@@ -66,6 +66,25 @@ def test_decode_rejects_malformed_payloads():
         mm.decode_asset(b"BM\x00\x00")  # truncated BMP header
     with pytest.raises(ValueError):
         mm.decode_image(mm.encode_wav(b"abc", 8000))  # wrong kind
+    # short fmt chunk: declared size 4 < the 16-byte PCM header
+    with pytest.raises(ValueError):
+        mm.decode_asset(
+            b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        )
+    # chunk size field runs past the payload end: must raise, not
+    # silently clamp to a short data section
+    with pytest.raises(ValueError):
+        mm.decode_asset(
+            b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"data" + struct.pack("<I", 1000) + b"abc"
+        )
+    # avih chunk shorter than AVIMAINHEADER
+    with pytest.raises(ValueError):
+        mm.decode_asset(
+            b"RIFF" + struct.pack("<I", 20) + b"AVI "
+            + b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+        )
 
 
 def test_resize_image_nearest_neighbor():

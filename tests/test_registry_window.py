@@ -16,12 +16,13 @@ from transitdata_omm_cancellation_source_spark.plans.queries import (
 )
 
 
-def test_priority_fits_certification_window():
+def test_priority_fills_certification_window_exactly():
     resolved = [n for n in _PRIORITY if n in REGISTRY]
-    assert len(resolved) <= CERT_WINDOW, (
-        f"_PRIORITY resolves to {len(resolved)} registry entries but the "
-        f"driver certifies only the first {CERT_WINDOW}; the tail would "
-        "silently miss certification"
+    assert len(resolved) == CERT_WINDOW, (
+        f"_PRIORITY resolves to {len(resolved)} registry entries for a "
+        f"{CERT_WINDOW}-entry driver window: an over-length list silently "
+        "drops its tail past the edge, an under-length one hands the freed "
+        "slots to arbitrary registration-order entries"
     )
 
 

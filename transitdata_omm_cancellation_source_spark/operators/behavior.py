@@ -31,27 +31,14 @@ corpus-proportional crosses a second shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 _FUNNEL_WINDOW = "INTERVAL 7 DAYS"  # Spark spelling
 _FUNNEL_WINDOW_D = "INTERVAL 7 DAY"  # DuckDB spelling
 _STEPS = ("view", "click", "purchase")
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 @_q(

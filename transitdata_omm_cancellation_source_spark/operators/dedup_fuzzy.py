@@ -30,28 +30,15 @@ top-frequency shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
-from ..catalog import load_tables
 from ..functions import text as X
 from ..observability import get_json_logger
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 P = X.HASH_MOD
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 # --- shared corpus with planted near-duplicates -----------------------------

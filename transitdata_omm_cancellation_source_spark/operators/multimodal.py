@@ -50,9 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
-from ..catalog import load_tables
 from ..functions.text import HASH_MOD
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 FRAME_STRIDE = 30
 
@@ -124,10 +123,20 @@ def encode_avi(data: bytes, n_frames: int, width: int, height: int) -> bytes:
 
 
 def _riff_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
-    """Walk RIFF sub-chunks: yields (fourcc, chunk bytes)."""
+    """Walk RIFF sub-chunks: yields (fourcc, chunk bytes).
+
+    Raises ``ValueError`` when a chunk's declared size runs past the
+    payload end — silent Python-slice clamping would hand downstream
+    decoders a short buffer that *looks* valid.
+    """
     off = 12  # past RIFF header + form type
     while off + 8 <= len(payload):
         fourcc, size = struct.unpack_from("<4sI", payload, off)
+        if off + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated RIFF chunk {fourcc!r}: declares {size} bytes, "
+                f"{len(payload) - off - 8} remain"
+            )
         yield fourcc, payload[off + 8 : off + 8 + size]
         off += 8 + size + (size & 1)  # odd chunks are pad-aligned
 
@@ -159,6 +168,8 @@ def decode_asset(payload: bytes) -> dict:
         sample_rate, data = None, b""
         for fourcc, chunk in _riff_chunks(payload):
             if fourcc == b"fmt ":
+                if len(chunk) < 16:
+                    raise ValueError(f"truncated fmt chunk ({len(chunk)} bytes)")
                 _, _, sample_rate, _, _, _ = struct.unpack_from("<HHIIHH", chunk, 0)
             elif fourcc == b"data":
                 data = chunk
@@ -176,6 +187,8 @@ def decode_asset(payload: bytes) -> dict:
         hdr, data = None, b""
         for fourcc, chunk in _riff_chunks(payload):
             if fourcc == b"avih":
+                if len(chunk) < 56:
+                    raise ValueError(f"truncated avih chunk ({len(chunk)} bytes)")
                 hdr = struct.unpack_from("<14I", chunk, 0)
             elif fourcc == b"movi":
                 data = chunk
@@ -309,18 +322,6 @@ _N_BYTES_D = f"""
                              THEN {WAV_OVERHEAD} + length(clean) % 2
                          ELSE {AVI_OVERHEAD} + length(clean) % 2 END
 """
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 @_q(

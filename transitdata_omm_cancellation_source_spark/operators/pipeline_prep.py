@@ -44,15 +44,14 @@ surface per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
-from ..catalog import load_tables
 from ..functions import text as X
 from ..functions.corpus import CORPUS_SQL as _CORPUS_D
 from ..functions.corpus import planted_corpus
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 P = X.HASH_MOD
 
@@ -65,18 +64,6 @@ _POLY_D = (
     " list_transform(string_split({expr}, ''), x -> CAST(ascii(x) AS BIGINT))),"
     f" (acc, x) -> (acc * 31 + x) % {P})"
 )
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 # --- deterministic content-hash split ---------------------------------------

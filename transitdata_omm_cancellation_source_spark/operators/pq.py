@@ -33,12 +33,11 @@ this module is north-star surface per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions.hyperplane import bucket_expr_duck, bucket_expr_spark
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 from .similarity import QUERY_MOD, TOP_K
 
 #: M subspaces x DSUB dims each (M * DSUB = 64); K centroids per
@@ -66,18 +65,6 @@ _L2_D = (
 # A dot-product LUT would NOT rank an exact duplicate first — another
 # centroid can reconstruct a larger inner product than the duplicate's
 # own (distance-0) centroid; squared-L2 is uniquely minimized at 0.
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 def _vectors(t) -> DataFrame:

@@ -27,24 +27,12 @@ codes agree bit-for-bit by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions.hyperplane import HYPERPLANES, N_PLANES
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 from .similarity import QUERY_MOD, TOP_K
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 @_q(

@@ -39,12 +39,11 @@ surface per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions import text as X
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 _WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
@@ -60,18 +59,6 @@ _AND_TERMS = ("join", "vector", "sort")
 
 _TFIDF_K = 5
 _BM25_TOPN = 20
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 def _postings(docs: DataFrame) -> DataFrame:

@@ -37,12 +37,11 @@ BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions import text as X
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 _WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 _NORM_TEXT_D = f"array_to_string({_WORDS_D}, ' ')"
@@ -53,18 +52,6 @@ _POLY_D = (
     " list_transform(string_split({expr}, ''), x -> CAST(ascii(x) AS BIGINT))),"
     f" (acc, x) -> (acc * 31 + x) % {X.HASH_MOD})"
 )
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 # --- per-source mixture sampling --------------------------------------------

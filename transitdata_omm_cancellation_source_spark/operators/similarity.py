@@ -27,11 +27,10 @@ emitted value is rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
-from ..catalog import load_tables
 from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
@@ -40,7 +39,7 @@ from ..functions.hyperplane import (  # registry-free shared primitives
     bucket_expr_spark,
     broadcast_if_small,
 )
-from ..plans.queries import QuerySpec, register
+from ..plans.queries import registered_query as _q
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query set (~2% of corpus)
@@ -50,18 +49,6 @@ QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query set (~2% of corpus)
 #: bucketed variants keep the corpus-proportional query set — their
 #: equi-join candidate generation is the scale path.
 QUERY_CAP = QUERY_MOD * 32
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
 
 
 def _vectors(t) -> DataFrame:

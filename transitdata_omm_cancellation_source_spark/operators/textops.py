@@ -11,24 +11,11 @@ Spark expressions use, so parity is structural, not coincidental.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions import text as X
-from ..plans.queries import QuerySpec, register
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
+from ..plans.queries import registered_query as _q
 
 
 _WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # DuckDB form

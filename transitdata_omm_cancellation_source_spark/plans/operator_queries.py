@@ -10,10 +10,9 @@ floating-point summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
 from ..functions.scalars import (
     direction_from_gid,
     local_str_to_utc_epoch_ms,
@@ -23,21 +22,7 @@ from ..functions.scalars import (
 )
 from ..operators.dedup import priority_argmax
 from ..operators.diff import diff_counts
-from .queries import QuerySpec, register
-
-
-def _q(name: str, survey_ref: str, oracle: str | None):
-    """Decorator: register ``fn(spark, tables) -> DataFrame`` under name."""
-
-    def deco(fn):
-        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tables = load_tables(spark, sf_dir)
-            return fn(spark, tables)
-
-        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
-        return fn
-
-    return deco
+from .queries import registered_query as _q
 
 
 _CENTS = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731

@@ -70,6 +70,27 @@ def register(name: str, spec: QuerySpec) -> None:
     REGISTRY[name] = spec
 
 
+def registered_query(name: str, survey_ref: str, oracle: str | None):
+    """Decorator: register ``fn(spark, tables) -> DataFrame`` under name.
+
+    The shared registration shim every operator module aliases as
+    ``_q``: wraps a table-level builder in a ``(spark, sf_dir)`` loader
+    so the registry callable matches the driver contract.
+    """
+
+    def deco(fn):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..catalog import load_tables  # deferred: catalog-free import
+
+            tables = load_tables(spark, sf_dir)
+            return fn(spark, tables)
+
+        register(name, QuerySpec(build=build, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return deco
+
+
 def _ordered_names() -> list[str]:
     """Registry names in certification-window order.
 
@@ -127,10 +148,11 @@ from ..operators import quantize  # noqa: E402,F401
 # The driver's correctness harness verifies the FIRST 50 registry entries in
 # registration order, so with more than 50 entries some rotate out each
 # round.  ``CERT_WINDOW`` is that driver-side window size; a unit test
-# (tests/test_registry_window.py) pins ``len(_PRIORITY) == CERT_WINDOW`` and
-# that every listed name resolves, so an over-length list can never again
-# silently push an entry past the window edge (r3/r4 had 51 names and
-# ``o1_global_sort`` — #51 — missed certification two rounds running).
+# (tests/test_registry_window.py) pins ``len(_PRIORITY) == CERT_WINDOW``
+# exactly and that every listed name resolves, so an over-length list can
+# never silently push an entry past the window edge (r3/r4 had 51 names and
+# ``o1_global_sort`` — #51 — missed certification two rounds running) and a
+# deleted name can't silently hand its slot to an arbitrary entry.
 #
 # Round-5 rotation policy: flagships first, then the 32 entries with no
 # CORRECTNESS_r04 row, worst staleness first — ``corpus_prep_pipeline``
@@ -213,11 +235,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-def _reorder_registry() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-
-
-_reorder_registry()
+# No import-time reorder of REGISTRY itself: under the operator-module
+# import cycle, registrations can land after this module body runs, so
+# an import-time mutation is unreliable by construction.  The ordering
+# has ONE source of truth — ``_ordered_names()`` — applied at access
+# time by ``queries()`` / ``oracle_sql()``; consumers that need the
+# driver-facing order must go through those accessors, never iterate
+# the raw dict.
