@@ -28,15 +28,19 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
 
-def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
-    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        orders, "b_orders", "o_orderkey", n_buckets=8,
+        path=str(tmp_path / "b_orders"),
+    )
     write_bucketed(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
         "b_lineitem",
         "o_orderkey",
         n_buckets=8,
+        path=str(tmp_path / "b_lineitem"),
     )
 
     joined = read_bucketed(spark, "b_orders").join(

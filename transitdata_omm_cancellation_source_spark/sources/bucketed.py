@@ -27,16 +27,24 @@ def write_bucketed(
     key: str,
     n_buckets: int = 8,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by ``key``.
 
     Sorting within buckets lets the downstream sort-merge join skip
     its per-partition sort as well — the scan is already in join
-    order.
+    order.  ``path`` makes the table EXTERNAL at that location; with
+    an in-memory session catalog a managed table's warehouse directory
+    outlives the catalog entry, so a re-run would hit
+    LOCATION_ALREADY_EXISTS — the drop below clears the entry, the
+    explicit path keeps the data under the caller's directory.
     """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
