@@ -1,19 +1,25 @@
 """Product-quantization semantics that corpus parity can't isolate:
-seed self-encoding, code-key positional folding, and ADC ranking of an
-exact duplicate.
+seed self-encoding, code-key positional folding, ADC ranking of an
+exact duplicate, and the Lloyd-trained codebook improving on the seed
+codebook (the k-means objective is non-increasing per round).
 """
 
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from transitdata_omm_cancellation_source_spark.operators.pq import (
     DSUB,
     K_CODES,
     M_SUB,
+    _centroids,
+    _encode,
     _knn_pq,
     _pq_codes,
+    _train_codebook,
+    _vectors,
 )
 from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
 from transitdata_omm_cancellation_source_spark.testing import compare_frames
@@ -37,16 +43,29 @@ def _emb(spark, rows):
     )
 
 
-def test_seed_duplicate_gets_seed_codes_and_matches_oracle(spark):
-    # vec_ids 0..15 are the codebook seeds; 100 duplicates seed 3, so
-    # its nearest centroid in EVERY subspace is code 3 (distance 0).
+def test_seed_codebook_self_encodes(spark):
+    # Under the UNTRAINED seed codebook, seed vec_ids 0..15 encode to
+    # their own code in every subspace (distance 0 to themselves).
+    rows = [(i, _vec(i)) for i in range(K_CODES)] + [(100, _vec(3))]
+    vecs = _vectors({"embeddings": _emb(spark, rows)})
+    codes = _encode(vecs, _centroids(vecs)).collect()
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, {})[r.sub] = r.code
+    assert by_vec[3] == {s: 3 for s in range(M_SUB)}
+    assert by_vec[100] == {s: 3 for s in range(M_SUB)}  # exact duplicate
+
+
+def test_duplicate_shares_codes_and_matches_oracle(spark):
+    # 100 duplicates vec 3: under ANY codebook their per-subspace
+    # argmins coincide, so the positional code_key must match; the
+    # trained-codebook oracle pins every assignment cross-engine.
     rows = [(i, _vec(i)) for i in range(K_CODES)] + [(100, _vec(3))]
     emb = _emb(spark, rows)
     out = {r.vec_id: r for r in _pq_codes(spark, {"embeddings": emb}).collect()}
-    expect_key = sum(3 * K_CODES**s for s in range(M_SUB))
-    assert out[3].code_key == expect_key
-    assert out[100].code_key == expect_key
-    assert out[100].n_sub == M_SUB and out[100].code_sum == 3 * M_SUB
+    assert out[100].code_key == out[3].code_key
+    assert out[100].n_sub == M_SUB
+    assert out[100].code_sum == out[3].code_sum
 
     con = duckdb.connect()
     con.register(
@@ -63,10 +82,40 @@ def test_seed_duplicate_gets_seed_codes_and_matches_oracle(spark):
     ) == []
 
 
+def _distortion(vec_rows, cent_rows) -> float:
+    """k-means objective: sum over (vec, sub) of min-code ||sv - c||^2."""
+    cent = {}
+    for r in cent_rows:
+        cent.setdefault(r.sub, []).append((r.code, np.array(r.c)))
+    total = 0.0
+    for _, v in vec_rows:
+        v = np.array(v)
+        for s in range(M_SUB):
+            sv = v[s * DSUB : (s + 1) * DSUB]
+            total += min(
+                float(((sv - c) ** 2).sum()) for _, c in cent[s]
+            )
+    return total
+
+
+def test_trained_codebook_reduces_quantization_error(spark):
+    # 64 distinct vectors, 16 seeds: two Lloyd rounds must not increase
+    # the quantization objective (Lloyd is monotone; 6-decimal rounding
+    # perturbs at most ~1e-6 per term), and on this spread-out set it
+    # strictly improves.
+    rows = [(i, _vec(i)) for i in range(64)]
+    vecs = _vectors({"embeddings": _emb(spark, rows)})
+    seeded = _distortion(rows, _centroids(vecs).collect())
+    trained = _distortion(rows, _train_codebook(vecs).collect())
+    assert trained <= seeded + 1e-3
+    assert trained < seeded  # genuinely improved on this corpus
+
+
 def test_adc_ranks_exact_duplicate_first(spark):
     # query 0 (vec_id 0 is both a seed and a query: 0 % QUERY_MOD == 0)
     # has an exact duplicate at vec_id 17 — identical vector => same
-    # LSH bucket, and the maximal ADC score, so it must be rank 1.
+    # LSH bucket and same per-subspace argmin codes, so its ADC sum is
+    # the global minimum over candidates: it must be rank 1.
     rows = [(i, _vec(i)) for i in range(K_CODES)] + [
         (17, _vec(0)),
         (18, _vec(7)),

@@ -75,7 +75,14 @@ except ImportError:
 
 
 def encode_bmp(data: bytes, width: int, height: int) -> bytes:
-    """8-bpp BMP: ``BM`` file header + BITMAPINFOHEADER + raw data."""
+    """8-bpp BMP: ``BM`` file header + BITMAPINFOHEADER + raw data.
+
+    Header-exact, not pixel-layout-exact: rows are stored unpadded,
+    whereas external BMP readers expect each row padded to a 4-byte
+    boundary (same caveat as the AVI ``movi`` framing below).  The
+    in-repo decoder and the oracle both treat ``data`` as an opaque
+    section, so the round trip is byte-exact either way.
+    """
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 0, 0
     )
@@ -156,6 +163,11 @@ def decode_asset(payload: bytes) -> dict:
         hdr_size, width, height, _, _ = struct.unpack_from("<IiiHH", payload, 14)
         if hdr_size != 40:
             raise ValueError(f"unsupported BMP info header size {hdr_size}")
+        if data_off > len(payload):
+            raise ValueError(
+                f"truncated BMP: pixel data offset {data_off} past payload "
+                f"end ({len(payload)} bytes)"
+            )
         return {
             "kind": "image",
             "width": width,

@@ -12,9 +12,16 @@ makes billion-scale ANN indexes fit in memory (Jégou et al., TPAMI
 2011 — public method).
 
 Determinism discipline:
-- The codebook is the subvector set of the 16 smallest ``vec_id``
-  seeds — a deterministic, engine-independent sample (TakeOrdered 16,
-  never a random init).
+- The codebook is TRAINED: seeded with the subvector set of the 16
+  smallest ``vec_id`` vectors (a deterministic, engine-independent
+  sample — never a random init), then refined by ``PQ_TRAIN_ROUNDS``
+  per-subspace Lloyd rounds.  Each round's refold uses the same
+  chunked deterministic summation tree as ``kmeans_lloyd_centroids``
+  (fixed vec_id-range chunks folded in chunk order), every centroid
+  is rounded to 6 decimals before the next assignment, and a code
+  that loses all members keeps its previous centroid — so both
+  engines enter every round with bit-identical codebooks and the
+  oracle is the same computation unrolled as CTEs.
 - Encode argmin compares IEEE-identical distance folds (same
   expression text both engines) with an explicit code tie-break.
 - The ADC LUT is quantized to fixed-point BIGINT micro-units at
@@ -36,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..functions.hyperplane import bucket_expr_duck, bucket_expr_spark
 from ..plans.queries import registered_query as _q
 from .similarity import QUERY_MOD, TOP_K
@@ -43,6 +51,14 @@ from .similarity import QUERY_MOD, TOP_K
 #: M subspaces x DSUB dims each (M * DSUB = 64); K centroids per
 #: subspace -> 4-bit codes, 32 bits per vector.
 M_SUB, DSUB, K_CODES = 8, 8, 16
+
+#: Lloyd refinement rounds for the codebook (matches the top-level
+#: ``LLOYD_ROUNDS`` discipline: fixed, small, unrollable in SQL).
+PQ_TRAIN_ROUNDS = 2
+
+#: vec_id-range chunk width for the deterministic refold summation
+#: tree — bounds every collect_list group regardless of cluster size.
+_PQ_CHUNK = 1024
 
 #: fixed-point scale for the ADC lookup table.
 _LUT_SCALE = 1_000_000
@@ -103,7 +119,7 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "sv")
 
 
-def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, sub, code): nearest-centroid assignment per subspace.
 
     corpus x M x K distance rows flow into ONE map-side-combinable
@@ -111,7 +127,7 @@ def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     argmin is min(struct(dist, code)) — IEEE-identical dists with the
     code as the deterministic tie-break.
     """
-    dists = _subvectors(vecs).join(F.broadcast(cent), "sub").select(
+    dists = subs.join(F.broadcast(cent), "sub").select(
         "vec_id",
         "sub",
         "code",
@@ -122,7 +138,102 @@ def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-_SEED_CTE = f"""
+def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    return _assign(_subvectors(vecs), cent)
+
+
+def _train_codebook(
+    vecs: DataFrame, rounds: int = PQ_TRAIN_ROUNDS
+) -> DataFrame:
+    """Per-subspace Lloyd refinement of the seed codebook.
+
+    Each round: (1) assign every subvector to its nearest centroid
+    (the same broadcast-argmin as encode), (2) refold new centroids as
+    the per-dimension mean over members, summed through the chunked
+    deterministic tree (vec_id order within fixed chunks, chunk order
+    across — the ``_fold_centroids`` contract from similarity.py), (3)
+    round to 6 decimals so both engines enter the next round with
+    bit-identical codebooks, (4) a code with no members keeps its
+    previous centroid (left join + coalesce), so the codebook never
+    shrinks.  ``rounds=0`` returns the raw seed codebook.
+
+    Scale: assignment is N x M x K slim rows into a combinable argmin;
+    the refold is N x M x DSUB rows with group size bounded by
+    ``_PQ_CHUNK``; the evolving codebook (128 rows) is persisted each
+    round since two consumers (assign join, keep-old explode) read it.
+    """
+    cent = _centroids(vecs)
+    if rounds <= 0:
+        return cent
+    subs = persist_tracked(_subvectors(vecs))
+    for _ in range(rounds):
+        cent = persist_tracked(cent)
+        assign = _assign(subs, cent)
+        expl = subs.join(assign, ["vec_id", "sub"]).select(
+            "sub",
+            "code",
+            "vec_id",
+            F.posexplode("sv").alias("d", "x"),
+        )
+        partials = (
+            expl.withColumn("chunk", F.expr(f"vec_id div {_PQ_CHUNK}"))
+            .groupBy("sub", "code", "d", "chunk")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
+                    F.lit(0.0),
+                    lambda a, s: a + s["x"],
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        newc = (
+            partials.groupBy("sub", "code", "d")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("chunk", "s"))),
+                    F.lit(0.0),
+                    lambda a, s: a + s["s"],
+                ).alias("fs"),
+                F.sum("n").alias("n"),
+            )
+            .select(
+                "sub",
+                "code",
+                F.col("d").cast("int").alias("d"),
+                F.round(F.col("fs") / F.col("n"), 6).alias("val"),
+            )
+        )
+        old = cent.select(
+            "sub", "code", F.posexplode("c").alias("d", "oval")
+        )
+        cent = (
+            old.join(newc, ["sub", "code", "d"], "left")
+            .select(
+                "sub", "code", "d", F.coalesce("val", "oval").alias("val")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, val))),"
+                    " z -> z.val)"
+                ).alias("c")
+            )
+        )
+    return persist_tracked(cent)
+
+
+def _codebook_cte(rounds: int = PQ_TRAIN_ROUNDS) -> str:
+    """Seed + unrolled Lloyd training + final ``cent`` / ``codes`` CTEs.
+
+    The exact mirror of ``_train_codebook``: a fixed round count
+    unrolls as one (assign, fold, newc, cent) CTE quad per round, with
+    the same chunked summation tree, the same 6-decimal rounding, and
+    the same keep-old-on-empty coalesce — so every intermediate
+    codebook is bit-identical across engines.
+    """
+    parts = [
+        f"""
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -130,7 +241,7 @@ _SEED_CTE = f"""
         FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {K_CODES})
     ),
     subs AS (SELECT CAST(unnest(range(0, {M_SUB})) AS INTEGER) AS sub),
-    cent AS (
+    cent0 AS (
         SELECT s.sub, seeds.code,
                list_slice(seeds.v, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
                    AS c
@@ -141,7 +252,48 @@ _SEED_CTE = f"""
                list_slice(v.v, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
                    AS sv
         FROM v, subs s
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    assign{r} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT cs.vec_id, cs.sub, ct.code,
+                   row_number() OVER (
+                       PARTITION BY cs.vec_id, cs.sub
+                       ORDER BY {_L2_D.format(a="cs.sv", b="ct.c")}, ct.code)
+                       AS rn
+            FROM corpus_sub cs JOIN cent{r} ct ON ct.sub = cs.sub
+        ) WHERE rn = 1
     ),
+    fold{r} AS (
+        SELECT a.sub, a.code, j, cs.vec_id // {_PQ_CHUNK} AS chunk,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(cs.sv[j + 1] AS DOUBLE) ORDER BY cs.vec_id)),
+                   (acc, x) -> acc + x) AS s,
+               count(*) AS n
+        FROM corpus_sub cs
+        JOIN assign{r} a ON a.vec_id = cs.vec_id AND a.sub = cs.sub,
+             (SELECT unnest(range(0, {DSUB})) AS j)
+        GROUP BY a.sub, a.code, j, chunk
+    ),
+    newc{r} AS (
+        SELECT sub, code, CAST(j AS INTEGER) AS d,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(s ORDER BY chunk)), (acc, x) -> acc + x)
+                     / CAST(sum(n) AS DOUBLE), 6) AS val
+        FROM fold{r} GROUP BY sub, code, j
+    ),
+    cent{r + 1} AS (
+        SELECT o.sub, o.code, list(COALESCE(n.val, o.val) ORDER BY o.d) AS c
+        FROM (SELECT sub, code, CAST(d AS INTEGER) AS d, c[d + 1] AS val
+              FROM cent{r}, (SELECT unnest(range(0, {DSUB})) AS d)) o
+        LEFT JOIN newc{r} n
+          ON n.sub = o.sub AND n.code = o.code AND n.d = o.d
+        GROUP BY o.sub, o.code
+    )""")
+    parts.append(f"""
+    cent AS (SELECT sub, code, c FROM cent{rounds}),
     codes AS (
         SELECT vec_id, sub, code FROM (
             SELECT cs.vec_id, cs.sub, ct.code,
@@ -151,14 +303,18 @@ _SEED_CTE = f"""
                        AS rn
             FROM corpus_sub cs JOIN cent ct ON ct.sub = cs.sub
         ) WHERE rn = 1
-    )
-"""
+    )""")
+    return ",".join(parts)
+
+
+_SEED_CTE = _codebook_cte()
 
 
 @_q(
     "embedding_pq_codes",
-    "north-star: product-quantization encode — [8x16] seed codebook, "
-    "per-subspace argmin, 32-bit codes (positional-key checksummed)",
+    "north-star: product-quantization encode — [8x16] Lloyd-trained "
+    "codebook, per-subspace argmin, 32-bit codes (positional-key "
+    "checksummed)",
     f"""
     WITH {_SEED_CTE}
     SELECT vec_id, CAST(count(*) AS INTEGER) AS n_sub,
@@ -173,7 +329,7 @@ def _pq_codes(spark, t):
     # determines the code vector — the oracle pins every assignment
     # without hashing arrays; code_sum is the cheap cross-check.
     vecs = _vectors(t)
-    codes = _encode(vecs, _centroids(vecs))
+    codes = _encode(vecs, _train_codebook(vecs))
     return codes.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sub"),
         F.sum("code").cast("bigint").alias("code_sum"),
@@ -229,11 +385,11 @@ def _pq_codes(spark, t):
 def _knn_pq(spark, t):
     # Approximate by design on two axes, both documented: candidate
     # recall is the hyperplane bucket's (same contract as the LSH and
-    # int8 paths), and scores are the PQ reconstruction of the dot
-    # product (centroid-dot-query instead of vector-dot-query).
+    # int8 paths), and scores are the PQ reconstruction of squared L2
+    # distance (query-to-centroid instead of query-to-vector).
     # Ranking compares exact BIGINT LUT sums — no float ordering.
     vecs = _vectors(t)
-    cent = _centroids(vecs)
+    cent = _train_codebook(vecs)
     codes = _encode(vecs, cent)
     bucketed = vecs.select(
         "vec_id", bucket_expr_spark("v").alias("bucket")
