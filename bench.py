@@ -82,6 +82,20 @@ HEADLINE = [
 ]
 
 
+#: The reference polls on a 30 s cycle and warns past a 4 s query SLO
+#: (OmmPollers / slow-cycle warn, SURVEY.md §2.8); one full flagship
+#: pipeline run must fit comfortably inside it.
+FLAGSHIP_SLO_SEC = 4.0
+
+FLAGSHIPS = ("cancellation_pipeline_now", "cancellation_pipeline_past")
+
+#: Queries that execute real poll/streaming cycles: their wall time is
+#: dominated by fixed per-cycle machinery (streaming-query startup,
+#: checkpoint recovery), not data volume, so they are reported in their
+#: own section rather than polluting the batch noise-band totals.
+STREAMING_CYCLE_QUERIES = ("a3_stateful_two_cycle_poll",)
+
+
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -131,14 +145,35 @@ def main() -> None:
     # real pipeline computing several dedup variants shares exactly this.
 
     total = round(sum(timings.values()), 3)
+
+    # The driver preserves only the TAIL of this process's output, so the
+    # numbers that must survive truncation go LAST: within ``queries`` the
+    # flagships are moved to the end (their wall times were unreadable in
+    # BENCH_r05/r06 when they led the dict), and the flagship/SLO summary
+    # keys close the JSON object.  Streaming-cycle queries pay fixed
+    # query-startup + checkpoint-recovery overhead that is not a function
+    # of data volume, so they are totalled separately — ``batch_total`` is
+    # the number to compare across rounds for noise-band math.
+    ordered = {n: t for n, t in timings.items() if n not in FLAGSHIPS}
+    ordered.update({n: timings[n] for n in FLAGSHIPS if n in timings})
+    streaming_overhead = {
+        n: timings[n] for n in STREAMING_CYCLE_QUERIES if n in timings
+    }
+    flagship = {n: timings[n] for n in FLAGSHIPS if n in timings}
+    slowest_flagship = max(flagship.values(), default=0.0)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "queries": ordered,
+                "streaming_cycle_overhead": streaming_overhead,
+                "batch_total": round(total - sum(streaming_overhead.values()), 3),
+                "flagship": flagship,
+                "flagship_slo_sec": FLAGSHIP_SLO_SEC,
+                "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
             }
         )
     )

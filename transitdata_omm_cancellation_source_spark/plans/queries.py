@@ -9,8 +9,10 @@ driver's correctness harness.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -101,9 +103,9 @@ def _ordered_names() -> list[str]:
     driver-facing ``queries()`` / ``oracle_sql()`` sequence independent
     of which module happened to be imported first.
     """
-    pri = [n for n in _PRIORITY if n in REGISTRY]
-    seen = set(pri)
-    return pri + [n for n in REGISTRY if n not in seen]
+    window = [n for n in certification_window() if n in REGISTRY]
+    seen = set(window)
+    return window + [n for n in REGISTRY if n not in seen]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -143,96 +145,101 @@ from ..operators import pq  # noqa: E402,F401
 from ..operators import quantize  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Certification-window ordering.
+# Certification-window ordering — COMPUTED, never hand-edited.
 #
-# The driver's correctness harness verifies the FIRST 50 registry entries in
-# registration order, so with more than 50 entries some rotate out each
-# round.  ``CERT_WINDOW`` is that driver-side window size; a unit test
-# (tests/test_registry_window.py) pins ``len(_PRIORITY) == CERT_WINDOW``
-# exactly and that every listed name resolves, so an over-length list can
-# never silently push an entry past the window edge (r3/r4 had 51 names and
-# ``o1_global_sort`` — #51 — missed certification two rounds running) and a
-# deleted name can't silently hand its slot to an arbitrary entry.
+# The driver's correctness harness verifies the FIRST ``CERT_WINDOW``
+# registry entries each round, so with more entries than window slots some
+# rotate out.  Earlier rounds encoded the rotation as a hand-maintained
+# tuple; a round that skipped the edit froze the window and let 39 queries
+# go 2+ rounds without driver evidence (r5→r6).  The rotation is now
+# derived at access time from the driver's own ``CORRECTNESS_r*.json``
+# history, so skipping a round ADVANCES the rotation instead of freezing
+# it: whatever the driver just certified moves to the back of the queue.
 #
-# Round-5 rotation policy: flagships first, then the 32 entries with no
-# CORRECTNESS_r04 row, worst staleness first — ``corpus_prep_pipeline``
-# (one lifetime green, r3), ``o1_global_sort`` (green r1+r2 only), the
-# r3-green lifecycle/dedup/knn/textops/tpch families, and the two
-# rows-only sketch paths (rows-recorded r3 only).  The remaining 16 slots
-# go to the r4-certified queries with the fewest lifetime green rows: the
-# six queries new in r4 (one green each) and ten of the twice-green r2/r3
-# families.  Every entry left outside the window is r4-green, so after r5
-# no oracle-backed query is more than one round stale and every one has
-# ≥2 lifetime green rows.
-# Names absent from the list keep their original relative order after the
-# prioritized ones; listed-but-unregistered names are ignored, so this
-# stays correct as queries are added or renamed.
+# Policy (see ``_rotation_order``): flagships pinned first, then every
+# other registered query ordered by (last-certified round ascending —
+# never-certified first, stalest next), lifetime certification count
+# ascending, registration order).  Staleness is the primary key because it
+# yields a structural guarantee: with W window slots and N registry
+# entries, no query's driver evidence can ever be older than
+# ceil((N-2)/(W-2)) rounds, regardless of what any human remembers to do.
 # ---------------------------------------------------------------------------
 CERT_WINDOW = 50
 
-_PRIORITY: tuple[str, ...] = (
-    # flagships — always certified
+_FLAGSHIPS: tuple[str, ...] = (
     "cancellation_pipeline_now",
     "cancellation_pipeline_past",
-    # stale set: no r4 row; worst-first
-    "corpus_prep_pipeline",
-    "o1_global_sort",
-    "a3_stateful_two_cycle_poll",
-    "e3_protobuf_roundtrip",
-    "s6_keyed_message_encode",
-    "mm_asset_table",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_edit_distance",
-    "dedup_cluster_canonical",
-    "knn_bruteforce_cosine",
-    "knn_lsh_hyperplane",
-    "knn_ivf_label",
-    "embedding_label_centroid",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "events_json_props_extract",
-    "events_tumbling_window",
-    "events_session_window",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue",
-    "window_running_customer_total",
-    # rows-only sketch paths — rows recorded r3 only, refresh
-    "events_value_quantiles_sketch",
-    "events_distinct_users_sketch",
-    # new in r5 — never driver-verified
-    "events_scd2_user_status",
-    "events_funnel_conversion",
-    "embedding_standardize",
-    "events_retention_cohorts",
-    "lineitem_basket_pairs",
-    "embedding_pq_codes",
-    "knn_pq_adc",
-    # r4-certified with a single lifetime green (new in r4)
-    "text_tfidf_topk",
-    "text_bm25_search",
-    "docs_keyword_search",
-    "corpus_mixture_sample",
-    "corpus_stratified_split",
-    "events_hopping_window",
-    # twice-green (r2+r4) fill to the window edge
-    "events_segment_enrich_salted",
-    "orders_above_2x_customer_avg",
-    "promo_revenue_share_monthly",
-    # everything not listed is r4-green with >= 2 lifetime green rows
-    # (micro-probes, corpus-prep ops, int8/knn, events navigation
-    # family, r2-green analytics, and the three twice-green fillers
-    # displaced by the r5-new queries) and follows in original
-    # registration order, sitting out this round.
 )
+
+# Repo root (…/transitdata_omm_cancellation_source_spark/plans/queries.py →
+# two levels up) — where the driver writes CORRECTNESS_r{N}.json.
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+_HISTORY_CACHE: dict[str, list[int]] | None = None
+
+
+def _certification_history() -> dict[str, list[int]]:
+    """Rounds in which each query got driver evidence, oldest→newest.
+
+    A round counts as evidence only for a full oracle match
+    (``hash_match`` true).  Red rows do NOT count — a failing query
+    stays at the front of the rotation until it passes — and neither do
+    rows-only ``no_oracle`` checks: that evidence is strictly weaker, so
+    a query carrying only it keeps rotation priority until it earns a
+    hash-green row (and a permanently non-SQL-expressible query gets its
+    weak check refreshed every round rather than going stale).  File
+    reads are cached for the process lifetime: the driver writes a new
+    CORRECTNESS file only between sessions, and a stable order within
+    one session is required anyway (``queries()`` and ``oracle_sql()``
+    must agree).
+    """
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is None:
+        history: dict[str, list[int]] = {}
+        for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+            try:
+                round_no = int(path.stem.rsplit("_r", 1)[1])
+                rows = json.loads(path.read_text())
+            except (IndexError, ValueError, OSError):
+                continue  # unrelated or malformed file — not evidence
+            if not isinstance(rows, dict):
+                continue
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                if row.get("hash_match") is True:
+                    history.setdefault(name, []).append(round_no)
+        for greens in history.values():
+            greens.sort()
+        _HISTORY_CACHE = history
+    return _HISTORY_CACHE
+
+
+def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str]:
+    """Stalest-first total order over ``names`` given driver history.
+
+    Pure function of its inputs so tests can drive it with synthetic
+    histories.  Sort key, ascending: (round of most recent driver
+    evidence — ``-1`` i.e. first when never certified —, lifetime
+    evidence count, position in ``names``).  The sort is stable and the
+    final key is the input position, so the order is fully deterministic.
+    """
+
+    def key(pair: tuple[int, str]):
+        index, name = pair
+        greens = history.get(name, [])
+        return (greens[-1] if greens else -1, len(greens), index)
+
+    return [name for _, name in sorted(enumerate(names), key=key)]
+
+
+def certification_window() -> tuple[str, ...]:
+    """The first ``CERT_WINDOW`` names the driver will verify this round."""
+    flagships = [n for n in _FLAGSHIPS if n in REGISTRY]
+    rest = _rotation_order(
+        [n for n in REGISTRY if n not in _FLAGSHIPS], _certification_history()
+    )
+    return tuple((flagships + rest)[:CERT_WINDOW])
 
 
 # No import-time reorder of REGISTRY itself: under the operator-module
