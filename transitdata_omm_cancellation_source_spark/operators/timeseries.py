@@ -167,48 +167,87 @@ def _top_users_per_type(spark, t):
 
 @_q(
     "events_value_quantiles_sketch",
-    "north-star 100 TB path: one-pass mergeable quantile sketch (approx_percentile)",
-    None,  # sketch values are engine-specific — no cross-engine oracle;
-    # pinned instead by tests/test_sketches.py error bounds vs the
-    # exact events_value_quantiles query.
+    "north-star 100 TB path: one-pass mergeable quantile sketch "
+    "(approx_percentile) with its rank-error contract hash-certified",
+    """
+    SELECT event_type, count(*) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
 )
 def _value_quantiles_sketch(spark, t):
     # The scale path the exact query's docstring promises: a GK/KLL-
-    # style summary built in ONE pass with map-side partial merge —
-    # no per-group sort, bounded memory per task, mergeable across any
-    # partitioning.  At 100 TB this is the only quantile shape that
-    # doesn't spill-sort the fact table; accuracy 10000 bounds rank
-    # error at 1e-4 * n.
-    q = t["events"].groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+    # style summary built in ONE pass with map-side partial merge — no
+    # per-group sort, bounded memory per task, mergeable across any
+    # partitioning.  Sketch VALUES are engine- and merge-order-specific,
+    # so they can't be hash-compared cross-engine; what CAN be is the
+    # sketch's documented contract — accuracy 10000 bounds rank error at
+    # 1e-4·n (floor((p−ε)n) ≤ rank(result) ≤ ceil((p+ε)n)).  The query
+    # therefore re-ranks each sketch output against the empirical CDF
+    # (one extra pass, certification-only) and emits the within-bound
+    # verdicts as booleans the driver's value hash covers: the oracle
+    # asserts TRUE, so a sketch drifting out of contract turns the row
+    # red.  Tolerance = ε + 4/n (±1-element discreteness at each of the
+    # two rank boundaries, doubled for duplicate-value ties).
+    sketch = t["events"].groupBy("event_type").agg(
         F.expr(
             "approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)"
         ).alias("q"),
     )
-    return q.select(
+    joined = t["events"].join(F.broadcast(sketch), "event_type")
+    cdf = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.col("q")[i], 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i in range(3)
+        ],
+    )
+    tol = 1e-4 + 4.0 / F.col("n")
+    return cdf.select(
         "event_type",
         "n",
-        F.round(q["q"][0], 6).alias("p50"),
-        F.round(q["q"][1], 6).alias("p90"),
-        F.round(q["q"][2], 6).alias("p99"),
+        *[
+            (F.abs(F.col(f"c{i}") / F.col("n") - F.lit(p)) <= tol).alias(
+                f"p{int(p * 100)}_rank_ok"
+            )
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
     )
 
 
 @_q(
     "events_distinct_users_sketch",
-    "north-star 100 TB path: HLL++ distinct-count sketch (approx_count_distinct)",
-    None,  # HLL register values are engine-specific — rows-only here;
-    # pinned by tests/test_sketches.py relative-error bound vs the
-    # exact distinct_users_per_event_type query.
+    "north-star 100 TB path: HLL++ distinct-count sketch "
+    "(approx_count_distinct) with its relative-error contract hash-certified",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS hll_rel_err_ok
+    FROM events GROUP BY event_type
+    """,
 )
 def _distinct_users_sketch(spark, t):
     # Exact per-group distinct needs a (group, user) de-dup shuffle
     # before counting; the HLL++ sketch replaces that with fixed-size
     # mergeable registers updated in one pass — the standard trade at
-    # fact scale.  rsd 0.02 => ~2 % typical relative error.
-    return t["events"].groupBy("event_type").agg(
+    # fact scale.  HLL register values are engine-specific, so the
+    # sketch estimate itself can't be hash-compared; its CONTRACT can:
+    # rsd 0.02 ⇒ ~2 % typical relative error, and register merges are
+    # per-register max (commutative, associative), so the estimate is
+    # deterministic for a given dataset regardless of partitioning.
+    # The query emits |approx − exact|/exact ≤ 0.05 (2.5 σ) as a
+    # boolean the driver's value hash covers — the exact side doubles
+    # as the certification payload the oracle recomputes.
+    agg = t["events"].groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("n_users")) / F.col("n_users")
+    return agg.select(
+        "event_type", "n_events", "n_users", (rel_err <= 0.05).alias("hll_rel_err_ok")
     )
 
 
