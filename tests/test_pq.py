@@ -99,16 +99,51 @@ def _distortion(vec_rows, cent_rows) -> float:
 
 
 def test_trained_codebook_reduces_quantization_error(spark):
-    # 64 distinct vectors, 16 seeds: two Lloyd rounds must not increase
-    # the quantization objective (Lloyd is monotone; 6-decimal rounding
-    # perturbs at most ~1e-6 per term), and on this spread-out set it
-    # strictly improves.
+    # 64 distinct vectors, 16 seeds.  Training reads only the
+    # deterministic sample vec_id % PQ_TRAIN_MOD == 0; Lloyd is monotone
+    # ON THAT SAMPLE (6-decimal rounding perturbs at most ~1e-6 per
+    # term), so the sample objective must not increase.  The full-corpus
+    # objective has no such theorem — its strict decrease here is an
+    # empirical pin on this deterministic spread-out corpus, guarding
+    # against a training regression that overfits the sample.
+    from transitdata_omm_cancellation_source_spark.operators.pq import (
+        PQ_TRAIN_MOD,
+    )
+
     rows = [(i, _vec(i)) for i in range(64)]
+    sample = [r for r in rows if r[0] % PQ_TRAIN_MOD == 0]
     vecs = _vectors({"embeddings": _emb(spark, rows)})
-    seeded = _distortion(rows, _centroids(vecs).collect())
-    trained = _distortion(rows, _train_codebook(vecs).collect())
-    assert trained <= seeded + 1e-3
-    assert trained < seeded  # genuinely improved on this corpus
+    seed_cent = _centroids(vecs).collect()
+    trained_cent = _train_codebook(vecs).collect()
+    assert _distortion(sample, trained_cent) <= (
+        _distortion(sample, seed_cent) + 1e-3
+    )
+    assert _distortion(rows, trained_cent) < _distortion(rows, seed_cent)
+
+
+def test_codebook_shared_across_pq_queries(spark):
+    # Both PQ queries consume one trained codebook per (session, corpus
+    # plan): the second request returns the SAME DataFrame (no second
+    # training).  The artifact is a materialized local relation holding
+    # zero executor memory, so it SURVIVES release_tracked (which frees
+    # cluster cache, not driver-side trained artifacts) — while a
+    # different corpus plan still trains its own codebook.
+    from transitdata_omm_cancellation_source_spark.caching import (
+        release_tracked,
+    )
+    from transitdata_omm_cancellation_source_spark.operators.pq import (
+        _shared_codebook,
+    )
+
+    rows = [(i, _vec(i)) for i in range(K_CODES)]
+    emb = _emb(spark, rows)
+    first = _shared_codebook(spark, _vectors({"embeddings": emb}))
+    again = _shared_codebook(spark, _vectors({"embeddings": emb}))
+    assert again is first
+    release_tracked()
+    assert _shared_codebook(spark, _vectors({"embeddings": emb})) is first
+    other = _emb(spark, rows + [(99, _vec(1))])
+    assert _shared_codebook(spark, _vectors({"embeddings": other})) is not first
 
 
 def test_adc_ranks_exact_duplicate_first(spark):

@@ -36,7 +36,9 @@ class QuerySpec:
     (total-shingle-mass agg + capped hot-shingle collect),
     ``knn_bruteforce_cosine`` (query-sample count for the broadcast
     gate), ``dedup_cluster_canonical`` / ``kmeans_lloyd_centroids``
-    (one convergence count per iteration round).  Plan-only consumers
+    (one convergence count per iteration round),
+    ``embedding_pq_codes`` / ``knn_pq_adc`` (first use per session
+    trains and collects the fixed 128-row PQ codebook artifact).  Plan-only consumers
     (EXPLAIN tooling, plan-shape tests) should expect those builders to
     submit jobs; everything else stays lazy.
     """
