@@ -131,15 +131,29 @@ def _hot_shingles(sh: DataFrame) -> list[int]:
     bound part of the physical plan (CollectLimit) rather than an
     argument in a comment, so the collect can never return more than
     ``_HOT_SHINGLE_LIMIT`` rows regardless of corpus size.
+
+    One pass over the shingle sets: the document-frequency aggregation
+    is the only scan of ``sh`` — total shingle mass is its marginal
+    (``Σ_shingles df == Σ_docs |shingles|``), read off the persisted
+    frequency frame instead of a separate pre-pass.  The frequency
+    frame is distinct-shingle-sized (the same scale the inverted-index
+    join already shuffles) and is released with the other tracked
+    frames.  The hot set is ordered (df DESC, shingle) before the
+    limit, so even a limit that fired (impossible by pigeonhole) would
+    keep the HOTTEST shingles and stay deterministic, never
+    partition-order-dependent.
     """
-    total_mass = sh.agg(F.sum(F.size("shingles"))).first()[0] or 0
+    freq = persist_tracked(
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total_mass = freq.agg(F.sum("df")).first()[0] or 0
     cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
     hot = [
         r[0]
-        for r in sh.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cap)
+        for r in freq.filter(F.col("df") > cap)
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
         .limit(_HOT_SHINGLE_LIMIT)
         .collect()
     ]
