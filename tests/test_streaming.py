@@ -31,6 +31,60 @@ def test_snapshot_two_cycles(spark, tmp_path):
     assert c2["new"] == 0 and c2["repeated"] == c2["total"] == c1["total"]
 
 
+def test_redelivered_cycle_is_idempotent_under_compaction(spark, tmp_path):
+    """At-least-once redelivery must be invisible to a compacting consumer.
+
+    The reference re-publishes the full current result set every cycle
+    (at-least-once, intentionally not deduplicated on send); consumers
+    that need exactly-once state read the topic COMPACTED — latest
+    message per key.  So the sink contract is: re-running a cycle over
+    the same source data (crash-between-sink-and-snapshot, scheduler
+    retry) may append duplicates, but the compacted view — key set and
+    each key's full latest payload — must be byte-identical.  A key
+    whose payload drifted between identical cycles (nondeterministic
+    encode, clock leaking into the value) would silently corrupt
+    compacted-consumer state; this pins it.
+    """
+    from pyspark.sql import functions as F
+
+    load_tables(spark, SF_SMOKE)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    sink = str(tmp_path / "sink")
+
+    def compacted():
+        # latest-per-key, full payload: what a compacting broker keeps
+        return {
+            tuple(r)
+            for r in spark.read.parquet(sink)
+            .select("key", "value", "event_time_ms", "prop_dvj_id", "prop_schema")
+            .distinct()
+            .collect()
+        }
+
+    c1 = run_poll_cycle(spark, store, QueryParams(mode="NOW"), sink_dir=sink)
+    first_rows = spark.read.parquet(sink).count()
+    first_compacted = compacted()
+    assert first_rows == c1["total"] > 0
+    assert len(first_compacted) == first_rows  # one payload per key per cycle
+
+    # Redeliver: same source data, same params — e.g. the scheduler
+    # re-running a tick whose sink write landed but whose ack didn't.
+    run_poll_cycle(spark, store, QueryParams(mode="NOW"), sink_dir=sink)
+    assert spark.read.parquet(sink).count() == 2 * first_rows  # at-least-once kept
+    assert compacted() == first_compacted  # no new key, no payload drift
+
+    # The per-key guarantee explicitly: every key still has exactly one
+    # distinct payload across both deliveries.
+    payloads_per_key = (
+        spark.read.parquet(sink)
+        .groupBy("key")
+        .agg(F.count_distinct("value", "event_time_ms").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert payloads_per_key == 1
+
+
 def test_snapshot_store_versioning(spark, tmp_path):
     load_tables(spark, SF_SMOKE)
     store = SnapshotStore(str(tmp_path / "snap"))
