@@ -83,10 +83,16 @@ def test_duplicate_shares_codes_and_matches_oracle(spark):
 
 
 def _distortion(vec_rows, cent_rows) -> float:
-    """k-means objective: sum over (vec, sub) of min-code ||sv - c||^2."""
+    """k-means objective: sum over (vec, sub) of min-code ||sv - c||^2.
+
+    Codebook coordinates are BIGINT micro-units (1e-6); rescale to the
+    original coordinate units before comparing against the raw floats.
+    """
     cent = {}
     for r in cent_rows:
-        cent.setdefault(r.sub, []).append((r.code, np.array(r.c)))
+        cent.setdefault(r.sub, []).append(
+            (r.code, np.array(r.c, dtype=float) / 1e6)
+        )
     total = 0.0
     for _, v in vec_rows:
         v = np.array(v)

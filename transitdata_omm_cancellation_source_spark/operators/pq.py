@@ -11,7 +11,9 @@ vector: 64x smaller than the float corpus, the representation that
 makes billion-scale ANN indexes fit in memory (Jégou et al., TPAMI
 2011 — public method).
 
-Determinism discipline:
+Determinism discipline — the ENTIRE path is exact integer
+arithmetic in micro-units (coordinate x -> floor(x * 1e6 + 0.5) as
+BIGINT, applied ONCE to the bit-identical parquet doubles):
 - The codebook is TRAINED: seeded with the subvector set of the 16
   smallest ``vec_id`` vectors (a deterministic, engine-independent
   sample — never a random init), then refined by ``PQ_TRAIN_ROUNDS``
@@ -20,23 +22,26 @@ Determinism discipline:
   training on a bounded subset rather than the corpus (full-corpus
   assignment per round is N x M x K distance rows: a scale-killer at
   100 TB and the r6 bench's only regression).  Each round's refold
-  sums member coordinates in fixed-point BIGINT micro-units
-  (the ``embedding_standardize`` discipline: exact integer sums are
-  associative, so the mean is partitioning-independent with no sorted
-  folds), every centroid is rounded to 6 decimals before the
-  next assignment, and a code that loses all members keeps its
-  previous centroid — so both engines enter every round with
-  bit-identical codebooks and the oracle is the same computation
-  unrolled as CTEs.
+  is an exact BIGINT sum of member micro-coordinates (associative ⇒
+  partitioning-independent) and the new centroid coordinate is the
+  INTEGER round-half-up mean floor((2·sx + n) / (2·n)) — computed
+  with ``%``/``div`` only, no doubles — so both engines enter every
+  round with IDENTICAL integer codebooks.  (The previous float form
+  rounded the mean to 6 decimals via each engine's ``round``; Spark's
+  exact-decimal HALF_UP and DuckDB's float-math round can differ by
+  1 ulp, which flipped an ADC fixed-point cell at sf0.001.)  A code
+  that loses all members keeps its previous centroid, so the codebook
+  never shrinks; the oracle unrolls the same computation as CTEs.
 - Both PQ queries SHARE one trained codebook per (session, corpus
   plan): training runs once even when a session builds encode and
   search back-to-back (previously each call trained independently and
   accumulated its own persisted frames).
-- Encode argmin compares IEEE-identical distance folds (same
-  expression text both engines) with an explicit code tie-break.
-- The ADC LUT is quantized to fixed-point BIGINT micro-units at
-  build, so candidate scores are exact integer sums — ranking never
-  compares floats.
+- Encode argmin compares exact BIGINT squared distances (micro-unit
+  fold, identical on both engines) with an explicit code tie-break.
+- The ADC LUT entries are the same exact BIGINT squared distances, so
+  candidate scores are exact integer sums — ranking never compares
+  floats; the reported ``adc_dist2`` is a single IEEE division of the
+  identical BIGINT score by 1e12 (bit-identical cross-engine).
 
 Scale notes (100 TB): the codebook (128 rows) and the per-query LUT
 (|queries| x 128) are fixed-size broadcasts; encode is corpus x M x K
@@ -72,21 +77,34 @@ PQ_TRAIN_ROUNDS = 2
 #: so the codebook is complete even when the sample is tiny.
 PQ_TRAIN_MOD = 8
 
-#: fixed-point scale for the ADC lookup table.
+#: micro-unit coordinate scale: every coordinate is quantized ONCE to
+#: ``floor(x * _LUT_SCALE + 0.5)`` as BIGINT; squared distances are
+#: therefore exact integers in units of 1 / _LUT_SCALE**2.
 _LUT_SCALE = 1_000_000
 
-#: squared-L2 fold between a subvector and a centroid — identical
-#: expression text on both engines (same zip, same fold order).
+#: exact integer squared-L2 fold between two micro-unit BIGINT arrays
+#: — identical expression semantics on both engines, and since every
+#: term is an integer the result is order-independent anyway.
 _L2_S = (
     "aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)),"
-    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 )
 _L2_D = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
     " list_transform(list_zip({a}, {b}),"
-    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
-    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))),"
+    " z -> (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT))"
+    " * (CAST(z[1] AS BIGINT) - CAST(z[2] AS BIGINT)))),"
     " (acc, x) -> acc + x)"
+)
+
+#: integer round-half-up mean floor((2*sx + n) / (2n)) with C-style
+#: ``%`` normalized to a positive remainder first, so truncating
+#: division (Spark ``div`` / DuckDB ``//``) is exact — no doubles.
+_IMEAN_S = (
+    "(2*sx + n - ((((2*sx + n) % (2*n)) + 2*n) % (2*n))) div (2*n)"
+)
+_IMEAN_D = (
+    "(2*sx + n - ((((2*sx + n) % (2*n)) + 2*n) % (2*n))) // (2*n)"
 )
 # ADC is the classic L2 form: each candidate's distance is the sum of
 # its M subspace ||query_sub - centroid||² LUT entries (Jégou et al.).
@@ -96,24 +114,32 @@ _L2_D = (
 
 
 def _vectors(t) -> DataFrame:
+    """(vec_id, v double[], u bigint[]): raw doubles for the hyperplane
+    bucket, micro-unit integers for every distance computation."""
     return t["embeddings"].select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * {_LUT_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("u"),
     )
 
 
 def _centroids(vecs: DataFrame) -> DataFrame:
-    """[M x K] codebook: subvectors of the 16 smallest-vec_id seeds."""
+    """[M x K] codebook: micro-unit subvectors of the 16 smallest-vec_id
+    seeds."""
     seeds = vecs.orderBy("vec_id").limit(K_CODES)
     w = Window.orderBy("vec_id")
     coded = seeds.select(
-        (F.row_number().over(w) - 1).cast("int").alias("code"), "v"
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "u"
     )
     return coded.select(
         "code",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {M_SUB - 1}),"
-                f" s -> slice(v, s * {DSUB} + 1, {DSUB}))"
+                f" s -> slice(u, s * {DSUB} + 1, {DSUB}))"
             )
         ).alias("sub", "c"),
     ).select(F.col("sub").cast("int").alias("sub"), "code", "c")
@@ -125,7 +151,7 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {M_SUB - 1}),"
-                f" s -> slice(v, s * {DSUB} + 1, {DSUB}))"
+                f" s -> slice(u, s * {DSUB} + 1, {DSUB}))"
             )
         ).alias("sub", "sv"),
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "sv")
@@ -136,8 +162,8 @@ def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
 
     corpus x M x K distance rows flow into ONE map-side-combinable
     argmin aggregation; the codebook side is a 128-row broadcast.  The
-    argmin is min(struct(dist, code)) — IEEE-identical dists with the
-    code as the deterministic tie-break.
+    argmin is min(struct(dist, code)) — exact BIGINT micro-unit dists
+    with the code as the deterministic tie-break.
     """
     dists = subs.join(F.broadcast(cent), "sub").select(
         "vec_id",
@@ -162,15 +188,14 @@ def _train_codebook(
     Training reads only the deterministic sample
     ``vec_id % PQ_TRAIN_MOD == 0``.  Each round: (1) assign every
     SAMPLE subvector to its nearest centroid (the same broadcast-argmin
-    as encode), (2) refold new centroids as the per-dimension mean over
-    sample members, summed in fixed-point BIGINT micro-units (exact
-    integer sums are associative ⇒ partitioning-independent; the
-    ``embedding_standardize`` discipline), (3) round to 6
-    decimals so both engines enter the next round with bit-identical
-    codebooks, (4) a code with no sample members keeps its previous
-    centroid (the driver-side merge only overwrites dimensions the
-    refold produced), so the codebook never shrinks.  ``rounds=0``
-    returns the raw seed codebook.
+    as encode), (2) refold new centroids as the per-dimension INTEGER
+    round-half-up mean of the members' micro-unit coordinates (exact
+    BIGINT sums are associative ⇒ partitioning-independent; the
+    integer mean needs no doubles, so both engines enter the next
+    round with identical integer codebooks), (3) a code with no sample
+    members keeps its previous centroid (the driver-side merge only
+    overwrites dimensions the refold produced), so the codebook never
+    shrinks.  ``rounds=0`` returns the raw seed codebook.
 
     Scale: assignment is (N / PQ_TRAIN_MOD) x M x K slim rows into a
     combinable argmin; the refold is (N / PQ_TRAIN_MOD) x M x DSUB rows
@@ -196,7 +221,7 @@ def _train_codebook(
     subs = persist_tracked(
         _subvectors(vecs.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0))
     )
-    schema = "sub int, code int, c array<double>"
+    schema = "sub int, code int, c array<bigint>"
     for _ in range(rounds):
         cent = spark.createDataFrame(
             [(s, k, c) for (s, k), c in sorted(cent_rows.items())], schema
@@ -222,20 +247,13 @@ def _train_codebook(
             "sub", "code", F.posexplode("sv").alias("d", "x")
         )
         newc = (
-            expl.withColumn(
-                "xq",
-                F.expr(f"CAST(floor(x * {_LUT_SCALE}.0 + 0.5) AS BIGINT)"),
-            )
-            .groupBy("sub", "code", "d")
-            .agg(F.sum("xq").alias("sx"), F.count(F.lit(1)).alias("n"))
+            expl.groupBy("sub", "code", "d")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
             .select(
                 "sub",
                 "code",
                 F.col("d").cast("int").alias("d"),
-                F.expr(
-                    "round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
-                    f" / {_LUT_SCALE}.0, 6)"
-                ).alias("val"),
+                F.expr(_IMEAN_S).cast("bigint").alias("val"),
             )
         )
         for r in newc.collect():
@@ -277,7 +295,7 @@ def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:
     if codebook is None:
         rows = _train_codebook(vecs).collect()
         codebook = spark.createDataFrame(
-            rows, "sub int, code int, c array<double>"
+            rows, "sub int, code int, c array<bigint>"
         )
         _CODEBOOK_CACHE[key] = codebook
     return codebook
@@ -288,28 +306,33 @@ def _codebook_cte(rounds: int = PQ_TRAIN_ROUNDS) -> str:
 
     The exact mirror of ``_train_codebook``: a fixed round count
     unrolls as one (assign, newc, cent) CTE triple per round, with the
-    same fixed-point integer refold, the same 6-decimal rounding, and
-    the same keep-old-on-empty coalesce — so every intermediate
-    codebook is bit-identical across engines.
+    same one-shot micro-unit coordinate quantization, the same exact
+    BIGINT refold + integer round-half-up mean, and the same
+    keep-old-on-empty coalesce — so every intermediate codebook is
+    IDENTICAL (integer-equal, not merely float-close) across engines.
     """
     parts = [
         f"""
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x * {_LUT_SCALE}.0 + 0.5) AS BIGINT))
+                     AS u
+          FROM embeddings),
     seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                   AS code, v
-        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {K_CODES})
+                   AS code, u
+        FROM (SELECT vec_id, u FROM v ORDER BY vec_id LIMIT {K_CODES})
     ),
     subs AS (SELECT CAST(unnest(range(0, {M_SUB})) AS INTEGER) AS sub),
     cent0 AS (
         SELECT s.sub, seeds.code,
-               list_slice(seeds.v, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
+               list_slice(seeds.u, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
                    AS c
         FROM seeds, subs s
     ),
     corpus_sub AS (
         SELECT vec_id, s.sub,
-               list_slice(v.v, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
+               list_slice(v.u, s.sub * {DSUB} + 1, s.sub * {DSUB} + {DSUB})
                    AS sv
         FROM v, subs s
     ),
@@ -330,15 +353,16 @@ def _codebook_cte(rounds: int = PQ_TRAIN_ROUNDS) -> str:
         ) WHERE rn = 1
     ),
     newc{r} AS (
-        SELECT a.sub, a.code, CAST(j AS INTEGER) AS d,
-               round(CAST(sum(CAST(floor(CAST(cs.sv[j + 1] AS DOUBLE)
-                                          * {_LUT_SCALE}.0 + 0.5) AS BIGINT))
-                          AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) / {_LUT_SCALE}.0, 6) AS val
-        FROM train_sub cs
-        JOIN assign{r} a ON a.vec_id = cs.vec_id AND a.sub = cs.sub,
-             (SELECT unnest(range(0, {DSUB})) AS j)
-        GROUP BY a.sub, a.code, j
+        SELECT sub, code, d, CAST({_IMEAN_D} AS BIGINT) AS val
+        FROM (
+            SELECT a.sub, a.code, CAST(j AS INTEGER) AS d,
+                   CAST(sum(cs.sv[j + 1]) AS BIGINT) AS sx,
+                   count(*) AS n
+            FROM train_sub cs
+            JOIN assign{r} a ON a.vec_id = cs.vec_id AND a.sub = cs.sub,
+                 (SELECT unnest(range(0, {DSUB})) AS j)
+            GROUP BY a.sub, a.code, j
+        )
     ),
     cent{r + 1} AS (
         SELECT o.sub, o.code, list(COALESCE(n.val, o.val) ORDER BY o.d) AS c
@@ -402,7 +426,7 @@ def _pq_codes(spark, t):
     f"""
     WITH {_CODEBOOK_CTE},
     qs AS (
-        SELECT vec_id, v, {bucket_expr_duck("v")} AS bucket
+        SELECT vec_id, v, u, {bucket_expr_duck("v")} AS bucket
         FROM v WHERE vec_id % {QUERY_MOD} = 0
     ),
     corpus_b AS (
@@ -410,11 +434,11 @@ def _pq_codes(spark, t):
     ),
     lut AS (
         SELECT q.vec_id AS query_id, ct.sub, ct.code,
-               CAST(floor({_L2_D.format(
-                   a=f"list_slice(q.v, ct.sub * {DSUB} + 1,"
+               {_L2_D.format(
+                   a=f"list_slice(q.u, ct.sub * {DSUB} + 1,"
                      f" ct.sub * {DSUB} + {DSUB})",
                    b="ct.c",
-               )} * {_LUT_SCALE}.0 + 0.5) AS BIGINT) AS qd
+               )} AS qd
         FROM qs q, cent ct
     ),
     cand AS (
@@ -431,7 +455,7 @@ def _pq_codes(spark, t):
         GROUP BY 1, 2
     )
     SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
-           round(CAST(s AS DOUBLE) / {_LUT_SCALE}.0, 6) AS adc_dist2
+           CAST(s AS DOUBLE) / {_LUT_SCALE * _LUT_SCALE}.0 AS adc_dist2
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY s ASC, neighbor_id) AS rnk
           FROM scored)
@@ -452,12 +476,12 @@ def _knn_pq(spark, t):
     )
     qs = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        "v",
+        "u",
         bucket_expr_spark("v").alias("bucket"),
     )
     lut = (
         _subvectors(
-            qs.select(F.col("query_id").alias("vec_id"), "v")
+            qs.select(F.col("query_id").alias("vec_id"), "u")
         )
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cent), "sub")
@@ -465,10 +489,7 @@ def _knn_pq(spark, t):
             "query_id",
             "sub",
             "code",
-            F.expr(
-                f"CAST(floor({_L2_S.format(a='sv', b='c')}"
-                f" * {_LUT_SCALE}.0 + 0.5) AS BIGINT)"
-            ).alias("qd"),
+            F.expr(_L2_S.format(a="sv", b="c")).alias("qd"),
         )
     )
     cand = (
@@ -498,8 +519,9 @@ def _knn_pq(spark, t):
             "query_id",
             "neighbor_id",
             F.col("rnk").cast("int").alias("rank"),
-            F.round(F.col("s").cast("double") / F.lit(float(_LUT_SCALE)), 6).alias(
-                "adc_dist2"
-            ),
+            (
+                F.col("s").cast("double")
+                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
+            ).alias("adc_dist2"),
         )
     )
