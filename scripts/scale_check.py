@@ -1,0 +1,93 @@
+"""Scale evidence: run the expensive queries at sf0.1 and sf1 and
+report wall-clock scaling ratios (SURVEY §8).
+
+A 10x corpus should cost ~10x on scan-bound work and less than ~10x on
+broadcast/top-k-bound work; a super-linear ratio (>>10x) flags a stage
+whose work grows faster than the data — the thing that kills a 100 TB
+run.  Best-of-2 per (query, sf) like bench.py; tracked persists and the
+SQL cache are released between passes so each pass pays its own work.
+
+Usage: python scripts/scale_check.py [--passes N]
+Writes a markdown table to stdout (paste into SURVEY §8).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from transitdata_omm_cancellation_source_spark.caching import release_tracked
+from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.plans import queries as registry
+from transitdata_omm_cancellation_source_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = ".scale/sf1"
+
+#: The most expensive r6 bench entries plus one representative per
+#: scale-sensitive family (shuffle-heavy dedup, candidate-join ANN,
+#: windowed events, retrieval, TPC-H aggregation, the flagships).
+QUERIES = [
+    "cancellation_pipeline_now",
+    "cancellation_pipeline_past",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_canonical",
+    "corpus_prep_pipeline",
+    "lineitem_basket_pairs",
+    "embedding_pq_codes",
+    "knn_pq_adc",
+    "knn_lsh_hyperplane",
+    "knn_ivf_kmeans",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_region_revenue",
+    "events_session_window",
+    "events_attribution_range_join",
+    "text_bm25_search",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    passes = 2
+    if "--passes" in sys.argv:
+        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    spark = get_spark(app_name="transitdata-omm-scale-check")
+    specs = registry.REGISTRY
+
+    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    for sf_dir in (SF_SMALL, SF_BIG):
+        tables = load_tables(spark, sf_dir)
+        for name in ("lineitem", "documents", "embeddings"):
+            tables[name].count()
+        # warm-up: one flagship run so codegen/broadcast machinery is hot
+        _materialize(specs["cancellation_pipeline_now"].build(spark, sf_dir))
+        for pass_no in range(passes):
+            if pass_no:
+                release_tracked()
+                spark.catalog.clearCache()
+            for q in QUERIES:
+                t0 = time.perf_counter()
+                _materialize(specs[q].build(spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                prev = results[q].get(sf_dir)
+                results[q][sf_dir] = dt if prev is None else min(prev, dt)
+        release_tracked()
+        spark.catalog.clearCache()
+
+    print("\n| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for q in QUERIES:
+        a, b = results[q][SF_SMALL], results[q][SF_BIG]
+        print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+    tot_a = sum(r[SF_SMALL] for r in results.values())
+    tot_b = sum(r[SF_BIG] for r in results.values())
+    print(f"| **total** | {tot_a:.2f} | {tot_b:.2f} | {tot_b / tot_a:.1f}x |")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

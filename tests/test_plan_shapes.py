@@ -6,13 +6,23 @@ still pass value parity — these tests catch it at plan level.
 
 from __future__ import annotations
 
+import os
+
 from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
 
 from conftest import SF_SMOKE
 
+#: Plan shapes are asserted at sf0.001 by default; the scale harness
+#: re-runs this module against the derived sf1 tables
+#: (``SPARK_GRAFT_PLAN_SF=.scale/sf1 pytest tests/test_plan_shapes.py``)
+#: to prove no property flips when statistics grow 1000x — a broadcast
+#: that silently becomes a shuffle at scale is exactly what these
+#: assertions exist to catch.
+SF_PLAN = os.environ.get("SPARK_GRAFT_PLAN_SF", SF_SMOKE)
+
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].build(spark, SF_SMOKE)
+    df = REGISTRY[name].build(spark, SF_PLAN)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -41,7 +51,7 @@ def test_knn_candidates_equi_join_without_forced_broadcast(spark):
     fits and degrades to shuffle when it doesn't.  The candidate join
     stays an equi join either way."""
     for name in ("knn_lsh_hyperplane", "knn_ivf_label"):
-        df = REGISTRY[name].build(spark, SF_SMOKE)
+        df = REGISTRY[name].build(spark, SF_PLAN)
         optimized = df._jdf.queryExecution().optimizedPlan().toString()
         assert "strategy=broadcast" not in optimized, name
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -54,7 +64,7 @@ def test_knn_int8_searches_inside_buckets(spark):
     key — the r2 all-pairs form (join on vec_id inequality alone) was
     O(N²/|mod|) and the slowest bench query.  No forced broadcast of
     the corpus-proportional query side either."""
-    df = REGISTRY["knn_int8_cosine"].build(spark, SF_SMOKE)
+    df = REGISTRY["knn_int8_cosine"].build(spark, SF_PLAN)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in optimized
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -69,7 +79,7 @@ def test_knn_lsh_results_identical_without_broadcast(spark):
     """Join-strategy independence: forcing the shuffle path (broadcast
     threshold -1) must give byte-identical top-k results."""
     def rows():
-        df = REGISTRY["knn_lsh_hyperplane"].build(spark, SF_SMOKE)
+        df = REGISTRY["knn_lsh_hyperplane"].build(spark, SF_PLAN)
         return sorted(map(tuple, df.collect()))
 
     default = rows()
@@ -87,7 +97,7 @@ def test_embedding_neardup_blocks_on_label_and_band(spark):
     label-only blocking is O(n²/label) all-pairs at scale."""
     import re
 
-    df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_SMOKE)
+    df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"Join \[label#\d+, b#\d+, k#\d+L?\]", plan), plan[:2000]
     assert "CartesianProduct" not in plan
@@ -222,7 +232,7 @@ def test_pq_broadcasts_codebook_but_not_lut(spark):
     candidate generation remains a bucket equi-join (no all-pairs)."""
     import re
 
-    df = REGISTRY["knn_pq_adc"].build(spark, SF_SMOKE)
+    df = REGISTRY["knn_pq_adc"].build(spark, SF_PLAN)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     # exactly two hinted broadcasts: the codebook's encode join and its
     # LUT join — anything more means a corpus/query-proportional side
@@ -239,7 +249,7 @@ def test_funnel_steps_are_not_forced_broadcast(spark):
     proportional), so the plan must not pin a broadcast hint on them —
     size-based selection may broadcast at test scale, but the logical
     plan carries no forced strategy."""
-    df = REGISTRY["events_funnel_conversion"].build(spark, SF_SMOKE)
+    df = REGISTRY["events_funnel_conversion"].build(spark, SF_PLAN)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     # the only hinted broadcast is the 1-row step-one total
     assert optimized.count("strategy=broadcast") <= 1
