@@ -156,3 +156,103 @@ def _fingerprint(spark, t):
             "fp_poly"
         ),
     )
+
+
+@_q(
+    "text_repetition_score",
+    "north-star: repetition-based quality filter (duplicate-word and "
+    "top-bigram mass per document, Gopher-style)",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_D} AS ws FROM documents
+        WHERE len({_WORDS_D}) > 0
+    ),
+    g AS (
+        SELECT w.doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    ),
+    gc AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+               CAST(sum(c) AS BIGINT) AS tot_c
+        FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                 / len(ws), 6) AS dup_word_frac,
+           round(CAST(COALESCE(gc.top_c, 0) AS DOUBLE)
+                 / COALESCE(gc.tot_c, 1), 6) AS top_bigram_frac,
+           CASE WHEN round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                           / len(ws), 6) > 0.65
+                  OR round(CAST(COALESCE(gc.top_c, 0) AS DOUBLE)
+                           / COALESCE(gc.tot_c, 1), 6) > 0.07
+                THEN 'drop' ELSE 'keep' END AS repetition_gate
+    FROM w LEFT JOIN gc ON gc.doc_id = w.doc_id
+    """,
+)
+def _repetition(spark, t):
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — public
+    method): documents dominated by repeated words or a single repeated
+    n-gram are low-quality for LM training.  Two per-doc statistics:
+
+    - ``dup_word_frac``: 1 - distinct(words)/words — computed entirely
+      inside codegen (``array_distinct``/``size``), zero shuffle.
+    - ``top_bigram_frac``: mass of the most frequent bigram.  Bigrams
+      explode into one map-side-combinable (doc_id, gram) count then a
+      per-doc max/sum — two partial-agg shuffles on slim rows, the same
+      shape at any corpus size (no per-doc collect, no UDF).
+
+    The gate compares the ROUNDED ratios (both engines round to 6
+    before the threshold), so the keep/drop decision is cross-engine
+    stable even at a threshold boundary.  Thresholds (0.65 / 0.07) are
+    calibrated to this corpus's distribution (short docs over a small
+    synthetic vocabulary push dup_word_frac to a 0.54 median — the
+    Gopher paper's 0.2-0.3 cutoffs assume natural prose) and sit at
+    ~p75-p90, so the gate actually discriminates.
+    """
+    docs = t["documents"].select(
+        "doc_id", X.words("text").alias("ws")
+    ).filter(F.size("ws") > 0)
+    # size >= 2 guard: Spark's sequence(0, size-2) DESCENDS for a
+    # single-word doc ([0, -1] → null grams); DuckDB's range is empty.
+    grams = docs.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    gc = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top_c"),
+            F.sum("count").cast("bigint").alias("tot_c"),
+        )
+    )
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct("ws")).cast("double") / F.size("ws"),
+        6,
+    )
+    top_frac = F.round(
+        F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("tot_c"), F.lit(1)),
+        6,
+    )
+    return (
+        docs.join(gc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            F.when((dup_frac > 0.65) | (top_frac > 0.07), "drop")
+            .otherwise("keep")
+            .alias("repetition_gate"),
+        )
+    )
