@@ -256,3 +256,133 @@ def _repetition(spark, t):
             .alias("repetition_gate"),
         )
     )
+
+
+#: Laplace-smoothed bigram LM gate: docs whose average negative
+#: log-likelihood under the corpus's own bigram model exceeds this are
+#: "surprising" (ill-fitting) text.  Calibrated at ~p88 of this corpus's
+#: avg_nll distribution (see distribution note in ``_bigram_lm``);
+#: compared against the 6-decimal-ROUNDED score so the keep/drop
+#: decision is cross-engine stable at the boundary.
+BIGRAM_NLL_DROP = 3.42
+
+#: micro-unit scale for per-bigram log-probs: each instance's
+#: ``round(ln(p), 9)`` is quantized once to an integer number of
+#: millionths, so the per-document score is an EXACT BIGINT sum —
+#: associative, partition-order-independent — instead of a float sum
+#: whose value depends on Spark's reduce order.
+_LP_SCALE = 1_000_000
+
+
+@_q(
+    "text_bigram_lm_score",
+    "north-star: corpus-trained bigram-LM quality scoring (CCNet-style "
+    "perplexity filter; Laplace smoothing, exact integer score fold)",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_D} AS ws FROM documents
+        WHERE len({_WORDS_D}) >= 2
+    ),
+    g AS (
+        SELECT w.doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM g GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c2 GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT x) AS v FROM (SELECT unnest(ws) AS x FROM w)
+    ),
+    inst AS (
+        SELECT g.doc_id,
+               CAST(floor(round(ln((c2.c + 1.0) / (c1.c + vocab.v)), 9)
+                          * {_LP_SCALE} + 0.5) AS BIGINT) AS lp_u
+        FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(lp_u) AS DOUBLE)
+                 / ({_LP_SCALE}.0 * count(*)), 6) AS avg_nll,
+           CASE WHEN round(-CAST(sum(lp_u) AS DOUBLE)
+                           / ({_LP_SCALE}.0 * count(*)), 6) > {BIGRAM_NLL_DROP}
+                THEN 'drop' ELSE 'keep' END AS lm_gate
+    FROM inst GROUP BY doc_id
+    """,
+)
+def _bigram_lm(spark, t):
+    """CCNet-style LM quality filter (Wenzek et al. 2020 — public
+    method): score each document by its average negative log-likelihood
+    under a bigram model trained on the corpus itself, Laplace-smoothed
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)``.  High-NLL documents
+    fit the corpus distribution poorly — the classic perplexity gate,
+    with the corpus standing in for CCNet's external Wikipedia LM
+    (self-contained: no external model artifact).
+
+    Scale shape (100 TB): bigram instances are one explode (no UDF);
+    ``c2``/``c1`` are vocabulary-bounded map-side-combinable counts
+    (NOT corpus-proportional once the vocabulary saturates); the
+    score join is a shuffle equi-join on the gram key where hot keys
+    (stopword bigrams) each match exactly ONE count row, so AQE's
+    skew split handles fan-in without replication; the per-doc fold
+    is one partial-agg shuffle on slim (doc_id, BIGINT) rows.
+
+    Float determinism: ``ln`` differs by 1 ulp between Spark's
+    ``Math.log`` and DuckDB's libm on ~3 % of inputs (measured for
+    the tf-idf path), so each instance's log-prob is rounded to 9
+    decimals (both engines land on the identical double) and then
+    quantized ONCE to BIGINT millionths; the per-doc sum is exact
+    integer arithmetic, so no engine's aggregation order can show
+    through.  ``avg_nll`` distribution on this corpus: mean 3.39,
+    sd 0.035, p90 3.425 — the 3.42 gate sits at ~p88.
+
+    Distribution note: docs with fewer than two words have no bigram
+    and are excluded (none exist in the testdata; the WHERE mirrors
+    the oracle so the contract is explicit anyway).
+    """
+    w = (
+        t["documents"]
+        .select("doc_id", X.words("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = g.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = w.select(F.explode("ws").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    lp_u = (
+        F.floor(
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("v")),
+                ),
+                9,
+            )
+            * F.lit(_LP_SCALE)
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    inst = (
+        g.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_u.alias("lp_u"))
+    )
+    avg_nll = F.round(
+        -F.sum("lp_u").cast("double") / (F.lit(float(_LP_SCALE)) * F.count("*")),
+        6,
+    )
+    return inst.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        avg_nll.alias("avg_nll"),
+        F.when(avg_nll > BIGRAM_NLL_DROP, "drop")
+        .otherwise("keep")
+        .alias("lm_gate"),
+    )

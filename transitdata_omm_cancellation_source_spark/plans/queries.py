@@ -146,6 +146,10 @@ from ..operators import timeseries  # noqa: E402,F401
 from ..operators import pq  # noqa: E402,F401
 from ..operators import quantize  # noqa: E402,F401
 
+# semdedup composes kmeans_lloyd_centroids' oracle and dedup_fuzzy's
+# shared tau, so it imports after both.
+from ..operators import semdedup  # noqa: E402,F401
+
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, never hand-edited.
 #
