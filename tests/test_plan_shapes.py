@@ -255,3 +255,37 @@ def test_funnel_steps_are_not_forced_broadcast(spark):
     assert optimized.count("strategy=broadcast") <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_broadcasts_only_the_vocab_scalar(spark):
+    """The vocab count is a 1-row frame (explicit broadcast); the gram
+    count joins are equi joins whose count side AQE may broadcast, but
+    nothing may degrade to a cartesian or nested-loop product beyond
+    that single 1-row cross join."""
+    plan = _plan(spark, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: the broadcast 1-row vocab scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_semdedup_candidates_stay_cluster_confined_equi_join(spark):
+    """The band self-join must stay an equi join on (cell, band, key);
+    the only nested-loop joins are the fixed-size centroid-table
+    broadcasts (assignment + the Lloyd rounds it inherits)."""
+    df = REGISTRY["corpus_semdedup"].build(spark, SF_PLAN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # vec-to-vec candidate generation is never nested-loop: every BNLJ
+    # in the plan carries the fixed-size centroid/cvec side, which the
+    # equi-join keys (cell, b, k) of the band join would never produce
+    assert "SortMergeJoin [cell" in plan or "ShuffledHashJoin [cell" in plan or (
+        "cell" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_boilerplate_prune_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "corpus_boilerplate_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # only doc_id + text leave the documents scan
+    assert "lang" not in plan and "source" not in plan
