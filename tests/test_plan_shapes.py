@@ -289,3 +289,25 @@ def test_boilerplate_prune_no_cartesian_and_pruned_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # only doc_id + text leave the documents scan
     assert "lang" not in plan and "source" not in plan
+
+
+def test_pq_refine_rerank_is_shortlist_bounded(spark):
+    """Stage 2 must join the shortlist to the corpus vectors by
+    equi-join (no cartesian/nested-loop); the only broadcast HINT in
+    the whole plan remains the fixed 128-row codebook."""
+    df = REGISTRY["knn_pq_refine"].build(spark, SF_PLAN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # one hint per codebook consumer (LUT build); none on LUT/corpus
+    assert optimized.count("strategy=broadcast") <= 2
+
+
+def test_anomaly_mad_broadcasts_stat_tables_only(spark):
+    plan = _plan(spark, "events_anomaly_mad")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the events fact scan appears exactly 3x (median pass, MAD pass,
+    # flag pass) and never self-joins on event_id
+    assert "props" not in plan  # wide column pruned from all scans

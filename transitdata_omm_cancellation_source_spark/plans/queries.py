@@ -37,8 +37,10 @@ class QuerySpec:
     ``knn_bruteforce_cosine`` (query-sample count for the broadcast
     gate), ``dedup_cluster_canonical`` / ``kmeans_lloyd_centroids``
     (one convergence count per iteration round),
-    ``embedding_pq_codes`` / ``knn_pq_adc`` (first use per session
-    trains and collects the fixed 128-row PQ codebook artifact).  Plan-only consumers
+    ``embedding_pq_codes`` / ``knn_pq_adc`` / ``knn_pq_refine`` (first
+    use per session trains and collects the fixed 128-row PQ codebook
+    artifact), ``corpus_semdedup`` (first use collects the fixed
+    Lloyd-centroid artifact).  Plan-only consumers
     (EXPLAIN tooling, plan-shape tests) should expect those builders to
     submit jobs; everything else stays lazy.
     """
