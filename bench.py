@@ -95,6 +95,11 @@ FLAGSHIPS = ("cancellation_pipeline_now", "cancellation_pipeline_past")
 #: own section rather than polluting the batch noise-band totals.
 STREAMING_CYCLE_QUERIES = ("a3_stateful_two_cycle_poll",)
 
+#: The driver keeps only the last 2000 chars of bench output and parses
+#: the final line; leave headroom so the closing summary keys plus the
+#: newline always survive.
+TAIL_BUDGET = 1800
+
 
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -146,37 +151,63 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # The driver preserves only the TAIL of this process's output, so the
-    # numbers that must survive truncation go LAST: within ``queries`` the
-    # flagships are moved to the end (their wall times were unreadable in
-    # BENCH_r05/r06 when they led the dict), and the flagship/SLO summary
-    # keys close the JSON object.  Streaming-cycle queries pay fixed
-    # query-startup + checkpoint-recovery overhead that is not a function
-    # of data volume, so they are totalled separately — ``batch_total`` is
-    # the number to compare across rounds for noise-band math.
-    ordered = {n: t for n, t in timings.items() if n not in FLAGSHIPS}
-    ordered.update({n: timings[n] for n in FLAGSHIPS if n in timings})
+    # The driver preserves only the LAST ``TAIL_BUDGET`` chars of this
+    # process's output and json-parses the final line.  BENCH_r05/r06 lost
+    # their ``parsed`` payload entirely because the one JSON line grew past
+    # the budget with the registry (89+ per-query entries ≈ 3 kB) — a
+    # truncated JSON line is unparseable no matter which keys come last.
+    # Fix: the FINAL line is a compact object hard-capped under the budget
+    # (its ``queries`` dict keeps the flagships, the r1-comparable headline
+    # set, then the slowest remainder until the byte budget is spent); the
+    # FULL per-query detail goes to an earlier stdout line (truncation-
+    # tolerant) and to ``BENCH_FULL.json`` next to this script for the
+    # judge's plan audits.  Streaming-cycle queries pay fixed query-startup
+    # + checkpoint-recovery overhead that is not a function of data volume,
+    # so they are totalled separately — ``batch_total`` is the number to
+    # compare across rounds for noise-band math.
     streaming_overhead = {
         n: timings[n] for n in STREAMING_CYCLE_QUERIES if n in timings
     }
     flagship = {n: timings[n] for n in FLAGSHIPS if n in timings}
     slowest_flagship = max(flagship.values(), default=0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "queries": ordered,
-                "streaming_cycle_overhead": streaming_overhead,
-                "batch_total": round(total - sum(streaming_overhead.values()), 3),
-                "flagship": flagship,
-                "flagship_slo_sec": FLAGSHIP_SLO_SEC,
-                "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {},  # filled below under the byte budget
+        "queries_timed": len(timings),
+        "full_detail": "BENCH_FULL.json",
+        "streaming_cycle_overhead": streaming_overhead,
+        "batch_total": round(total - sum(streaming_overhead.values()), 3),
+        "flagship": flagship,
+        "flagship_slo_sec": FLAGSHIP_SLO_SEC,
+        "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
+    }
+    full = dict(summary)
+    full["queries"] = dict(sorted(timings.items()))
+    detail_line = json.dumps(full)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            fh.write(detail_line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout detail line still carries it
+    print(detail_line)
+
+    # Fill ``queries`` most-important-first while the serialized line fits.
+    rest = sorted(
+        (n for n in timings if n not in FLAGSHIPS and n not in HEADLINE),
+        key=lambda n: -timings[n],
     )
+    for name in [*FLAGSHIPS, *HEADLINE, *rest]:
+        if name not in timings or name in summary["queries"]:
+            continue
+        summary["queries"][name] = timings[name]
+        if len(json.dumps(summary)) > TAIL_BUDGET:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
