@@ -45,6 +45,8 @@ QUERIES = [
     "events_session_window",
     "events_attribution_range_join",
     "text_bm25_search",
+    "corpus_bpe_pair_counts",
+    "corpus_bigram_pmi",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Edge semantics for the Q13-pattern outer-join histogram and the kNN
+label-vote classifier: the zero-order bucket (the outer-join trap) and
+the deterministic vote tie-break.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from transitdata_omm_cancellation_source_spark.operators.analytics import (
+    _order_count_distribution,
+)
+from transitdata_omm_cancellation_source_spark.operators.similarity import (
+    _knn_label_vote,
+)
+
+
+def test_q13_keeps_zero_order_customers(spark):
+    # cust 1: two counted orders; cust 2: only an URGENT order (join
+    # predicate removes it — but the customer must SURVIVE the left
+    # join into bucket 0); cust 3: no orders at all.
+    customer = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in (1, 2, 3)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    d = datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 1.0, d, "5-LOW"),
+            (11, 1, "O", 1.0, d, "2-HIGH"),
+            (12, 2, "O", 1.0, d, "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = _order_count_distribution(
+        None, {"customer": customer, "orders": orders}
+    ).collect()
+    assert [(r.c_count, r.custdist) for r in out] == [(0, 2), (2, 1)]
+
+
+def test_label_vote_tiebreak_prefers_smaller_label(spark):
+    # Query vec_id 0 against 5 neighbors (all within top-k): labels
+    # [1, 1, 2, 2, 3] -> a 2-2 vote tie between labels 1 and 2; the
+    # (votes DESC, label ASC) tie-break must predict 1, and the
+    # query's own label (2) then mismatches.
+    rows = [
+        (0, [1.0, 0.0], 2),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.7, 0.3], 2),
+        (4, [0.6, 0.4], 2),
+        (5, [0.5, 0.5], 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = _knn_label_vote(spark, {"embeddings": emb}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.predicted_label, r.votes, r.query_label) == (0, 1, 2, 2)
+    assert r.label_match is False

@@ -311,3 +311,40 @@ def test_anomaly_mad_broadcasts_stat_tables_only(spark):
     # the events fact scan appears exactly 3x (median pass, MAD pass,
     # flag pass) and never self-joins on event_id
     assert "props" not in plan  # wide column pruned from all scans
+
+
+def test_bpe_pairs_aggregate_with_partial_combine_and_take_ordered(spark):
+    plan = _plan(spark, "corpus_bpe_pair_counts")
+    # corpus -> vocab and vocab -> pairs both partial-aggregate before
+    # their shuffles; the top-k never materializes a global sort.
+    assert plan.count("partial_count") >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_broadcasts_totals_and_avoids_global_sort(spark):
+    plan = _plan(spark, "corpus_bigram_pmi")
+    # the 1-row corpus-totals join must be broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_survives_priority_predicate(spark):
+    df = REGISTRY["customer_order_count_distribution"].build(spark, SF_PLAN)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the priority predicate must not flip the outer join inner (which
+    # would drop the zero-order bucket)
+    assert "LeftOuter" in optimized
+    plan = _plan(spark, "customer_order_count_distribution")
+    assert "CartesianProduct" not in plan
+
+
+def test_label_vote_reuses_bounded_broadcast_nested_loop(spark):
+    # same contract as the brute-force baseline: the <=32-query sample
+    # side is broadcast, the corpus side streams — the non-equi (!=)
+    # pair predicate makes BroadcastNestedLoopJoin the INTENDED shape,
+    # bounded because one side is fixed-size by construction.
+    plan = _plan(spark, "knn_label_vote")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -570,3 +570,47 @@ def _basket_pairs(spark, t):
         "n_orders",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+@_q(
+    "customer_order_count_distribution",
+    "analytics: outer-join count histogram (TPC-H Q13 pattern — customer "
+    "distribution by order count)",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def _order_count_distribution(spark, t):
+    # The Q13 trap: the priority predicate belongs in the JOIN
+    # CONDITION, not a WHERE after the left join — a post-join filter
+    # on the right side would silently turn the outer join inner and
+    # drop zero-order customers from the histogram.  Expressed here as
+    # filter-right-then-left-join (equivalent, and the shape Catalyst
+    # rewrites the join-condition form into anyway).  Two shuffles:
+    # the custkey join (count(o_orderkey) ignores the null-extended
+    # rows by SQL semantics, so zero-order customers land in bucket 0)
+    # and the tiny c_count histogram aggregation.
+    per_customer = (
+        t["customer"]
+        .alias("c")
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").alias("o"),
+            F.col("c.c_custkey") == F.col("o.o_custkey"),
+            "left",
+        )
+        .groupBy("c.c_custkey")
+        .agg(F.count("o.o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

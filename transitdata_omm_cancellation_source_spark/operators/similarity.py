@@ -622,3 +622,92 @@ def shared_lloyd_centroids(spark, t) -> DataFrame:
         cent = spark.createDataFrame(trained.collect(), trained.schema)
         _CENTROID_ARTIFACT_CACHE[key] = cent
     return cent
+
+
+# --- kNN label vote (classification on top of the exact baseline) -----------
+
+
+@_q(
+    "knn_label_vote",
+    "north-star: kNN majority-vote classification over the exact top-k "
+    "(votes desc, label asc tie-break)",
+    f"""
+    WITH {_VEC_CTE},
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label, {_COS_D} AS cos
+        FROM q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {QUERY_CAP}
+    ),
+    topk AS (
+        SELECT query_id, query_label, neighbor_label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+        SELECT query_id, query_label, neighbor_label, count(*) AS votes
+        FROM topk GROUP BY query_id, query_label, neighbor_label
+    )
+    SELECT query_id, CAST(neighbor_label AS INTEGER) AS predicted_label,
+           CAST(votes AS BIGINT) AS votes,
+           CAST(query_label AS INTEGER) AS query_label,
+           neighbor_label = query_label AS label_match
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY votes DESC, neighbor_label) AS vrank
+          FROM votes)
+    WHERE vrank = 1
+    """,
+)
+def _knn_label_vote(spark, t):
+    # kNN-classifier / label-propagation step: majority vote among the
+    # exact top-k neighbors' labels, (votes DESC, label ASC) tie-break
+    # so the prediction is deterministic.  Reuses the brute-force
+    # contract (fixed <=32-query broadcast sample, O(|Q| x N)); the
+    # vote itself adds one |Q| x k -> |Q|-row aggregation — free at any
+    # scale.  ``label_match`` makes the classifier's agreement with the
+    # query's own label part of the certified output.
+    vecs = _vectors(t)
+    q = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    )
+    q_side = broadcast_if_small(
+        q.alias("q"), QUERY_CAP // QUERY_MOD, row_bytes=8 * DIM + 100
+    )
+    scored = (
+        q_side
+        .join(vecs.alias("c"), F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("query_label"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.label").alias("neighbor_label"),
+            _cos_s().alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "query_label", "neighbor_label")
+    )
+    votes = topk.groupBy("query_id", "query_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label").asc()
+    )
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            F.col("query_label").cast("int").alias("query_label"),
+            (F.col("neighbor_label") == F.col("query_label")).alias("label_match"),
+        )
+    )

@@ -141,6 +141,7 @@ from ..operators import pipeline_prep  # noqa: E402,F401
 from ..operators import retrieval  # noqa: E402,F401
 from ..operators import sampling  # noqa: E402,F401
 from ..operators import timeseries  # noqa: E402,F401
+from ..operators import tokenizer  # noqa: E402,F401
 
 # quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
 # composes embedding_label_centroid's, so both import after similarity;
