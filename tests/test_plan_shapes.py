@@ -348,3 +348,11 @@ def test_label_vote_reuses_bounded_broadcast_nested_loop(spark):
     plan = _plan(spark, "knn_label_vote")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_freqitems_heavy_hitters_broadcast_sketch_and_totals(spark):
+    # exact counts shuffle once (map-side combined); the 1-row totals
+    # and the bounded sketch set join in as broadcasts, never shuffles.
+    plan = _plan(spark, "corpus_word_freqitems")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -61,3 +61,18 @@ def test_pmi_min_count_gate_drops_rare_pairs(spark):
     texts = ["alpha beta"] * _PMI_MIN_COUNT + ["rare pair"]
     out = _bigram_pmi(spark, {"documents": _docs(spark, texts)}).collect()
     assert [r.bigram for r in out] == ["alpha beta"]
+
+
+def test_freqitems_certifies_only_heavy_words_and_covers_them(spark):
+    from transitdata_omm_cancellation_source_spark.operators.tokenizer import (
+        _word_freqitems,
+    )
+
+    # "hot" takes 50% of tokens; every filler word sits far below the
+    # 1% certification threshold and must NOT appear in the output.
+    texts = ["hot " * 10] * 10 + [f"w{i}a w{i}b w{i}c w{i}d" for i in range(25)]
+    out = _word_freqitems(spark, {"documents": _docs(spark, texts)}).collect()
+    assert [r.word for r in out] == ["hot"]
+    r = out[0]
+    assert r.cnt == 100 and r.in_sketch is True
+    assert abs(r.share - 0.5) < 1e-6

@@ -208,3 +208,62 @@ def _bigram_pmi(spark, t):
         .orderBy(F.col("pmi").desc(), F.col("bigram"))
         .limit(_PMI_TOPK)
     )
+
+
+# --- heavy hitters with a Misra-Gries-style coverage contract ---------------
+
+#: An item whose share exceeds _HH_SHARE is a certified heavy hitter;
+#: the sketch runs at the looser _HH_SUPPORT so the Misra-Gries
+#: guarantee (every item with share > support is retained in a 1/support
+#: summary) covers the certified set with margin.
+_HH_SHARE = 0.01
+_HH_SUPPORT = 0.005
+
+
+@_q(
+    "corpus_word_freqitems",
+    "north-star 100 TB path: one-pass Misra-Gries heavy hitters "
+    "(freqItems) with the coverage contract hash-certified",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_D}) AS word FROM documents),
+    c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w)
+    SELECT word, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           TRUE AS in_sketch
+    FROM c CROSS JOIN tot
+    WHERE CAST(cnt AS DOUBLE) > {_HH_SHARE} * CAST(total AS DOUBLE)
+    """,
+)
+def _word_freqitems(spark, t):
+    # The exact per-word count needs a full groupBy shuffle; the
+    # Misra-Gries summary (``freqItems``) replaces it with a bounded
+    # 1/support-slot map per partition merged pairwise — ONE pass,
+    # fixed memory, no shuffle of the word space: the 100 TB shape.
+    # Summary CONTENTS are partition-order-specific (false positives
+    # vary), so they can't be hash-compared; the COVERAGE GUARANTEE can:
+    # every word with share > support must be retained.  The query
+    # certifies exactly that — the exact heavy-hitter set (shares are
+    # Zipf-stable across corpus scale, so the certified set is too)
+    # with a per-word ``in_sketch`` boolean the driver's value hash
+    # covers; the oracle asserts TRUE.  CONTRACTUALLY EAGER: freqItems
+    # materializes its one-row summary at build time.
+    tokens = t["documents"].select(F.explode(X.words("text")).alias("word"))
+    counts = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.broadcast(tokens.agg(F.count(F.lit(1)).cast("bigint").alias("total")))
+    sketch_words = (
+        tokens.stat.freqItems(["word"], _HH_SUPPORT)
+        .select(F.explode("word_freqItems").alias("word"))
+        .withColumn("in_sketch", F.lit(True))
+    )
+    return (
+        counts.crossJoin(total)
+        .filter(F.col("cnt").cast("double") > _HH_SHARE * F.col("total").cast("double"))
+        .join(F.broadcast(sketch_words), "word", "left")
+        .select(
+            "word",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("total").cast("double"), 6).alias("share"),
+            F.coalesce("in_sketch", F.lit(False)).alias("in_sketch"),
+        )
+    )

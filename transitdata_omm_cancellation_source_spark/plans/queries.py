@@ -40,7 +40,8 @@ class QuerySpec:
     ``embedding_pq_codes`` / ``knn_pq_adc`` / ``knn_pq_refine`` (first
     use per session trains and collects the fixed 128-row PQ codebook
     artifact), ``corpus_semdedup`` (first use collects the fixed
-    Lloyd-centroid artifact).  Plan-only consumers
+    Lloyd-centroid artifact), ``corpus_word_freqitems`` (freqItems
+    materializes its one-row Misra-Gries summary).  Plan-only consumers
     (EXPLAIN tooling, plan-shape tests) should expect those builders to
     submit jobs; everything else stays lazy.
     """
