@@ -356,3 +356,15 @@ def test_freqitems_heavy_hitters_broadcast_sketch_and_totals(spark):
     plan = _plan(spark, "corpus_word_freqitems")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_candidates_equi_join_on_cell_codebook_broadcast_only(spark):
+    # candidates must come from the learned-cell equi-join (no
+    # hyperplane fallback, no cartesian); the only hint-broadcasts are
+    # the fixed-size codebook/centroid tables, never a corpus side.
+    df = REGISTRY["knn_ivfpq_adc"].build(spark, SF_PLAN)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _plan(spark, "knn_ivfpq_adc")
+    assert "CartesianProduct" not in plan
+    assert "cell" in optimized
+    assert "BroadcastHashJoin" in plan

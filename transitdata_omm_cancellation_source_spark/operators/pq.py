@@ -628,3 +628,126 @@ def _knn_pq_refine(spark, t):
             ).alias("exact_dist2"),
         )
     )
+
+
+# --- IVF-PQ: learned coarse quantizer + compressed-domain ranking -----------
+
+
+def _ivfpq_oracle() -> str:
+    from .similarity import ivf_assign_cte
+
+    lut_l2 = _L2_D.format(
+        a=f"list_slice(q.u, ct.sub * {DSUB} + 1, ct.sub * {DSUB} + {DSUB})",
+        b="ct.c",
+    )
+    return f"""
+    WITH {_CODEBOOK_CTE},
+    {ivf_assign_cte()},
+    qs AS (
+        SELECT v.vec_id, v.u, a.cell
+        FROM v JOIN assign a USING (vec_id)
+        WHERE v.vec_id % {QUERY_MOD} = 0
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, ct.sub, ct.code, {lut_l2} AS qd
+        FROM qs q, cent ct
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM qs q JOIN assign c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, CAST(sum(l.qd) AS BIGINT) AS s
+        FROM cand
+        JOIN codes k ON k.vec_id = cand.neighbor_id
+        JOIN lut l ON l.query_id = cand.query_id
+                  AND l.sub = k.sub AND l.code = k.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+           CAST(s AS DOUBLE) / {_LUT_SCALE * _LUT_SCALE}.0 AS adc_dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY s ASC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@_q(
+    "knn_ivfpq_adc",
+    "north-star: IVF-PQ — learned coarse-quantizer cells confine the "
+    "candidates, PQ integer LUT ranks them (the Faiss IndexIVFPQ shape)",
+    _ivfpq_oracle(),
+)
+def _knn_ivfpq(spark, t):
+    """The production billion-scale ANN index shape (Faiss IndexIVFPQ,
+    Jégou et al. — public architecture), composed from the two halves
+    this module and ``similarity.py`` already certify separately:
+    the LEARNED coarse quantizer assigns every vector to a centroid
+    cell (``ivf_cells`` — same artifact ``knn_ivf_kmeans`` searches),
+    and within the query's cell candidates are ranked by the PQ
+    asymmetric-distance LUT over the shared trained codebook — the
+    compressed-domain scan that makes the residency math work at
+    100 TB: cells prune the corpus, 32-bit codes prune the bytes.
+
+    Scale shape: candidate generation is an equi-join on the learned
+    cell key (partition-prunable, AQE-broadcastable) instead of
+    ``knn_pq_adc``'s hyperplane bucket; scoring joins only slim
+    (vec_id, sub, code) rows against the per-query 128-entry LUT and
+    folds exact BIGINT sums (map-side combinable).  No all-pairs
+    stage, no corpus-proportional broadcast.
+
+    Determinism: identical discipline to ``knn_pq_adc`` — integer
+    micro-unit LUT entries, exact BIGINT ranking, neighbor_id
+    tie-break; ``adc_dist2`` is one IEEE division for display.
+    """
+    from .similarity import ivf_cells
+
+    vecs = _vectors(t)
+    cent = _shared_codebook(spark, vecs)
+    codes = _encode(vecs, cent)
+    cells = ivf_cells(spark, t)
+    qs = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(cells, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "u", "cell")
+    )
+    lut = (
+        _subvectors(qs.select(F.col("query_id").alias("vec_id"), "u"))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.expr(_L2_S.format(a="sv", b="c")).alias("qd"),
+        )
+    )
+    cand = (
+        qs.select("query_id", "cell")
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
+        .join(lut, ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("bigint").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rank"),
+            (
+                F.col("s").cast("double")
+                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
+            ).alias("adc_dist2"),
+        )
+    )

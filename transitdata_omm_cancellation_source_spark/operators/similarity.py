@@ -307,7 +307,15 @@ def _knn_ivf(spark, t):
     return _topk(scored)
 
 
-def _ivf_kmeans_oracle() -> str:
+def ivf_assign_cte() -> str:
+    """CTE fragment ``cent_ivf, cvec, pairs, assign`` deriving the
+    nearest-label-centroid cell per vector over an existing
+    ``v(vec_id, v, ...)`` CTE — the learned-coarse-quantizer half
+    shared by the ``knn_ivf_kmeans`` oracle and the IVF-PQ composition
+    in ``operators/pq.py`` (whose ``v`` carries extra columns; only
+    ``vec_id`` and ``v`` are referenced here).  ``cent_ivf`` naming
+    avoids colliding with the PQ codebook's ``cent``.
+    """
     from ..plans.queries import REGISTRY
 
     centroid_oracle = REGISTRY["embedding_label_centroid"].oracle
@@ -315,12 +323,11 @@ def _ivf_kmeans_oracle() -> str:
     dot_vv = _DOT_D.format(a="v.v", b="v.v")
     dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
     return f"""
-    WITH cent AS ({centroid_oracle}),
+    cent_ivf AS ({centroid_oracle}),
     cvec AS (
         SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
-        FROM cent GROUP BY label
+        FROM cent_ivf GROUP BY label
     ),
-    {_VEC_CTE},
     pairs AS (
         SELECT v.vec_id, ct.c_label,
                {dot_vc} / sqrt({dot_vv} * {dot_cc}) AS cos_c
@@ -332,7 +339,51 @@ def _ivf_kmeans_oracle() -> str:
                         ORDER BY cos_c DESC, c_label) AS rn
             FROM pairs
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def ivf_cells(spark, t) -> DataFrame:
+    """(vec_id, cell): nearest-label-centroid assignment — the learned
+    coarse quantizer, shared by ``knn_ivf_kmeans`` and the IVF-PQ
+    composition.  The centroid table is #cells rows (fixed by the
+    quantizer, not corpus-proportional) so broadcasting it is safe at
+    any scale; assignment emits N x #cells slim (vec_id, cell, score)
+    rows — the vectors never ride the shuffle — and the per-vector
+    argmax is one window on vec_id.  Persisted: both sides of a
+    cell-confined search join read it.
+    """
+    vecs = _vectors(t)
+    cent_rows = _label_centroid(spark, t)
+    cvec = (
+        cent_rows.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dc, x -> x.centroid)").alias("cv"),
+        )
+        .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
+    )
+    pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("ct.c_label").alias("c_label"),
+        F.expr(
+            f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("c_label").asc()
+    )
+    return persist_tracked(
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    {ivf_assign_cte()},
     cand AS (SELECT v.*, a.cell FROM v JOIN assign a USING (vec_id)),
     qc AS (SELECT * FROM cand WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
@@ -367,32 +418,7 @@ def _knn_ivf_kmeans(spark, t):
     # deterministic step keeps the oracle exact while exercising the
     # identical plan.
     vecs = _vectors(t)
-    cent_rows = _label_centroid(spark, t)
-    cvec = (
-        cent_rows.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.expr("transform(dc, x -> x.centroid)").alias("cv"),
-        )
-        .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
-    )
-    pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
-        F.col("x.vec_id").alias("vec_id"),
-        F.col("ct.c_label").alias("c_label"),
-        F.expr(
-            f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
-        ).alias("cos_c"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("c_label").asc()
-    )
-    assign = persist_tracked(
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-    )  # slim (vec_id, cell); feeds both sides of the search join
-    cand = vecs.join(assign, "vec_id")
+    cand = vecs.join(ivf_cells(spark, t), "vec_id")
     q = cand.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
         q.alias("q")
