@@ -152,3 +152,28 @@ def test_pack_sequences_matches_global_prefix_sum(spark):
         2: (1, 10, 2 * _PACK_RANGE + 10),
     }
     assert _PACK_BUDGET == 256
+
+
+def test_substring_dedup_keeps_canonical_copy_only(spark):
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h tail0 tail0b", "en", "src0", 28),
+            (1, "x a b c d e f g h y", "en", "src0", 19),
+            (2, "short one", "en", "src0", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in _substring_dedup(spark, {"documents": docs}).collect()}
+    # canonical (smallest doc_id sharing the span) keeps its text intact
+    assert out[0].n_removed == 0
+    assert out[0].deduped_text == "a b c d e f g h tail0 tail0b"
+    # the non-canonical occurrence loses exactly the 8-word span
+    assert out[1].n_removed == 8
+    assert out[1].deduped_text == "x y"
+    assert abs(out[1].removed_frac - 0.8) < 1e-9
+    # sub-span-length docs are untouched
+    assert out[2].n_removed == 0 and out[2].deduped_text == "short one"

@@ -368,3 +368,9 @@ def test_ivfpq_candidates_equi_join_on_cell_codebook_broadcast_only(spark):
     assert "CartesianProduct" not in plan
     assert "cell" in optimized
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_dedup_joins_by_gram_no_cartesian(spark):
+    plan = _plan(spark, "corpus_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

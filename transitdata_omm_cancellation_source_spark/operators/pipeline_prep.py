@@ -677,3 +677,145 @@ def _boilerplate_prune(spark, t):
         ),
         F.coalesce(F.col("pruned_text"), F.lit("")).alias("pruned_text"),
     )
+
+
+# --- cross-document exact-substring dedup ------------------------------------
+
+#: span length (words) for cross-document repeated-substring removal.
+#: 8 words ~ the ExactSubstr idea at this corpus's scale (the public
+#: method uses 50 BPE tokens over web-scale text; this corpus's dup
+#: spans are full templated sentences, so 8 captures them without
+#: false positives — 1015 of ~24k distinct 8-grams repeat across docs,
+#: touching 47 of 500 docs at sf0.01).
+_SUBDUP_N = 8
+
+
+def _subdup_oracle() -> str:
+    gram = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(_SUBDUP_N))
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_D} AS ws FROM documents
+    ),
+    g AS (
+        SELECT w.doc_id, i, {gram} AS gram
+        FROM w, LATERAL (SELECT unnest(range(0, len(ws) - {_SUBDUP_N - 1}))
+                         AS i)
+    ),
+    rep AS (
+        SELECT gram, CAST(min(doc_id) AS BIGINT) AS canon
+        FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.i + j.j AS pos
+        FROM g JOIN rep USING (gram),
+             (SELECT unnest(range(0, {_SUBDUP_N})) AS j) j
+        WHERE g.doc_id <> rep.canon
+    ),
+    words AS (
+        SELECT w.doc_id, p.pos, ws[p.pos + 1] AS word
+        FROM w, LATERAL (SELECT unnest(range(0, len(ws))) AS pos) p
+    ),
+    kept AS (
+        SELECT words.doc_id,
+               string_agg(word, ' ' ORDER BY words.pos) AS deduped_text,
+               count(*) AS n_kept
+        FROM words LEFT JOIN cov
+          ON cov.doc_id = words.doc_id AND cov.pos = words.pos
+        WHERE cov.doc_id IS NULL
+        GROUP BY words.doc_id
+    )
+    SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+           round(CAST(len(ws) - COALESCE(kept.n_kept, 0) AS DOUBLE)
+                 / len(ws), 6) AS removed_frac,
+           COALESCE(kept.deduped_text, '') AS deduped_text
+    FROM w LEFT JOIN kept ON kept.doc_id = w.doc_id
+    """
+
+
+@_q(
+    "corpus_substring_dedup",
+    "north-star: cross-document exact-substring dedup (repeated spans "
+    "removed everywhere but the canonical doc — ExactSubstr pattern)",
+    _subdup_oracle(),
+)
+def _substring_dedup(spark, t):
+    """Substring-level exact deduplication (the ExactSubstr idea of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — public method): an 8-word span occurring verbatim in
+    two or more documents is removed from every document EXCEPT the
+    canonical one (smallest doc_id among those containing the span),
+    which keeps its copy.  This is the span-granular complement to
+    whole-doc dedup (``dedup_exact``/MinHash) and differs from
+    ``corpus_boilerplate_prune`` in both trigger (cross-doc repetition
+    at df>=2, not corpus-frequency df>=3) and semantics (one canonical
+    copy SURVIVES; boilerplate is removed everywhere).
+
+    All arithmetic is integer/string — no float until the final
+    6-decimal ratio — so cross-engine parity is exact by construction.
+
+    Scale shape (100 TB): identical skeleton to the boilerplate prune
+    — map-only positional explode; per-gram (min-doc, distinct-count)
+    aggregation is map-side combinable and vocabulary-bounded; the
+    repeated-span table joins back by gram equi-join; the per-doc
+    rebuild is bounded by document length.  At web scale the public
+    method runs over a suffix array — the gram-keyed aggregation here
+    is the shuffle-native equivalent for a fixed span length.
+    """
+    w = t["documents"].select("doc_id", X.words("text").alias("ws"))
+    grams = w.filter(F.size("ws") >= _SUBDUP_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {_SUBDUP_N}),"
+                " i -> struct(i AS i, concat_ws(' ', "
+                + ", ".join(f"ws[i + {j}]" for j in range(_SUBDUP_N))
+                + ") AS gram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.gram")
+    rep = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canon"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter(F.col("df") >= 2)
+        .select("gram", "canon")
+    )
+    cov = (
+        grams.join(rep, "gram")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(i, i + {_SUBDUP_N - 1})")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = w.select("doc_id", F.posexplode("ws").alias("pos", "word"))
+    kept = (
+        words.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, word))), x -> x.word))"
+            ).alias("deduped_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    n_removed = F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0))
+    return w.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        n_removed.cast("bigint").alias("n_removed"),
+        F.round(n_removed.cast("double") / F.size("ws"), 6).alias(
+            "removed_frac"
+        ),
+        F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+    )
