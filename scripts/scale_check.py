@@ -47,6 +47,8 @@ QUERIES = [
     "text_bm25_search",
     "corpus_bpe_pair_counts",
     "corpus_bigram_pmi",
+    "corpus_substring_dedup",
+    "knn_ivfpq_adc",
 ]
 
 
