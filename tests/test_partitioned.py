@@ -93,3 +93,36 @@ def test_partitioned_write_is_one_fileset_per_day(spark, tmp_path):
         if d.is_dir()
     }
     assert per_day and all(n == 1 for n in per_day.values()), per_day
+
+
+def test_join_to_filtered_dim_triggers_dynamic_partition_pruning(spark, tmp_path):
+    # The cluster-scale star-join contract: joining the day-partitioned
+    # fact to a FILTERED date dimension must prune fact partitions at
+    # RUNTIME from the dim's broadcast results (DPP) — the filter's
+    # selectivity reaches the fact scan without any static predicate on
+    # the partition column.
+    events = load_tables(spark, SF_SMOKE)["events"]
+    fact_path = str(tmp_path / "fact_by_day")
+    write_partitioned_by_day(events, fact_path, ts_col="ts")
+    fact = spark.read.parquet(fact_path)
+
+    from pyspark.sql import functions as F
+
+    dim_path = str(tmp_path / "date_dim")
+    (
+        events.selectExpr("to_date(ts) AS event_day")
+        .distinct()
+        .withColumn("dow", F.dayofweek("event_day"))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).filter("dow = 2")
+
+    joined = fact.join(dim, "event_day")
+    joined.write.mode("overwrite").format("noop").save()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan  # runtime partition-pruning subquery
+
+    expected = events.filter("dayofweek(to_date(ts)) = 2").count()
+    assert expected > 0
+    assert joined.count() == expected
