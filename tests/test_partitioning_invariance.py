@@ -18,6 +18,7 @@ from __future__ import annotations
 import pytest
 
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.operators.graph import _pagerank
 from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
     _substring_dedup,
 )
@@ -41,6 +42,7 @@ _CASES = [
     (_bpe_pair_counts, ("documents",)),
     (_word_freqitems, ("documents",)),
     (_substring_dedup, ("documents",)),
+    (_pagerank, ("lineitem",)),
 ]
 
 
@@ -63,6 +65,6 @@ def test_result_is_partitioning_invariant(spark, fn, tabs):
     # hash-partitioned on a column that is NOT the operator's key
     rekeyed = dict(base)
     for name in tabs:
-        col = "lang" if name == "documents" else "label"
+        col = {"documents": "lang", "embeddings": "label", "lineitem": "l_suppkey"}[name]
         rekeyed[name] = base[name].repartition(3, col)
     assert _rows(fn(spark, rekeyed)) == reference

@@ -374,3 +374,11 @@ def test_substring_dedup_joins_by_gram_no_cartesian(spark):
     plan = _plan(spark, "corpus_substring_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_rounds_are_equi_joins_no_cartesian(spark):
+    plan = _plan(spark, "parts_copurchase_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the top-k is a TakeOrdered, not a global sort of the rank table
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,152 @@
+"""Iterative graph analytics over the order/part co-purchase graph.
+
+``parts_copurchase_pagerank``: weighted PageRank power iteration on
+the part co-purchase graph (parts are nodes; an edge src->dst with
+weight w means the two parts co-occur in w orders).  This is the
+canonical iterative-graph-on-DataFrames shape — each round is one
+equi-join (edges x ranks) plus one map-side-combinable aggregation —
+i.e. Pregel's superstep expressed relationally, the way GraphFrames
+runs it on a cluster.  Three fixed rounds (matching the repo's
+``LLOYD_ROUNDS`` discipline: bounded, unrollable in SQL).
+
+Determinism discipline — EXACT INTEGER arithmetic end-to-end, the
+same micro-unit pattern as ``pq.py``:
+- ranks live in micro-units (init 1_000_000 per node, the
+  "total mass = N" convention);
+- an edge's contribution is ``(rank_micro * w) div W_src`` — integer
+  truncating division (identical for the positive operands on both
+  engines), never a float ratio;
+- the damping update is ``150000 + (85 * sum) div 100`` (d = 0.85),
+  again pure integers;
+- integer sums are associative, so every round is partitioning- and
+  merge-order-independent — no float ever enters.
+The co-purchase graph is symmetric by construction, so every node has
+out-edges and the dangling-mass term vanishes.
+
+Scale notes (100 TB): edge building is the order-key-bounded
+self-join ``lineitem_basket_pairs`` already certifies (fan-out
+bounded by parts-per-order, never a cartesian); each PageRank round
+shuffles the EDGE list once on src (join) and once on dst
+(aggregate) — the textbook distributed PageRank cost, linear in
+|E| per round with map-side combine on the dst sum.  Ranks stay a
+slim (node, BIGINT) table.  At extreme node counts the micro-unit
+headroom (rank mass x max weight < 2^63) is the documented bound —
+the standard remedy is rescaling the mass convention per round.
+
+The reference has no graph surface (it is a cancellation ETL); this
+module is north-star surface per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.queries import registered_query as _q
+
+#: fixed power-iteration rounds and damping (85/100 as integers).
+PR_ROUNDS = 3
+_INIT_MICRO = 1_000_000
+_TELEPORT_MICRO = 150_000  # (1 - d) * 1e6
+_D_NUM, _D_DEN = 85, 100
+
+_PR_TOPK = 50
+
+
+def _pagerank_oracle() -> str:
+    parts = [f"""
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    wu AS (SELECT src, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, CAST(w AS BIGINT) AS w, wu.wu
+          FROM edges JOIN wu USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST({_INIT_MICRO} AS BIGINT) AS rank_micro
+           FROM nodes)"""]
+    for r in range(PR_ROUNDS):
+        parts.append(f"""
+    r{r + 1} AS (
+        SELECT n.node,
+               CAST({_TELEPORT_MICRO}
+                    + ({_D_NUM} * COALESCE(s.s, 0)) // {_D_DEN} AS BIGINT)
+                   AS rank_micro
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((r.rank_micro * e.w) // e.wu) AS BIGINT) AS s
+            FROM e JOIN r{r} r ON r.node = e.src
+            GROUP BY e.dst) s USING (node)
+    )""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT node AS part, rank_micro, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY rank_micro DESC, node) AS rnk
+          FROM r{PR_ROUNDS})
+    WHERE rnk <= {_PR_TOPK}
+    """
+
+
+@_q(
+    "parts_copurchase_pagerank",
+    "north-star graph: weighted PageRank power iteration on the part "
+    "co-purchase graph (exact integer micro-unit arithmetic)",
+    _pagerank_oracle(),
+)
+def _pagerank(spark, t):
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
+    e = edges.join(wu, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    rank = nodes.withColumn(
+        "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
+    )
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            e.join(rank, e["src"] == rank["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank_micro * w) div wu").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(_TELEPORT_MICRO)
+                    + F.expr(f"({_D_NUM} * COALESCE(s, 0)) div {_D_DEN}")
+                ).cast("bigint").alias("rank_micro"),
+            )
+        )
+    w = F.row_number().over(
+        Window.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+    )
+    return (
+        rank.withColumn("rnk", w)
+        .filter(F.col("rnk") <= _PR_TOPK)
+        .select(
+            F.col("node").alias("part"),
+            "rank_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

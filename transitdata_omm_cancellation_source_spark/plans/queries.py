@@ -131,6 +131,7 @@ from . import lifecycle_queries  # noqa: E402,F401
 from . import operator_queries  # noqa: E402,F401
 from ..operators import analytics  # noqa: E402,F401
 from ..operators import dedup_fuzzy  # noqa: E402,F401
+from ..operators import graph  # noqa: E402,F401
 from ..operators import multimodal  # noqa: E402,F401
 from ..operators import similarity  # noqa: E402,F401
 from ..operators import textops  # noqa: E402,F401
