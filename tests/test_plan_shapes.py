@@ -382,3 +382,6 @@ def test_pagerank_rounds_are_equi_joins_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the top-k is a TakeOrdered, not a global sort of the rank table
     assert "TakeOrderedAndProject" in plan
+    # supersteps must re-read the PERSISTED edge/node tables, not
+    # re-derive the fact self-join once per round
+    assert "InMemoryTableScan" in plan
