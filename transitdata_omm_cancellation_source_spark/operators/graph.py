@@ -119,6 +119,11 @@ def _pagerank(spark, t):
     # re-derives the fact self-join from scratch (measured: 20
     # FileScans / zero ReusedExchange in the 3-round plan), which at
     # corpus scale multiplies the dominant cost by the round count.
+    # The persist boundary is deliberately the JOINED ``e`` table, not
+    # the raw edge list: additionally persisting ``edges`` was measured
+    # 2.5x SLOWER at sf0.1 (6-8 s -> 16-20 s warm) — columnar cache
+    # materialization of the multi-million-row table costs more than
+    # the whole-stage-codegen-pipelined recompute it saves.
     e = persist_tracked(edges.join(wu, "src"))
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     rank = nodes.withColumn(
