@@ -123,7 +123,10 @@ def _pagerank(spark, t):
     # the raw edge list: additionally persisting ``edges`` was measured
     # 2.5x SLOWER at sf0.1 (6-8 s -> 16-20 s warm) — columnar cache
     # materialization of the multi-million-row table costs more than
-    # the whole-stage-codegen-pipelined recompute it saves.
+    # the whole-stage-codegen-pipelined recompute it saves.  A
+    # symmetrize-after-agg edge build (a < b half-join unioned with its
+    # mirror) won in isolation (2.4x faster cold) but was value-equal
+    # and ~10% slower END-TO-END under this persist — kept simple.
     e = persist_tracked(edges.join(wu, "src"))
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     rank = nodes.withColumn(
