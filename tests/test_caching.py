@@ -28,3 +28,21 @@ def test_lloyd_rounds_release(spark):
     assert len(caching._TRACKED) > 0
     caching.release_tracked()
     assert len(caching._TRACKED) == 0
+
+
+def test_artifact_cache_key_is_content_sensitive(spark, tmp_path):
+    from transitdata_omm_cancellation_source_spark.caching import (
+        artifact_cache_key,
+    )
+
+    p = str(tmp_path / "vecs")
+    spark.range(5).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    k1 = artifact_cache_key(spark, df)
+    assert k1 == artifact_cache_key(spark, spark.read.parquet(p))  # stable
+
+    # rewriting the files behind the SAME path must change the key —
+    # a plan-hash-only key would serve a stale trained artifact here
+    spark.range(7).write.mode("overwrite").parquet(p)
+    k2 = artifact_cache_key(spark, spark.read.parquet(p))
+    assert k2 != k1

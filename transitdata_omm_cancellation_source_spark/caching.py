@@ -42,3 +42,32 @@ def release_tracked() -> int:
         except Exception:  # session already stopped: nothing to free
             pass
     return n
+
+
+def artifact_cache_key(spark, df: DataFrame) -> tuple:
+    """Content-sensitive key for session-lifetime trained artifacts.
+
+    ``semanticHash`` alone keys the PLAN, not the DATA: if the parquet
+    files behind the same path are rewritten within a session (e.g. a
+    regenerated scale corpus), a plan-keyed cache would serve an
+    artifact trained on the old bytes while the oracle reads the new
+    ones.  Appending each input file's (uri, size, mtime) fingerprint
+    makes a rewrite a cache MISS; non-local or unstattable inputs fall
+    back to their uri alone (plan-keyed behavior, the previous
+    contract).  Listing input files touches only the scan's file
+    index — no job runs.
+    """
+    import os
+
+    files = []
+    for uri in sorted(df.inputFiles()):
+        entry: tuple = (uri,)
+        if uri.startswith("file:"):
+            path = "/" + uri.split(":", 1)[1].lstrip("/")
+            try:
+                st = os.stat(path)
+                entry = (uri, st.st_size, st.st_mtime_ns)
+            except OSError:
+                pass
+        files.append(entry)
+    return (spark.sparkContext.applicationId, df.semanticHash(), tuple(files))

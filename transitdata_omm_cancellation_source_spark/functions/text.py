@@ -45,6 +45,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: DuckDB-side form of ``words("text")`` — the ONE source of truth for
+#: the oracle tokenizer pattern (previously copied into five operator
+#: modules; a drift in any copy desynchronizes that module's oracles
+#: from the Spark builders).  Change this and ``words`` together.
+WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
 def words(col: Column | str) -> Column:
     """Lowercased alphanumeric word tokens (whitespace tokenizer core)."""
     return F.expr(f"regexp_extract_all(lower({_sql(col)}), '[a-z0-9]+', 0)")

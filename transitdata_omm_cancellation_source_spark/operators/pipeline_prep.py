@@ -55,7 +55,7 @@ from ..plans.queries import registered_query as _q
 
 P = X.HASH_MOD
 
-_WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
 
 #: DuckDB polyhash over an arbitrary string expression (mirrors
 #: functions.text.polyhash).

@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import artifact_cache_key, persist_tracked
 from ..functions.hyperplane import bucket_expr_duck, bucket_expr_spark
 from ..plans.queries import registered_query as _q
 from .similarity import QUERY_MOD, TOP_K
@@ -274,7 +274,7 @@ def _train_codebook(
 #: memory — the thing ``release_tracked`` exists to free), the same way
 #: a production ANN system trains a codebook once per corpus and ships
 #: it, never retraining per query batch.
-_CODEBOOK_CACHE: dict[tuple[str, int], DataFrame] = {}
+_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:
@@ -290,7 +290,7 @@ def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:
     once per query.  This makes the PQ builders CONTRACTUALLY EAGER on
     first use (see plans/queries.py QuerySpec).
     """
-    key = (spark.sparkContext.applicationId, vecs.semanticHash())
+    key = artifact_cache_key(spark, vecs)
     codebook = _CODEBOOK_CACHE.get(key)
     if codebook is None:
         rows = _train_codebook(vecs).collect()

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..plans.queries import registered_query as _q
 
-_WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
 _NORM_TEXT_D = f"array_to_string({_WORDS_D}, ' ')"
 _NORM_TEXT_S = "array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"
 

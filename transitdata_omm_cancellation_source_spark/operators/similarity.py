@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import artifact_cache_key, persist_tracked
 from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
@@ -628,7 +628,7 @@ def _kmeans_lloyd(spark, t):
 #: subtree in their plan.  ``kmeans_lloyd_centroids`` itself always
 #: runs the full distributed loop — the CACHE serves consumers, the
 #: QUERY certifies the computation.
-_CENTROID_ARTIFACT_CACHE: dict[tuple[str, int], DataFrame] = {}
+_CENTROID_ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
 
 
 def shared_lloyd_centroids(spark, t) -> DataFrame:
@@ -641,7 +641,7 @@ def shared_lloyd_centroids(spark, t) -> DataFrame:
     QuerySpec).
     """
     emb = t["embeddings"]
-    key = (spark.sparkContext.applicationId, emb.semanticHash())
+    key = artifact_cache_key(spark, emb)
     cent = _CENTROID_ARTIFACT_CACHE.get(key)
     if cent is None:
         trained = _kmeans_lloyd(spark, t)

@@ -18,7 +18,7 @@ from ..functions import text as X
 from ..plans.queries import registered_query as _q
 
 
-_WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # DuckDB form
+_WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
 
 
 @_q(

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..plans.queries import registered_query as _q
 
-_WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
 
 _BPE_TOPK = 50
 _PMI_TOPK = 100
