@@ -164,19 +164,63 @@ def test_pq_refine_rank1_is_exact_nearest_in_shortlist(spark):
     )
     from transitdata_omm_cancellation_source_spark.plans.queries import REGISTRY
 
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from transitdata_omm_cancellation_source_spark.operators.pq import (
+        _adc_scored,
+        _encode,
+        _shared_codebook,
+        _vectors,
+    )
+
     t = load_tables(spark, "/root/testdata/sf0.001")
     out = _knn_pq_refine(spark, t).collect()
     assert PQ_SHORTLIST > TOP_K
+
+    # Independently rebuild the FULL ADC shortlist (not just TOP_K) and
+    # recompute exact integer squared-L2 for every shortlist pair in
+    # Python — the refine output must equal the exact top-k OF THE
+    # SHORTLIST per query, ids and order.  A refine that truncated the
+    # shortlist to TOP_K before reranking would still emit rows sorted
+    # by exact_dist2, so sortedness alone cannot catch it.
+    vecs = _vectors(t)
+    cent = _shared_codebook(spark, vecs)
+    scored = _adc_scored(vecs, cent, _encode(vecs, cent))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("s").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist: dict[int, list[int]] = {}
+    for r in (
+        scored.withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= PQ_SHORTLIST)
+        .collect()
+    ):
+        shortlist.setdefault(r.query_id, []).append(r.neighbor_id)
+    u = {r.vec_id: r.u for r in vecs.select("vec_id", "u").collect()}
+
+    def d2(a: int, b: int) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(u[a], u[b]))
+
     by_q: dict[int, list] = {}
     for r in out:
         by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(shortlist)
     for q, rows in by_q.items():
         rows.sort(key=lambda r: r.rank)
-        assert len(rows) <= TOP_K
-        dists = [r.exact_dist2 for r in rows]
-        assert dists == sorted(dists), f"query {q} not exact-ordered"
-    # cross-check stage consistency: refine's neighbors are a subset of
-    # what ADC scoring considered (same candidate generation)
+        expected = sorted(shortlist[q], key=lambda n: (d2(q, n), n))[:TOP_K]
+        assert [r.neighbor_id for r in rows] == expected, f"query {q}"
+        for r in rows:
+            assert abs(r.exact_dist2 - d2(q, r.neighbor_id) / 1e12) < 1e-9
+    # at least one query must have been REORDERED by the exact pass or
+    # pulled a winner from beyond the ADC top-k — otherwise this test
+    # couldn't distinguish refine from plain ADC on this corpus
     adc = REGISTRY["knn_pq_adc"].build(spark, "/root/testdata/sf0.001")
-    adc_pairs = {(r.query_id, r.neighbor_id) for r in adc.collect()}
-    assert adc_pairs  # both stages saw candidates
+    adc_top = {}
+    for r in adc.collect():
+        adc_top.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    differs = any(
+        [n for _, n in sorted(adc_top.get(q, []))]
+        != [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)]
+        for q, rows in by_q.items()
+    )
+    assert differs, "refine output identical to ADC everywhere — vacuous corpus"

@@ -544,7 +544,7 @@ def _pack_sequences(spark, t):
     )
 
 
-# --- boilerplate n-gram span pruning -----------------------------------------
+# --- span pruning (shared skeleton) ------------------------------------------
 
 #: boilerplate span length (words) and the document-frequency threshold
 #: above which a span counts as boilerplate.  n=4 / df>=3 calibrated on
@@ -553,27 +553,39 @@ def _pack_sequences(spark, t):
 #: them (3-grams are too common here — 2.3k of 16k hit df>=3).
 _BOILER_N, _BOILER_DF = 4, 3
 
+#: span length (words) for cross-document repeated-substring removal.
+#: 8 words ~ the ExactSubstr idea at this corpus's scale (the public
+#: method uses 50 BPE tokens over web-scale text; this corpus's dup
+#: spans are full templated sentences, so 8 captures them without
+#: false positives — 1015 of ~24k distinct 8-grams repeat across docs,
+#: touching 47 of 500 docs at sf0.01).
+_SUBDUP_N = 8
 
-def _boiler_oracle() -> str:
-    gram = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(_BOILER_N))
+
+def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> str:
+    """Shared span-prune oracle skeleton: positional n-gram explode,
+    a query-specific trigger CTE (``trig``), positional union cover,
+    exact text rebuild.  ``cov_join`` is the g-to-trig join tail
+    (condition + optional WHERE); ``out_col`` names the rebuilt text
+    column.  One template serving both span-prune queries keeps the
+    four former copies (two builders + two oracle strings) from
+    drifting independently."""
+    gram = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(n))
     return f"""
     WITH w AS (
         SELECT doc_id, {_WORDS_D} AS ws FROM documents
     ),
     g AS (
         SELECT w.doc_id, i, {gram} AS gram
-        FROM w, LATERAL (SELECT unnest(range(0, len(ws) - {_BOILER_N - 1}))
+        FROM w, LATERAL (SELECT unnest(range(0, len(ws) - {n - 1}))
                          AS i)
     ),
-    hot AS (
-        SELECT gram FROM (
-            SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
-        ) WHERE df >= {_BOILER_DF}
-    ),
+    trig AS ({trig_cte}),
     cov AS (
         SELECT DISTINCT g.doc_id, g.i + j.j AS pos
-        FROM g JOIN hot USING (gram),
-             (SELECT unnest(range(0, {_BOILER_N})) AS j) j
+        FROM g JOIN trig USING (gram),
+             (SELECT unnest(range(0, {n})) AS j) j
+        {cov_where}
     ),
     words AS (
         SELECT w.doc_id, p.pos, ws[p.pos + 1] AS word
@@ -581,7 +593,7 @@ def _boiler_oracle() -> str:
     ),
     kept AS (
         SELECT words.doc_id,
-               string_agg(word, ' ' ORDER BY words.pos) AS pruned_text,
+               string_agg(word, ' ' ORDER BY words.pos) AS {out_col},
                count(*) AS n_kept
         FROM words LEFT JOIN cov
           ON cov.doc_id = words.doc_id AND cov.pos = words.pos
@@ -592,16 +604,83 @@ def _boiler_oracle() -> str:
            CAST(len(ws) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
            round(CAST(len(ws) - COALESCE(kept.n_kept, 0) AS DOUBLE)
                  / len(ws), 6) AS removed_frac,
-           COALESCE(kept.pruned_text, '') AS pruned_text
+           COALESCE(kept.{out_col}, '') AS {out_col}
     FROM w LEFT JOIN kept ON kept.doc_id = w.doc_id
     """
+
+
+def _span_prune(docs: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
+    """Shared span-prune builder skeleton (Spark mirror of
+    ``_span_prune_oracle``).  ``trigger`` maps the positional gram
+    table (doc_id, i, gram) to the COVERED occurrences (doc_id, i);
+    everything else — the map-only positional explode, the fixed 1->n
+    cover expansion, the length-bounded per-doc rebuild — is common.
+
+    Scale shape (100 TB): the positional 1->N explode is map-only;
+    the trigger's aggregation is keyed by the gram (vocabulary-
+    bounded, not corpus-proportional) and joins back by gram
+    equi-join (AQE broadcasts the trigger set when small); cover
+    expansion is a fixed 1->n explode; the rebuild folds per document
+    with task memory bounded by document length, the same bound every
+    per-doc ``collect_list`` in the repo rides on.
+    """
+    w = docs.select("doc_id", X.words("text").alias("ws"))
+    grams = w.filter(F.size("ws") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {n}),"
+                " i -> struct(i AS i, concat_ws(' ', "
+                + ", ".join(f"ws[i + {j}]" for j in range(n))
+                + ") AS gram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.gram")
+    cov = (
+        trigger(grams)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    words = w.select("doc_id", F.posexplode("ws").alias("pos", "word"))
+    kept = (
+        words.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, word))), x -> x.word))"
+            ).alias(out_col),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    n_removed = F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0))
+    return w.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        n_removed.cast("bigint").alias("n_removed"),
+        F.round(n_removed.cast("double") / F.size("ws"), 6).alias(
+            "removed_frac"
+        ),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+    )
 
 
 @_q(
     "corpus_boilerplate_prune",
     "north-star: corpus-frequent n-gram span removal (boilerplate prune; "
     "positional explode, hot-span cover, exact text rebuild)",
-    _boiler_oracle(),
+    _span_prune_oracle(
+        _BOILER_N,
+        trig_cte=f"""
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        ) WHERE df >= {_BOILER_DF}""",
+        cov_where="",
+        out_col="pruned_text",
+    ),
 )
 def _boilerplate_prune(spark, t):
     """Boilerplate removal at n-gram-span granularity: any 4-word span
@@ -614,131 +693,36 @@ def _boilerplate_prune(spark, t):
 
     All arithmetic is integer/string — no float enters until the final
     6-decimal ratio — so cross-engine parity is exact by construction.
-
-    Scale shape (100 TB): the positional 1->N explode is map-only;
-    span document-frequency is a map-side-combinable count keyed by
-    the gram (vocabulary-bounded, not corpus-proportional); the hot
-    set is the ONLY data-dependent artifact and joins back by gram
-    equi-join (AQE broadcasts it when small — it is df-thresholded,
-    so it shrinks as the threshold rises); cover expansion is a
-    fixed 1->n explode; the rebuild folds per document with task
-    memory bounded by document length, the same bound every per-doc
-    ``collect_list`` in the repo rides on.
+    Shared skeleton: see ``_span_prune``.
     """
-    w = t["documents"].select("doc_id", X.words("text").alias("ws"))
-    grams = w.filter(F.size("ws") >= _BOILER_N).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(ws) - {_BOILER_N}),"
-                " i -> struct(i AS i, concat_ws(' ', "
-                + ", ".join(f"ws[i + {j}]" for j in range(_BOILER_N))
-                + ") AS gram))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.i", "p.gram")
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_DF)
-        .select("gram")
-    )
-    cov = (
-        grams.join(hot, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(i, i + {_BOILER_N - 1})")
-            ).alias("pos"),
+
+    def hot_occurrences(grams):
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= _BOILER_DF)
+            .select("gram")
         )
-        .distinct()
-    )
-    words = w.select(
-        "doc_id", F.posexplode("ws").alias("pos", "word")
-    )
-    kept = (
-        words.join(cov, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(struct(pos, word))), x -> x.word))"
-            ).alias("pruned_text"),
-            F.count("*").alias("n_kept"),
-        )
-    )
-    n_removed = F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0))
-    return w.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("n_words"),
-        n_removed.cast("bigint").alias("n_removed"),
-        F.round(n_removed.cast("double") / F.size("ws"), 6).alias(
-            "removed_frac"
-        ),
-        F.coalesce(F.col("pruned_text"), F.lit("")).alias("pruned_text"),
-    )
+        return grams.join(hot, "gram")
 
-
-# --- cross-document exact-substring dedup ------------------------------------
-
-#: span length (words) for cross-document repeated-substring removal.
-#: 8 words ~ the ExactSubstr idea at this corpus's scale (the public
-#: method uses 50 BPE tokens over web-scale text; this corpus's dup
-#: spans are full templated sentences, so 8 captures them without
-#: false positives — 1015 of ~24k distinct 8-grams repeat across docs,
-#: touching 47 of 500 docs at sf0.01).
-_SUBDUP_N = 8
-
-
-def _subdup_oracle() -> str:
-    gram = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(_SUBDUP_N))
-    return f"""
-    WITH w AS (
-        SELECT doc_id, {_WORDS_D} AS ws FROM documents
-    ),
-    g AS (
-        SELECT w.doc_id, i, {gram} AS gram
-        FROM w, LATERAL (SELECT unnest(range(0, len(ws) - {_SUBDUP_N - 1}))
-                         AS i)
-    ),
-    rep AS (
-        SELECT gram, CAST(min(doc_id) AS BIGINT) AS canon
-        FROM (SELECT DISTINCT doc_id, gram FROM g)
-        GROUP BY gram HAVING count(*) >= 2
-    ),
-    cov AS (
-        SELECT DISTINCT g.doc_id, g.i + j.j AS pos
-        FROM g JOIN rep USING (gram),
-             (SELECT unnest(range(0, {_SUBDUP_N})) AS j) j
-        WHERE g.doc_id <> rep.canon
-    ),
-    words AS (
-        SELECT w.doc_id, p.pos, ws[p.pos + 1] AS word
-        FROM w, LATERAL (SELECT unnest(range(0, len(ws))) AS pos) p
-    ),
-    kept AS (
-        SELECT words.doc_id,
-               string_agg(word, ' ' ORDER BY words.pos) AS deduped_text,
-               count(*) AS n_kept
-        FROM words LEFT JOIN cov
-          ON cov.doc_id = words.doc_id AND cov.pos = words.pos
-        WHERE cov.doc_id IS NULL
-        GROUP BY words.doc_id
+    return _span_prune(
+        t["documents"], _BOILER_N, hot_occurrences, "pruned_text"
     )
-    SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-           CAST(len(ws) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
-           round(CAST(len(ws) - COALESCE(kept.n_kept, 0) AS DOUBLE)
-                 / len(ws), 6) AS removed_frac,
-           COALESCE(kept.deduped_text, '') AS deduped_text
-    FROM w LEFT JOIN kept ON kept.doc_id = w.doc_id
-    """
 
 
 @_q(
     "corpus_substring_dedup",
     "north-star: cross-document exact-substring dedup (repeated spans "
     "removed everywhere but the canonical doc — ExactSubstr pattern)",
-    _subdup_oracle(),
+    _span_prune_oracle(
+        _SUBDUP_N,
+        trig_cte="""
+        SELECT gram, CAST(min(doc_id) AS BIGINT) AS canon
+        FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING count(*) >= 2""",
+        cov_where="WHERE g.doc_id <> trig.canon",
+        out_col="deduped_text",
+    ),
 )
 def _substring_dedup(spark, t):
     """Substring-level exact deduplication (the ExactSubstr idea of
@@ -750,72 +734,28 @@ def _substring_dedup(spark, t):
     whole-doc dedup (``dedup_exact``/MinHash) and differs from
     ``corpus_boilerplate_prune`` in both trigger (cross-doc repetition
     at df>=2, not corpus-frequency df>=3) and semantics (one canonical
-    copy SURVIVES; boilerplate is removed everywhere).
-
-    All arithmetic is integer/string — no float until the final
-    6-decimal ratio — so cross-engine parity is exact by construction.
-
-    Scale shape (100 TB): identical skeleton to the boilerplate prune
-    — map-only positional explode; per-gram (min-doc, distinct-count)
-    aggregation is map-side combinable and vocabulary-bounded; the
-    repeated-span table joins back by gram equi-join; the per-doc
-    rebuild is bounded by document length.  At web scale the public
-    method runs over a suffix array — the gram-keyed aggregation here
-    is the shuffle-native equivalent for a fixed span length.
+    copy SURVIVES; boilerplate is removed everywhere).  At web scale
+    the public method runs over a suffix array — the gram-keyed
+    aggregation here is the shuffle-native equivalent for a fixed span
+    length.  Shared skeleton: see ``_span_prune``.
     """
-    w = t["documents"].select("doc_id", X.words("text").alias("ws"))
-    grams = w.filter(F.size("ws") >= _SUBDUP_N).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(ws) - {_SUBDUP_N}),"
-                " i -> struct(i AS i, concat_ws(' ', "
-                + ", ".join(f"ws[i + {j}]" for j in range(_SUBDUP_N))
-                + ") AS gram))"
+
+    def noncanonical_occurrences(grams):
+        rep = (
+            grams.select("doc_id", "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(
+                F.min("doc_id").cast("bigint").alias("canon"),
+                F.count(F.lit(1)).alias("df"),
             )
-        ).alias("p"),
-    ).select("doc_id", "p.i", "p.gram")
-    rep = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(
-            F.min("doc_id").cast("bigint").alias("canon"),
-            F.count(F.lit(1)).alias("df"),
+            .filter(F.col("df") >= 2)
+            .select("gram", "canon")
         )
-        .filter(F.col("df") >= 2)
-        .select("gram", "canon")
-    )
-    cov = (
-        grams.join(rep, "gram")
-        .filter(F.col("doc_id") != F.col("canon"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(i, i + {_SUBDUP_N - 1})")
-            ).alias("pos"),
+        return grams.join(rep, "gram").filter(
+            F.col("doc_id") != F.col("canon")
         )
-        .distinct()
-    )
-    words = w.select("doc_id", F.posexplode("ws").alias("pos", "word"))
-    kept = (
-        words.join(cov, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(struct(pos, word))), x -> x.word))"
-            ).alias("deduped_text"),
-            F.count("*").alias("n_kept"),
-        )
-    )
-    n_removed = F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0))
-    return w.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("n_words"),
-        n_removed.cast("bigint").alias("n_removed"),
-        F.round(n_removed.cast("double") / F.size("ws"), 6).alias(
-            "removed_frac"
-        ),
-        F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+
+    return _span_prune(
+        t["documents"], _SUBDUP_N, noncanonical_occurrences, "deduped_text"
     )

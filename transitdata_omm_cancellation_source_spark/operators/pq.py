@@ -453,22 +453,17 @@ _ADC_SCORED_CTES = f"""
     )"""
 
 
-def _adc_scored(vecs: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, s): exact-BIGINT ADC candidate scores —
-    the shared first stage of the one-shot search and the reranked
-    variant (mirror of the ``_ADC_SCORED_CTES`` oracle block)."""
-    bucketed = vecs.select(
-        "vec_id", bucket_expr_spark("v").alias("bucket")
-    )
-    qs = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        "u",
-        bucket_expr_spark("v").alias("bucket"),
-    )
-    lut = (
-        _subvectors(
-            qs.select(F.col("query_id").alias("vec_id"), "u")
-        )
+def _query_lut(qs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, sub, code, qd): per-query integer squared-L2 LUT.
+
+    NOTE: |queries| x 128 rows — query-cardinality, hence corpus-
+    proportional at fixed QUERY_MOD — so it carries NO forced broadcast
+    hint (size-based selection broadcasts it while small, AQE degrades
+    to shuffle when it isn't); only the fixed 128-row codebook is
+    hint-broadcast.
+    """
+    return (
+        _subvectors(qs.select(F.col("query_id").alias("vec_id"), "u"))
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cent), "sub")
         .select(
@@ -478,23 +473,62 @@ def _adc_scored(vecs: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame
             F.expr(_L2_S.format(a="sv", b="c")).alias("qd"),
         )
     )
-    cand = (
-        qs.select("query_id", "bucket")
-        .join(bucketed, "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    # NOTE: lut is |queries| x 128 rows — query-cardinality, hence
-    # corpus-proportional at fixed QUERY_MOD — so it carries NO forced
-    # broadcast hint (size-based selection broadcasts it while small,
-    # AQE degrades to shuffle when it isn't); only the fixed 128-row
-    # codebook is hint-broadcast.
+
+
+def _adc_score(cand: DataFrame, codes: DataFrame, lut: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, s): exact-BIGINT ADC sums over the given
+    candidate pairs — the scoring discipline shared by every PQ search
+    variant regardless of how candidates were generated."""
     return (
         cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
         .join(lut, ["query_id", "sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qd").cast("bigint").alias("s"))
     )
+
+
+def _adc_topk(scored: DataFrame) -> DataFrame:
+    """The shared ranking tail: exact-BIGINT order, neighbor_id
+    tie-break, ``adc_dist2`` as one IEEE division for display."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rank"),
+            (
+                F.col("s").cast("double")
+                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
+            ).alias("adc_dist2"),
+        )
+    )
+
+
+def _adc_scored(vecs: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, s): ADC scores over HYPERPLANE-BUCKET
+    candidates — the first stage of the one-shot search and the
+    reranked variant (mirror of the ``_ADC_SCORED_CTES`` oracle
+    block).  The IVF-PQ variant feeds cell-confined candidates through
+    the same ``_query_lut`` / ``_adc_score`` discipline."""
+    bucketed = vecs.select(
+        "vec_id", bucket_expr_spark("v").alias("bucket")
+    )
+    qs = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "u",
+        bucket_expr_spark("v").alias("bucket"),
+    )
+    cand = (
+        qs.select("query_id", "bucket")
+        .join(bucketed, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _adc_score(cand, codes, _query_lut(qs, cent))
 
 
 @_q(
@@ -519,23 +553,7 @@ def _knn_pq(spark, t):
     # Ranking compares exact BIGINT LUT sums — no float ordering.
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    scored = _adc_scored(vecs, cent, _encode(vecs, cent))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("s").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rnk").cast("int").alias("rank"),
-            (
-                F.col("s").cast("double")
-                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
-            ).alias("adc_dist2"),
-        )
-    )
+    return _adc_topk(_adc_scored(vecs, cent, _encode(vecs, cent)))
 
 
 #: rerank shortlist depth: the ADC stage hands its best 4*TOP_K
@@ -712,42 +730,13 @@ def _knn_ivfpq(spark, t):
         .join(cells, "vec_id")
         .select(F.col("vec_id").alias("query_id"), "u", "cell")
     )
-    lut = (
-        _subvectors(qs.select(F.col("query_id").alias("vec_id"), "u"))
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cent), "sub")
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.expr(_L2_S.format(a="sv", b="c")).alias("qd"),
-        )
-    )
+    # only candidate generation differs from knn_pq_adc: the learned
+    # cell replaces the hyperplane bucket; LUT build, exact-BIGINT
+    # scoring and the ranking tail are the shared discipline.
     cand = (
         qs.select("query_id", "cell")
         .join(cells, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    scored = (
-        cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
-        .join(lut, ["query_id", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").cast("bigint").alias("s"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("s").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rnk").cast("int").alias("rank"),
-            (
-                F.col("s").cast("double")
-                / F.lit(float(_LUT_SCALE) * float(_LUT_SCALE))
-            ).alias("adc_dist2"),
-        )
-    )
+    return _adc_topk(_adc_score(cand, codes, _query_lut(qs, cent)))

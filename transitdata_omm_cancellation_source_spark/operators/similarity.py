@@ -342,42 +342,59 @@ def ivf_assign_cte() -> str:
     )"""
 
 
-def ivf_cells(spark, t) -> DataFrame:
-    """(vec_id, cell): nearest-label-centroid assignment — the learned
-    coarse quantizer, shared by ``knn_ivf_kmeans`` and the IVF-PQ
-    composition.  The centroid table is #cells rows (fixed by the
-    quantizer, not corpus-proportional) so broadcasting it is safe at
-    any scale; assignment emits N x #cells slim (vec_id, cell, score)
-    rows — the vectors never ride the shuffle — and the per-vector
-    argmax is one window on vec_id.  Persisted: both sides of a
-    cell-confined search join read it.
-    """
-    vecs = _vectors(t)
-    cent_rows = _label_centroid(spark, t)
-    cvec = (
-        cent_rows.groupBy("label")
+def centroid_vectors(cent_rows: DataFrame, key: str) -> DataFrame:
+    """(<key>, cv, cn2): long-form (key, dim, centroid) rows folded to
+    dim-ordered centroid vectors with their squared norms — the
+    broadcast side of every nearest-centroid assignment."""
+    return (
+        cent_rows.groupBy(key)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
         .select(
-            F.col("label").alias("c_label"),
+            F.col(key).alias("c_key"),
             F.expr("transform(dc, x -> x.centroid)").alias("cv"),
         )
         .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
     )
-    pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
+
+
+def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid-by-cosine assignment, lowest
+    key as the deterministic tie-break — THE assignment kernel, shared
+    by ``ivf_cells`` (label centroids) and SemDeDup (Lloyd centroids)
+    so the two paths can never drift apart semantically.
+
+    ``vecs`` is (vec_id, v, n2); ``cvec`` is ``centroid_vectors``
+    output.  The centroid table is #cells rows (fixed by the
+    quantizer, not corpus-proportional) so broadcasting it is safe at
+    any scale; assignment emits N x #cells slim (vec_id, key, score)
+    rows — the vectors never ride the shuffle — and the per-vector
+    argmax is one window on vec_id.
+    """
+    scored = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
         F.col("x.vec_id").alias("vec_id"),
-        F.col("ct.c_label").alias("c_label"),
+        F.col("ct.c_key").alias("c_key"),
         F.expr(
             f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
         ).alias("cos_c"),
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("c_label").asc()
+        F.col("cos_c").desc(), F.col("c_key").asc()
     )
-    return persist_tracked(
-        pairs.withColumn("rn", F.row_number().over(w))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
+        .select("vec_id", F.col("c_key").alias("cell"))
     )
+
+
+def ivf_cells(spark, t) -> DataFrame:
+    """(vec_id, cell): nearest-label-centroid assignment — the learned
+    coarse quantizer, shared by ``knn_ivf_kmeans`` and the IVF-PQ
+    composition.  Persisted: both sides of a cell-confined search join
+    read it.
+    """
+    cvec = centroid_vectors(_label_centroid(spark, t), "label")
+    return persist_tracked(assign_to_centroids(_vectors(t), cvec))
 
 
 def _ivf_kmeans_oracle() -> str:
