@@ -16,6 +16,10 @@ from __future__ import annotations
 import sys
 import time
 
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 from transitdata_omm_cancellation_source_spark.caching import release_tracked
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
 from transitdata_omm_cancellation_source_spark.plans import queries as registry

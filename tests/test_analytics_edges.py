@@ -35,7 +35,7 @@ def test_q13_keeps_zero_order_customers(spark):
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
     out = _order_count_distribution(
-        None, {"customer": customer, "orders": orders}
+        spark, {"customer": customer, "orders": orders}
     ).collect()
     assert [(r.c_count, r.custdist) for r in out] == [(0, 2), (2, 1)]
 
