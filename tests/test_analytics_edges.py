@@ -61,3 +61,30 @@ def test_label_vote_tiebreak_prefers_smaller_label(spark):
     r = out[0]
     assert (r.query_id, r.predicted_label, r.votes, r.query_label) == (0, 1, 2, 2)
     assert r.label_match is False
+
+
+def test_upsert_merge_resolves_all_three_fates(spark):
+    from transitdata_omm_cancellation_source_spark.operators.analytics import (
+        _MERGE_INSERT_SHIFT,
+        _upsert_merge,
+    )
+
+    d = datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 100.0, d, "5-LOW"),   # % 10 == 0 -> update + insert
+            (11, 1, "O", 50.0, d, "5-LOW"),    # % 10 == 1 -> delete
+            (12, 1, "O", 70.0, d, "5-LOW"),    # untouched -> kept
+            (20, 2, "O", 200.0, d, "5-LOW"),   # update + insert
+            (21, 2, "O", 30.0, d, "5-LOW"),    # delete
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.merge_action: r for r in _upsert_merge(spark, {"orders": orders}).collect()}
+    assert set(out) == {"updated", "inserted", "kept"}  # deletes VANISH
+    u, i, k = out["updated"], out["inserted"], out["kept"]
+    assert (u.n_rows, u.total_value, u.min_key, u.max_key) == (2, 330.0, 10, 20)
+    assert (i.n_rows, i.total_value) == (2, 150.0)
+    assert i.min_key == 10 + _MERGE_INSERT_SHIFT and i.max_key == 20 + _MERGE_INSERT_SHIFT
+    assert (k.n_rows, k.total_value, k.min_key, k.max_key) == (1, 70.0, 12, 12)

@@ -385,3 +385,12 @@ def test_pagerank_rounds_are_equi_joins_no_cartesian(spark):
     # supersteps must re-read the PERSISTED edge/node tables, not
     # re-derive the fact self-join once per round
     assert "InMemoryTableScan" in plan
+
+
+def test_upsert_merge_is_one_full_outer_key_join(spark):
+    df = REGISTRY["orders_upsert_merge"].build(spark, SF_PLAN)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FullOuter" in optimized  # the MERGE core survives optimization
+    plan = _plan(spark, "orders_upsert_merge")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -614,3 +614,123 @@ def _order_count_distribution(spark, t):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# --- MERGE / upsert ---------------------------------------------------------
+
+#: deterministic change-batch derivation from orders itself: every
+#: 10th key is an UPDATE (+10% total), every 10th-plus-1 a DELETE, and
+#: one INSERT per update key at key+_MERGE_INSERT_SHIFT (disjoint from
+#: the base key space).
+_MERGE_INSERT_SHIFT = 10_000_000
+
+
+@_q(
+    "orders_upsert_merge",
+    "analytics: MERGE/upsert — update/insert/delete change batch applied "
+    "via one full-outer join (the MERGE INTO pattern without a table format)",
+    f"""
+    WITH changes AS (
+        SELECT o_orderkey AS key, 'U' AS op,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                    * CAST(1.1 AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                    AS DOUBLE) AS new_total
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey AS key, 'D' AS op, CAST(NULL AS DOUBLE) AS new_total
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey + {_MERGE_INSERT_SHIFT} AS key, 'I' AS op,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                    * CAST(0.5 AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                    AS DOUBLE) AS new_total
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(c.key, b.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.new_total
+                    WHEN c.op = 'I' THEN c.new_total
+                    ELSE CAST(CAST(b.o_totalprice AS DECIMAL(18,4))
+                              AS DOUBLE) END
+                   AS o_totalprice,
+               CASE WHEN c.op IS NULL THEN 'kept'
+                    WHEN c.op = 'U' THEN 'updated'
+                    WHEN c.op = 'I' THEN 'inserted' END AS merge_action
+        FROM orders b FULL OUTER JOIN changes c ON c.key = b.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT merge_action, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_value,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY merge_action
+    """,
+)
+def _upsert_merge(spark, t):
+    """MERGE INTO semantics without a table format: one FULL OUTER join
+    of base against the change batch resolves matched-update,
+    matched-delete, and not-matched-insert in a single shuffle — the
+    relational core of Delta/Iceberg MERGE (their addition is
+    file-level transaction handling, not different join semantics).
+    The change batch is derived deterministically from ``orders``
+    itself so the oracle sees identical inputs.
+
+    Determinism: ALL money arithmetic stays in DECIMAL(18,4) where the
+    2-decimal inputs x 1.1 / x 0.5 are EXACT (3 decimal places) — no
+    rounding step exists for the engines to disagree on (DuckDB
+    truncates decimal downcasts where Spark rounds half-up, so a
+    DECIMAL(18,2) rounding stage would drift on the .xx5 ties this
+    derivation produces by construction); the certified output is the per-action
+    summary (counts + exact total + key range), which pins every row's
+    fate without hashing 15k merged rows.
+
+    Scale shape (100 TB): MERGE is ONE full-outer shuffle join on the
+    key — both sides key-partitioned, no broadcast of the fact side;
+    with the day-partitioned layout (`sources/partitioned.py`) the
+    real-world version prunes the join to the partitions the change
+    batch touches (the standard MERGE + partition-pruning combo).
+    """
+    o = t["orders"]
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        (dec("o_totalprice") * F.lit(1.1).cast("decimal(18,4)"))
+        .cast("decimal(18,4)").cast("double").alias("new_total"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_total"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") + _MERGE_INSERT_SHIFT).alias("key"),
+        F.lit("I").alias("op"),
+        (dec("o_totalprice") * F.lit(0.5).cast("decimal(18,4)"))
+        .cast("decimal(18,4)").cast("double").alias("new_total"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        o.alias("b")
+        .join(changes.alias("c"), F.col("c.key") == F.col("b.o_orderkey"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.key"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("c.op") == "U", F.col("c.new_total"))
+            .when(F.col("c.op") == "I", F.col("c.new_total"))
+            .otherwise(F.col("b.o_totalprice").cast("decimal(18,4)").cast("double"))
+            .alias("o_totalprice"),
+            F.when(F.col("c.op").isNull(), "kept")
+            .when(F.col("c.op") == "U", "updated")
+            .when(F.col("c.op") == "I", "inserted")
+            .alias("merge_action"),
+        )
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").alias("total_value"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
