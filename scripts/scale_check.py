@@ -53,6 +53,10 @@ QUERIES = [
     "corpus_bigram_pmi",
     "corpus_substring_dedup",
     "knn_ivfpq_adc",
+    "corpus_word_freqitems",
+    "knn_label_vote",
+    "parts_copurchase_pagerank",
+    "orders_upsert_merge",
 ]
 
 

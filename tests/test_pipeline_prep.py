@@ -177,3 +177,29 @@ def test_substring_dedup_keeps_canonical_copy_only(spark):
     assert abs(out[1].removed_frac - 0.8) < 1e-9
     # sub-span-length docs are untouched
     assert out[2].n_removed == 0 and out[2].deduped_text == "short one"
+
+
+def test_span_prune_invariants_hold_for_both_instantiations(spark):
+    # shared-skeleton invariants on the real corpus: word accounting is
+    # exact (n_removed + |rebuilt words| == n_words), the fraction is
+    # consistent, and every doc appears exactly once in the output.
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+    from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
+        _boilerplate_prune,
+        _substring_dedup,
+    )
+
+    from conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    n_docs = t["documents"].count()
+    for fn, col in ((_boilerplate_prune, "pruned_text"),
+                    (_substring_dedup, "deduped_text")):
+        rows = fn(spark, t).collect()
+        assert len(rows) == n_docs, fn.__name__
+        for r in rows:
+            kept_words = len(r[col].split()) if r[col] else 0
+            assert r.n_removed + kept_words == r.n_words, (fn.__name__, r.doc_id)
+            assert 0.0 <= r.removed_frac <= 1.0
+            expected_frac = round(r.n_removed / r.n_words, 6) if r.n_words else 0.0
+            assert abs(r.removed_frac - expected_frac) < 1e-9
