@@ -34,11 +34,16 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
+# replication factor; override with a second CLI arg for deeper points
+# (e.g. ``python scripts/make_scale_data.py .scale/sf5 50``)
 COPIES = 10
 
 
 def main() -> None:
+    global COPIES
     out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1")
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW copies AS SELECT unnest(range(0, {COPIES})) AS i")
