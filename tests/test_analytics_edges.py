@@ -65,7 +65,6 @@ def test_label_vote_tiebreak_prefers_smaller_label(spark):
 
 def test_upsert_merge_resolves_all_three_fates(spark):
     from transitdata_omm_cancellation_source_spark.operators.analytics import (
-        _MERGE_INSERT_SHIFT,
         _upsert_merge,
     )
 
@@ -86,5 +85,6 @@ def test_upsert_merge_resolves_all_three_fates(spark):
     u, i, k = out["updated"], out["inserted"], out["kept"]
     assert (u.n_rows, u.total_value, u.min_key, u.max_key) == (2, 330.0, 10, 20)
     assert (i.n_rows, i.total_value) == (2, 150.0)
-    assert i.min_key == 10 + _MERGE_INSERT_SHIFT and i.max_key == 20 + _MERGE_INSERT_SHIFT
+    shift = 21 + 1  # max base key + 1, derived from the data
+    assert i.min_key == 10 + shift and i.max_key == 20 + shift
     assert (k.n_rows, k.total_value, k.min_key, k.max_key) == (1, 70.0, 12, 12)

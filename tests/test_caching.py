@@ -46,3 +46,18 @@ def test_artifact_cache_key_is_content_sensitive(spark, tmp_path):
     spark.range(7).write.mode("overwrite").parquet(p)
     k2 = artifact_cache_key(spark, spark.read.parquet(p))
     assert k2 != k1
+
+
+def test_replace_plan_artifact_evicts_superseded_entries():
+    from transitdata_omm_cancellation_source_spark.caching import (
+        replace_plan_artifact,
+    )
+
+    cache: dict = {}
+    k_old = ("app", 1, (("f", 10, 100),))
+    k_new = ("app", 1, (("f", 12, 200),))  # same plan, rewritten data
+    k_other = ("app", 2, (("g", 1, 1),))   # different plan — untouched
+    replace_plan_artifact(cache, k_old, "old")
+    replace_plan_artifact(cache, k_other, "x")
+    replace_plan_artifact(cache, k_new, "new")
+    assert cache == {k_new: "new", k_other: "x"}

@@ -54,20 +54,36 @@ def artifact_cache_key(spark, df: DataFrame) -> tuple:
     ones.  Appending each input file's (uri, size, mtime) fingerprint
     makes a rewrite a cache MISS; non-local or unstattable inputs fall
     back to their uri alone (plan-keyed behavior, the previous
-    contract).  Listing input files touches only the scan's file
-    index — no job runs.
+    contract).  URIs are parsed properly (percent-decoding, authority
+    handling) so Hadoop-encoded paths still fingerprint.  Listing
+    input files touches only the scan's file index — no job runs.
+
+    Consumers should insert via ``replace_plan_artifact`` so a rewrite
+    EVICTS the superseded entry instead of accumulating one dead
+    trained artifact per rewrite.
     """
     import os
+    from urllib.parse import unquote, urlparse
 
     files = []
     for uri in sorted(df.inputFiles()):
         entry: tuple = (uri,)
-        if uri.startswith("file:"):
-            path = "/" + uri.split(":", 1)[1].lstrip("/")
+        parsed = urlparse(uri)
+        if parsed.scheme in ("file", "") and parsed.path:
             try:
-                st = os.stat(path)
+                st = os.stat(unquote(parsed.path))
                 entry = (uri, st.st_size, st.st_mtime_ns)
             except OSError:
                 pass
         files.append(entry)
     return (spark.sparkContext.applicationId, df.semanticHash(), tuple(files))
+
+
+def replace_plan_artifact(cache: dict, key: tuple, value) -> None:
+    """Insert a trained artifact, evicting entries for the SAME plan
+    with a different data fingerprint — the superseded artifacts a
+    rewrite leaves behind.  Keeps the cache bounded by live (session,
+    plan) pairs rather than growing per rewrite."""
+    for stale in [k for k in cache if k[:2] == key[:2] and k != key]:
+        del cache[stale]
+    cache[key] = value

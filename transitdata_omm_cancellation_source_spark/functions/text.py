@@ -51,6 +51,13 @@ def _c(col: Column | str) -> Column:
 #: from the Spark builders).  Change this and ``words`` together.
 WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
+#: Spark-SQL-side forms of the same tokenizer over the literal column
+#: name ``text`` — for call sites embedding the pattern in larger
+#: ``F.expr`` strings where ``words()`` can't be composed.  WORDS_S
+#: must stay in lockstep with ``words`` and WORDS_D.
+WORDS_S = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+NORM_TEXT_S = f"array_join({WORDS_S}, ' ')"
+
 
 def words(col: Column | str) -> Column:
     """Lowercased alphanumeric word tokens (whitespace tokenizer core)."""

@@ -620,9 +620,11 @@ def _order_count_distribution(spark, t):
 
 #: deterministic change-batch derivation from orders itself: every
 #: 10th key is an UPDATE (+10% total), every 10th-plus-1 a DELETE, and
-#: one INSERT per update key at key+_MERGE_INSERT_SHIFT (disjoint from
-#: the base key space).
-_MERGE_INSERT_SHIFT = 10_000_000
+#: one INSERT per update key at key + shift, where shift =
+#: max(o_orderkey) + 1 is DERIVED FROM THE DATA in both dialects — a
+#: static constant would silently collide with the base key space on a
+#: bigger corpus (both engines would compute the same WRONG fates, so
+#: parity could not catch it).
 
 
 @_q(
@@ -640,11 +642,14 @@ _MERGE_INSERT_SHIFT = 10_000_000
         SELECT o_orderkey AS key, 'D' AS op, CAST(NULL AS DOUBLE) AS new_total
         FROM orders WHERE o_orderkey % 10 = 1
         UNION ALL
-        SELECT o_orderkey + {_MERGE_INSERT_SHIFT} AS key, 'I' AS op,
+        SELECT o_orderkey + s.shift AS key, 'I' AS op,
                CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
                     * CAST(0.5 AS DECIMAL(18,4)) AS DECIMAL(18,4))
                     AS DOUBLE) AS new_total
-        FROM orders WHERE o_orderkey % 10 = 0
+        FROM orders,
+             (SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS shift
+              FROM orders) s
+        WHERE o_orderkey % 10 = 0
     ),
     merged AS (
         SELECT COALESCE(c.key, b.o_orderkey) AS o_orderkey,
@@ -704,11 +709,18 @@ def _upsert_merge(spark, t):
         F.lit("D").alias("op"),
         F.lit(None).cast("double").alias("new_total"),
     )
-    ins = o.filter(F.col("o_orderkey") % 10 == 0).select(
-        (F.col("o_orderkey") + _MERGE_INSERT_SHIFT).alias("key"),
-        F.lit("I").alias("op"),
-        (dec("o_totalprice") * F.lit(0.5).cast("decimal(18,4)"))
-        .cast("decimal(18,4)").cast("double").alias("new_total"),
+    shift = F.broadcast(
+        o.agg((F.max("o_orderkey") + 1).cast("bigint").alias("shift"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .crossJoin(shift)
+        .select(
+            (F.col("o_orderkey") + F.col("shift")).alias("key"),
+            F.lit("I").alias("op"),
+            (dec("o_totalprice") * F.lit(0.5).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").cast("double").alias("new_total"),
+        )
     )
     changes = upd.unionByName(dele).unionByName(ins)
     merged = (

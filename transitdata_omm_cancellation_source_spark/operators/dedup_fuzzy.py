@@ -48,7 +48,7 @@ P = X.HASH_MOD
 from ..functions.corpus import CORPUS_SQL as _CORPUS_D  # noqa: E402
 from ..functions.corpus import planted_corpus  # noqa: E402,F401
 
-_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_WORDS = X.WORDS_S  # single source in functions/text
 
 #: DuckDB per-word polyhash array (mirrors functions.text.word_hashes)
 _WORD_HASHES_D = (

@@ -72,7 +72,7 @@ _POLY_D = (
 _SPLIT_TRAIN, _SPLIT_VAL = 80, 90
 
 _NORM_TEXT_D = f"array_to_string({_WORDS_D}, ' ')"
-_NORM_TEXT_S = "array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"
+_NORM_TEXT_S = X.NORM_TEXT_S  # single source in functions/text
 
 
 @_q(
@@ -565,8 +565,9 @@ _SUBDUP_N = 8
 def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> str:
     """Shared span-prune oracle skeleton: positional n-gram explode,
     a query-specific trigger CTE (``trig``), positional union cover,
-    exact text rebuild.  ``cov_join`` is the g-to-trig join tail
-    (condition + optional WHERE); ``out_col`` names the rebuilt text
+    exact text rebuild.  The g-to-trig join is fixed as
+    ``USING (gram)``; ``cov_where`` optionally restricts which
+    occurrences are covered; ``out_col`` names the rebuilt text
     column.  One template serving both span-prune queries keeps the
     four former copies (two builders + two oracle strings) from
     drifting independently."""

@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import artifact_cache_key, persist_tracked
+from ..caching import artifact_cache_key, persist_tracked, replace_plan_artifact
 from ..functions.hyperplane import bucket_expr_duck, bucket_expr_spark
 from ..plans.queries import registered_query as _q
 from .similarity import QUERY_MOD, TOP_K
@@ -297,7 +297,7 @@ def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:
         codebook = spark.createDataFrame(
             rows, "sub int, code int, c array<bigint>"
         )
-        _CODEBOOK_CACHE[key] = codebook
+        replace_plan_artifact(_CODEBOOK_CACHE, key, codebook)
     return codebook
 
 

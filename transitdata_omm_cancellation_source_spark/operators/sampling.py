@@ -45,7 +45,7 @@ from ..plans.queries import registered_query as _q
 
 _WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
 _NORM_TEXT_D = f"array_to_string({_WORDS_D}, ' ')"
-_NORM_TEXT_S = "array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"
+_NORM_TEXT_S = X.NORM_TEXT_S  # single source in functions/text
 
 _POLY_D = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT),"

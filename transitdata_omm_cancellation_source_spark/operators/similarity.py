@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import artifact_cache_key, persist_tracked
+from ..caching import artifact_cache_key, persist_tracked, replace_plan_artifact
 from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
@@ -663,7 +663,7 @@ def shared_lloyd_centroids(spark, t) -> DataFrame:
     if cent is None:
         trained = _kmeans_lloyd(spark, t)
         cent = spark.createDataFrame(trained.collect(), trained.schema)
-        _CENTROID_ARTIFACT_CACHE[key] = cent
+        replace_plan_artifact(_CENTROID_ARTIFACT_CACHE, key, cent)
     return cent
 
 

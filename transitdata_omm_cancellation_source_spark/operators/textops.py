@@ -152,7 +152,7 @@ def _fingerprint(spark, t):
     return t["documents"].select(
         "doc_id",
         X.fingerprint_md5("text").alias("fp_md5"),
-        X.polyhash("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')").alias(
+        X.polyhash(X.NORM_TEXT_S).alias(
             "fp_poly"
         ),
     )
