@@ -18,6 +18,9 @@ from __future__ import annotations
 import pytest
 
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.operators.analytics import (
+    _upsert_merge,
+)
 from transitdata_omm_cancellation_source_spark.operators.graph import _pagerank
 from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
     _substring_dedup,
@@ -43,6 +46,7 @@ _CASES = [
     (_word_freqitems, ("documents",)),
     (_substring_dedup, ("documents",)),
     (_pagerank, ("lineitem",)),
+    (_upsert_merge, ("orders",)),
 ]
 
 
@@ -65,6 +69,7 @@ def test_result_is_partitioning_invariant(spark, fn, tabs):
     # hash-partitioned on a column that is NOT the operator's key
     rekeyed = dict(base)
     for name in tabs:
-        col = {"documents": "lang", "embeddings": "label", "lineitem": "l_suppkey"}[name]
+        col = {"documents": "lang", "embeddings": "label",
+               "lineitem": "l_suppkey", "orders": "o_orderpriority"}[name]
         rekeyed[name] = base[name].repartition(3, col)
     assert _rows(fn(spark, rekeyed)) == reference
