@@ -205,8 +205,10 @@ def main() -> None:
             continue
         summary["queries"][name] = timings[name]
         if len(json.dumps(summary)) > TAIL_BUDGET:
+            # drop just this entry and keep trying: a later shorter-named
+            # query may still fit the remaining byte budget.
             del summary["queries"][name]
-            break
+            continue
     print(json.dumps(summary))
 
 

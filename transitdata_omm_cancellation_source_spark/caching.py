@@ -70,11 +70,18 @@ def artifact_cache_key(spark, df: DataFrame) -> tuple:
         entry: tuple = (uri,)
         parsed = urlparse(uri)
         if parsed.scheme in ("file", "") and parsed.path:
-            try:
-                st = os.stat(unquote(parsed.path))
-                entry = (uri, st.st_size, st.st_mtime_ns)
-            except OSError:
-                pass
+            # A local path containing a literal percent sequence (e.g. a
+            # directory named 'a%20b' that Hadoop did not re-encode) stats
+            # wrong after unquoting — try both forms, first hit wins, so
+            # either encoding keeps the content fingerprint instead of
+            # silently degrading to the plan-keyed fallback.
+            for cand in dict.fromkeys((unquote(parsed.path), parsed.path)):
+                try:
+                    st = os.stat(cand)
+                    entry = (uri, st.st_size, st.st_mtime_ns)
+                    break
+                except OSError:
+                    continue
         files.append(entry)
     return (spark.sparkContext.applicationId, df.semanticHash(), tuple(files))
 

@@ -45,23 +45,26 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-#: DuckDB-side form of ``words("text")`` — the ONE source of truth for
-#: the oracle tokenizer pattern (previously copied into five operator
-#: modules; a drift in any copy desynchronizes that module's oracles
-#: from the Spark builders).  Change this and ``words`` together.
-WORDS_D = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+#: The ONE tokenizer pattern — identical Spark-SQL / DuckDB text, with
+#: the column spliced in.  WORDS_D (oracle side), WORDS_S (Spark side)
+#: and ``words()`` are all derived from this single template, so no
+#: pair of them can drift apart (previously three literal copies in
+#: this file, and before that five more across operator modules).
+_WORDS_PATTERN = "regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
 
-#: Spark-SQL-side forms of the same tokenizer over the literal column
+#: DuckDB-side form of ``words("text")`` over the literal column ``text``.
+WORDS_D = _WORDS_PATTERN.format(col="text")
+
+#: Spark-SQL-side form of the same tokenizer over the literal column
 #: name ``text`` — for call sites embedding the pattern in larger
-#: ``F.expr`` strings where ``words()`` can't be composed.  WORDS_S
-#: must stay in lockstep with ``words`` and WORDS_D.
-WORDS_S = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+#: ``F.expr`` strings where ``words()`` can't be composed.
+WORDS_S = _WORDS_PATTERN.format(col="text")
 NORM_TEXT_S = f"array_join({WORDS_S}, ' ')"
 
 
 def words(col: Column | str) -> Column:
     """Lowercased alphanumeric word tokens (whitespace tokenizer core)."""
-    return F.expr(f"regexp_extract_all(lower({_sql(col)}), '[a-z0-9]+', 0)")
+    return F.expr(_WORDS_PATTERN.format(col=_sql(col)))
 
 
 def _sql(col: Column | str) -> str:

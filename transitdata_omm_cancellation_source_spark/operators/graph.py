@@ -137,7 +137,17 @@ def _pagerank(spark, t):
             e.join(rank, e["src"] == rank["node"])
             .select(
                 F.col("dst"),
-                F.expr("(rank_micro * w) div wu").alias("c"),
+                # Micro-unit headroom guard: with ANSI mode off Spark
+                # silently wraps BIGINT overflow while DuckDB raises, so
+                # at extreme node counts the engines would diverge into
+                # wrong-but-plausible output.  Fail loudly on the Spark
+                # side too before the product can wrap (w >= 1 always).
+                F.expr(
+                    "CASE WHEN rank_micro > 9223372036854775807 div w"
+                    " THEN CAST(raise_error('pagerank overflow:"
+                    " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
+                    " ELSE (rank_micro * w) div wu END"
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
@@ -152,12 +162,19 @@ def _pagerank(spark, t):
                 ).cast("bigint").alias("rank_micro"),
             )
         )
+    # Top-K via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heap + driver merge of K rows), never a global single-partition sort
+    # of every node.  The row_number window then ranks only the K
+    # survivors, so its single partition is bounded by _PR_TOPK — the
+    # same pattern as the BM25 top-N in ``retrieval.py``.
+    topk = rank.orderBy(
+        F.col("rank_micro").desc(), F.col("node").asc()
+    ).limit(_PR_TOPK)
     w = F.row_number().over(
         Window.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
     )
     return (
-        rank.withColumn("rnk", w)
-        .filter(F.col("rnk") <= _PR_TOPK)
+        topk.withColumn("rnk", w)
         .select(
             F.col("node").alias("part"),
             "rank_micro",
