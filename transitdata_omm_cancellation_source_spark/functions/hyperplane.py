@@ -19,7 +19,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIM = 64
+
+#: Width of the LEGACY fixed 256-bucket key — still the right contract
+#: for the banded blocking paths (dedup_embedding_cosine, SemDeDup):
+#: their N_BANDS x BAND_BITS recall math is a property of the band
+#: structure, not of corpus size.  The candidate-generation LSH paths
+#: (knn_lsh_*, PQ bucket candidates) instead use the CORPUS-SCALED
+#: bucket below.
 N_PLANES = 8
+
+#: Headroom for the corpus-scaled bucket: up to 2^16 buckets (√N grid
+#: saturates there at N = 2^32 vectors — beyond that, widen).
+MAX_PLANES = 16
 
 
 def _hyperplane_weight(j: int, d: int) -> float:
@@ -27,9 +38,46 @@ def _hyperplane_weight(j: int, d: int) -> float:
     return 1.0 if v % 2 == 0 else -1.0
 
 
+#: The first N_PLANES rows are the legacy planes, bit-for-bit: the
+#: scaled bucket masked to 8 bits IS the legacy bucket.
 HYPERPLANES = [
-    [_hyperplane_weight(j, d) for d in range(DIM)] for j in range(N_PLANES)
+    [_hyperplane_weight(j, d) for d in range(DIM)] for j in range(MAX_PLANES)
 ]
+
+
+def sqrt_pow2(n: int, lo_bits: int = 2, hi_bits: int = MAX_PLANES) -> int:
+    """#buckets/#cells grid: the largest power of two ``p`` with
+    ``p*p <= n``, clamped to [2^lo_bits, 2^hi_bits].
+
+    The Faiss guideline for a coarse quantizer is #cells ∝ √N — it
+    balances the N x #cells assignment term against the N²/#cells
+    candidate term.  Snapping to powers of two keeps the value stable
+    under small corpus drift and lets the LSH paths realize it as a
+    plane-count (bucket = low log2(p) sign bits).  EXACT integer
+    arithmetic so the DuckDB mirror (``pow2_grid_cte``) can never
+    disagree on the grid point.
+    """
+    nb = 1 << lo_bits
+    for g in range(lo_bits, hi_bits + 1):
+        if (1 << g) * (1 << g) <= n:
+            nb = 1 << g
+    return nb
+
+
+def pow2_grid_cte(alias: str, lo_bits: int = 2, hi_bits: int = MAX_PLANES,
+                  count_from: str = "embeddings") -> str:
+    """DuckDB CTE computing the same grid point as ``sqrt_pow2`` from
+    the table's own count — pure integer compares, no float log/pow,
+    so both engines land on the identical power of two."""
+    return f"""
+    {alias} AS (
+        SELECT max(CASE WHEN (CAST(1 AS BIGINT) << g) * (CAST(1 AS BIGINT) << g)
+                             <= n.n
+                        THEN CAST(1 AS BIGINT) << g
+                        ELSE {1 << lo_bits} END) AS nb
+        FROM (SELECT unnest(range({lo_bits}, {hi_bits + 1})) AS g) g,
+             (SELECT count(*) AS n FROM {count_from}) n
+    )"""
 
 # --- shared expression text (Spark SQL and DuckDB agree on these) -----------
 
@@ -67,6 +115,35 @@ def bucket_expr_duck(vec: str) -> str:
         f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(j))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
         for j in range(N_PLANES)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
+
+
+# --- corpus-scaled bucket (#buckets = sqrt_pow2(N)) --------------------------
+# The Spark side computes exactly log2(nb) sign bits once ``nb`` is
+# known (a cached corpus count); the oracle side is a STATIC string, so
+# it computes the full MAX_PLANES-bit key and masks with ``% nb`` from a
+# ``pow2_grid_cte`` params row — low bits are planes 0..P-1, so the two
+# forms are value-identical by construction.
+
+
+def scaled_bucket_expr_spark(vec: str, nb: int) -> F.Column:
+    p = nb.bit_length() - 1
+    bits = [
+        f"(CASE WHEN {DOT_S.format(a=vec, b=_plane_lit_spark(j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(p)
+    ]
+    return F.expr("(" + " + ".join(bits) + ")").cast("int")
+
+
+def full_bucket_expr_duck(vec: str) -> str:
+    """All MAX_PLANES sign bits; callers apply ``% nb`` to mask down to
+    the corpus-scaled bucket width."""
+    bits = [
+        f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(MAX_PLANES)
     ]
     return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 

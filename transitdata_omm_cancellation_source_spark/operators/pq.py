@@ -59,9 +59,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import artifact_cache_key, persist_tracked, replace_plan_artifact
-from ..functions.hyperplane import bucket_expr_duck, bucket_expr_spark
+from ..functions.hyperplane import (
+    full_bucket_expr_duck,
+    pow2_grid_cte,
+    scaled_bucket_expr_spark,
+)
 from ..plans.queries import registered_query as _q
-from .similarity import QUERY_MOD, TOP_K
+from .similarity import QUERY_MOD, TOP_K, lsh_nbuckets
 
 #: M subspaces x DSUB dims each (M * DSUB = 64); K centroids per
 #: subspace -> 4-bit codes, 32 bits per vector.
@@ -422,12 +426,15 @@ def _pq_codes(spark, t):
 #: ADC scoring pipeline (qs → candidates → LUT → integer sums), shared
 #: verbatim by the one-stage search oracle and the rerank oracle below.
 _ADC_SCORED_CTES = f"""
+    {pow2_grid_cte("lsh_params")},
     qs AS (
-        SELECT vec_id, v, u, {bucket_expr_duck("v")} AS bucket
-        FROM v WHERE vec_id % {QUERY_MOD} = 0
+        SELECT v.vec_id, v.v, v.u,
+               ({full_bucket_expr_duck("v.v")}) % p.nb AS bucket
+        FROM v, lsh_params p WHERE vec_id % {QUERY_MOD} = 0
     ),
     corpus_b AS (
-        SELECT vec_id, {bucket_expr_duck("v")} AS bucket FROM v
+        SELECT v.vec_id, ({full_bucket_expr_duck("v.v")}) % p.nb AS bucket
+        FROM v, lsh_params p
     ),
     lut AS (
         SELECT q.vec_id AS query_id, ct.sub, ct.code,
@@ -508,19 +515,23 @@ def _adc_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _adc_scored(vecs: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
+def _adc_scored(
+    vecs: DataFrame, cent: DataFrame, codes: DataFrame, nb: int
+) -> DataFrame:
     """(query_id, neighbor_id, s): ADC scores over HYPERPLANE-BUCKET
     candidates — the first stage of the one-shot search and the
     reranked variant (mirror of the ``_ADC_SCORED_CTES`` oracle
-    block).  The IVF-PQ variant feeds cell-confined candidates through
-    the same ``_query_lut`` / ``_adc_score`` discipline."""
+    block).  ``nb`` is the corpus-scaled bucket count
+    (``lsh_nbuckets``), so per-bucket occupancy stays √N.  The IVF-PQ
+    variant feeds cell-confined candidates through the same
+    ``_query_lut`` / ``_adc_score`` discipline."""
     bucketed = vecs.select(
-        "vec_id", bucket_expr_spark("v").alias("bucket")
+        "vec_id", scaled_bucket_expr_spark("v", nb).alias("bucket")
     )
     qs = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         "u",
-        bucket_expr_spark("v").alias("bucket"),
+        scaled_bucket_expr_spark("v", nb).alias("bucket"),
     )
     cand = (
         qs.select("query_id", "bucket")
@@ -553,7 +564,9 @@ def _knn_pq(spark, t):
     # Ranking compares exact BIGINT LUT sums — no float ordering.
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    return _adc_topk(_adc_scored(vecs, cent, _encode(vecs, cent)))
+    return _adc_topk(
+        _adc_scored(vecs, cent, _encode(vecs, cent), lsh_nbuckets(spark, t))
+    )
 
 
 #: rerank shortlist depth: the ADC stage hands its best 4*TOP_K
@@ -612,7 +625,9 @@ def _knn_pq_refine(spark, t):
     """
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    scored = _adc_scored(vecs, cent, _encode(vecs, cent))
+    scored = _adc_scored(
+        vecs, cent, _encode(vecs, cent), lsh_nbuckets(spark, t)
+    )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("s").asc(), F.col("neighbor_id").asc()
     )

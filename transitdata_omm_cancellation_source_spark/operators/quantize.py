@@ -30,9 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hyperplane import HYPERPLANES, N_PLANES
+from ..functions.hyperplane import HYPERPLANES, MAX_PLANES, pow2_grid_cte
 from ..plans.queries import registered_query as _q
-from .similarity import QUERY_MOD, TOP_K
+from .similarity import QUERY_MOD, TOP_K, lsh_nbuckets
 
 
 @_q(
@@ -158,20 +158,24 @@ def _iplane_lit_duck(j: int) -> str:
     return "[" + ", ".join(str(int(w)) for w in HYPERPLANES[j]) + "]"
 
 
-def _ibucket_spark() -> str:
+def _ibucket_spark(p: int) -> str:
+    """Corpus-scaled integer bucket: exactly ``p`` sign bits."""
     bits = [
         f"(CASE WHEN {_IDOT_S.format(a='q', b=_iplane_lit_spark(j))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(p)
     ]
     return "CAST((" + " + ".join(bits) + ") AS INT)"
 
 
-def _ibucket_duck() -> str:
+def _ibucket_duck_full() -> str:
+    """All MAX_PLANES sign bits — the STATIC oracle computes the full
+    key and masks with ``% nb`` (low bits are planes 0..P-1, identical
+    to the Spark side's P-bit sum)."""
     bits = [
         f"(CASE WHEN {_IDOT_D.format(a='q', b=_iplane_lit_duck(j))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
+        for j in range(MAX_PLANES)
     ]
     return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
@@ -192,11 +196,12 @@ def _int8_knn_oracle() -> str:
             FROM embeddings
         )
     ),
+    {pow2_grid_cte("lsh_params")},
     normed AS (
         SELECT vec_id, q,
                {_IDOT_D.format(a="q", b="q")} AS qn2,
-               {_ibucket_duck()} AS bucket
-        FROM coded
+               ({_ibucket_duck_full()}) % p.nb AS bucket
+        FROM coded, lsh_params p
     ),
     qs AS (SELECT * FROM normed WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
@@ -228,14 +233,16 @@ def _knn_int8(spark, t):
     # integer multiply-accumulate — SIMD-friendly JVM codegen here, and
     # at 100 TB the index that rides every shuffle/broadcast is 4x
     # smaller than the float corpus the brute-force baseline moves.
-    # Candidate generation is the same 256-bucket hyperplane LSH as
-    # knn_lsh_hyperplane, but computed ON the codes with ±1-weight
-    # integer dots — an equi-join on the bucket key, shuffle-bounded
-    # and partition-prunable at 100 TB (the r2 all-pairs form was the
+    # Candidate generation is the same CORPUS-SCALED hyperplane LSH as
+    # knn_lsh_hyperplane (#buckets = sqrt_pow2(N), identical planes),
+    # but computed ON the codes with ±1-weight integer dots — an
+    # equi-join on the bucket key, shuffle-bounded and
+    # partition-prunable at 100 TB (the r2 all-pairs form was the
     # slowest bench query and grew O(N²/|mod|)).  Approximate by
     # design, exactly like the float LSH path; recall trade documented.
     # scale fed into the lambda via array_repeat: see _int8_quantize's
     # per-element-recompute gotcha (same math, O(dim) per row not O(dim²)).
+    nb = lsh_nbuckets(spark, t)
     coded = (
         t["embeddings"]
         .select("vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"))
@@ -252,7 +259,7 @@ def _knn_int8(spark, t):
         )
         .withColumn("qn2", F.expr(_IDOT_S.format(a="q", b="q")))
         .filter(F.col("qn2") > 0)
-        .withColumn("bucket", F.expr(_ibucket_spark()))
+        .withColumn("bucket", F.expr(_ibucket_spark(nb.bit_length() - 1)))
         .select("vec_id", "q", "qn2", "bucket")
     )
     qs = coded.filter(F.col("vec_id") % QUERY_MOD == 0)

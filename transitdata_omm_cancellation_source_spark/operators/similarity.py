@@ -6,17 +6,22 @@ Three operators, baseline -> scale path:
                 corpus, exact cosine, per-query top-k via window.
                 O(|Q| * N) — the correctness baseline and the right
                 plan whenever |Q| is broadcast-sized.
-- LSH buckets:  8 deterministic random-hyperplane sign bits -> 256
-                buckets; search only the query's bucket (single
-                probe).  Candidate generation becomes an equi-join on
-                the bucket key — partition-prunable and shuffle-
-                bounded at 100 TB.  Approximate by design: recall
-                loss is the documented trade.
+- LSH buckets:  deterministic random-hyperplane sign bits, CORPUS-
+                SCALED width (#buckets = sqrt_pow2(N) — the √N
+                balance between assignment and candidate cost);
+                search only the query's bucket (single probe).
+                Candidate generation becomes an equi-join on the
+                bucket key — partition-prunable and shuffle-bounded
+                at 100 TB, with per-bucket occupancy ~√N so the
+                candidate term is O(N^1.5), not N²/constant.
+                Approximate by design: recall loss is the documented
+                trade.
 - IVF by label: the `label` column plays the coarse quantizer role of
                 an IVF index (cells = labels); search is confined to
                 the query's cell via an equi-join.  Same plan shape
                 as a trained k-means IVF — only the assignment
-                differs.
+                differs.  (The trained variant, ``knn_ivf_kmeans``,
+                scales its cell count with the corpus.)
 
 The hyperplanes are generated in Python (LCG parity -> ±1) and
 embedded as literal arrays in BOTH the Spark expression and the
@@ -35,9 +40,11 @@ from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
     DOT_S as _DOT_S,
-    bucket_expr_duck,
-    bucket_expr_spark,
     broadcast_if_small,
+    full_bucket_expr_duck,
+    pow2_grid_cte,
+    scaled_bucket_expr_spark,
+    sqrt_pow2,
 )
 from ..plans.queries import registered_query as _q
 
@@ -49,6 +56,43 @@ QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query set (~2% of corpus)
 #: bucketed variants keep the corpus-proportional query set — their
 #: equi-join candidate generation is the scale path.
 QUERY_CAP = QUERY_MOD * 32
+
+
+#: Upper grid bound for the learned IVF quantizer: #cells <= 2^12.
+#: Caps the broadcast centroid table at 4096 x DIM doubles (~2 MB) and
+#: the N x #cells assignment fan-out; √N reaches this cap at N = 2^24
+#: vectors — beyond that, raise alongside a cell-parallel assignment.
+IVF_MAX_BITS = 12
+
+#: Cached corpus counts, keyed by (applicationId, corpus plan) like the
+#: other session artifacts: the coarse-quantizer width is a function of
+#: ONE cheap metadata-driven count per (session, corpus), not one per
+#: query build.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def corpus_count(spark, emb: DataFrame) -> int:
+    """Corpus cardinality for quantizer sizing (cached per session/plan).
+
+    Makes every consumer CONTRACTUALLY EAGER on first use (see
+    plans/queries.py QuerySpec): parquet count(*) is satisfied from
+    row-group metadata, so this stays cheap at any corpus size.
+    """
+    key = artifact_cache_key(spark, emb)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = emb.count()
+        replace_plan_artifact(_COUNT_CACHE, key, n)
+    return n
+
+
+def lsh_nbuckets(spark, t) -> int:
+    """#buckets = sqrt_pow2(N) for the candidate-generation LSH paths."""
+    return sqrt_pow2(corpus_count(spark, t["embeddings"]))
+
+
+def _ivf_ncells(spark, t) -> int:
+    return sqrt_pow2(corpus_count(spark, t["embeddings"]), 2, IVF_MAX_BITS)
 
 
 def _vectors(t) -> DataFrame:
@@ -146,11 +190,14 @@ def _knn_bruteforce(spark, t):
 
 @_q(
     "knn_lsh_hyperplane",
-    "north-star: ANN via 8-bit random-hyperplane LSH bucket join (single probe)",
+    "north-star: ANN via corpus-scaled random-hyperplane LSH bucket join "
+    "(#buckets = sqrt_pow2(N), single probe)",
     f"""
     WITH {_VEC_CTE},
-    vb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM v),
-    qb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM q),
+    {pow2_grid_cte("lsh_params")},
+    vb AS (SELECT v.*, ({full_bucket_expr_duck('v')}) % p.nb AS bucket
+           FROM v, lsh_params p),
+    qb AS (SELECT * FROM vb WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
         FROM qb q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
@@ -161,8 +208,15 @@ def _knn_bruteforce(spark, t):
 def _knn_lsh(spark, t):
     # No broadcast hint: the bucket predicate is an equi-join key, so
     # the shuffle plan scales and AQE broadcasts while the (corpus-
-    # proportional) query side actually fits.
-    vecs = _vectors(t).withColumn("bucket", bucket_expr_spark("v"))
+    # proportional) query side actually fits.  The bucket count tracks
+    # the corpus (#buckets = sqrt_pow2(N), a cached count + pow2 grid):
+    # a fixed 256-bucket key gave per-bucket occupancy N/256 and hence
+    # an N²/256 candidate term — the measured super-linear decade
+    # (r7 SURVEY §8); √N buckets make candidates O(N^1.5) with recall
+    # traded transparently (the oracle masks the SAME planes).
+    vecs = _vectors(t).withColumn(
+        "bucket", scaled_bucket_expr_spark("v", lsh_nbuckets(spark, t))
+    )
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
     scored = (
         q.alias("q")
@@ -308,25 +362,48 @@ def _knn_ivf(spark, t):
 
 
 def ivf_assign_cte() -> str:
-    """CTE fragment ``cent_ivf, cvec, pairs, assign`` deriving the
-    nearest-label-centroid cell per vector over an existing
-    ``v(vec_id, v, ...)`` CTE — the learned-coarse-quantizer half
-    shared by the ``knn_ivf_kmeans`` oracle and the IVF-PQ composition
-    in ``operators/pq.py`` (whose ``v`` carries extra columns; only
-    ``vec_id`` and ``v`` are referenced here).  ``cent_ivf`` naming
-    avoids colliding with the PQ codebook's ``cent``.
-    """
-    from ..plans.queries import REGISTRY
+    """CTE fragment ``ivf_params .. assign`` deriving the learned
+    coarse-quantizer cell per vector over an existing
+    ``v(vec_id, v, ...)`` CTE — shared by the ``knn_ivf_kmeans`` oracle
+    and the IVF-PQ composition in ``operators/pq.py`` (whose ``v``
+    carries extra columns; only ``vec_id`` and ``v`` are referenced
+    here).  ``cent_ivf`` naming avoids colliding with the PQ codebook's
+    ``cent``.
 
-    centroid_oracle = REGISTRY["embedding_label_centroid"].oracle
+    The quantizer is CORPUS-SCALED: #cells = sqrt_pow2(N) (ivf_params),
+    cells seeded by ``vec_id % #cells``, centroids trained with the
+    same chunked deterministic fold as ``embedding_label_centroid``,
+    then every vector assigned to its nearest centroid by cosine.
+    """
     dot_vc = _DOT_D.format(a="v.v", b="ct.cv")
     dot_vv = _DOT_D.format(a="v.v", b="v.v")
     dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
     return f"""
-    cent_ivf AS ({centroid_oracle}),
+    {pow2_grid_cte("ivf_params", hi_bits=IVF_MAX_BITS)},
+    ivf_seeded AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(e.vec_id % p.nb AS INTEGER) AS scell
+        FROM embeddings e, ivf_params p
+    ),
+    ivf_chunk AS (
+        SELECT scell, vec_id // {CENTROID_CHUNK} AS chunk, j,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(embedding[j + 1] AS DOUBLE) ORDER BY vec_id)),
+                   (a, x) -> a + x) AS s,
+               count(*) AS n
+        FROM ivf_seeded, (SELECT unnest(range(0, {DIM})) AS j)
+        GROUP BY scell, chunk, j
+    ),
+    cent_ivf AS (
+        SELECT scell, CAST(j AS INTEGER) AS dim,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(s ORDER BY chunk)), (a, x) -> a + x)
+                     / CAST(sum(n) AS DOUBLE), 6) AS centroid
+        FROM ivf_chunk GROUP BY scell, j
+    ),
     cvec AS (
-        SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
-        FROM cent_ivf GROUP BY label
+        SELECT scell AS c_label, list(centroid ORDER BY dim) AS cv
+        FROM cent_ivf GROUP BY scell
     ),
     pairs AS (
         SELECT v.vec_id, ct.c_label,
@@ -388,12 +465,25 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
 
 
 def ivf_cells(spark, t) -> DataFrame:
-    """(vec_id, cell): nearest-label-centroid assignment — the learned
-    coarse quantizer, shared by ``knn_ivf_kmeans`` and the IVF-PQ
-    composition.  Persisted: both sides of a cell-confined search join
-    read it.
+    """(vec_id, cell): nearest-centroid assignment under the
+    CORPUS-SCALED learned coarse quantizer — shared by
+    ``knn_ivf_kmeans`` and the IVF-PQ composition.  Persisted: both
+    sides of a cell-confined search join read it.
+
+    #cells = sqrt_pow2(N) (the Faiss √N guideline on a power-of-two
+    grid): a fixed cell count left an N²/#cells candidate term — the
+    one measured super-linear decade in r7's SURVEY §8.  Cells are
+    seeded ``vec_id % #cells`` (deterministic, engine-independent),
+    centroids trained by the chunked deterministic fold, then every
+    vector joins its nearest centroid's cell.
     """
-    cvec = centroid_vectors(_label_centroid(spark, t), "label")
+    k = _ivf_ncells(spark, t)
+    seeded = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % k).cast("int").alias("scell"),
+    )
+    cvec = centroid_vectors(_fold_centroids(seeded, key="scell"), "scell")
     return persist_tracked(assign_to_centroids(_vectors(t), cvec))
 
 
@@ -418,22 +508,22 @@ def _ivf_kmeans_oracle() -> str:
     _ivf_kmeans_oracle(),
 )
 def _knn_ivf_kmeans(spark, t):
-    # The full IVF construction, not the label shortcut: (1) train the
-    # quantizer — per-label centroids via the chunked deterministic
-    # fold (shared plan with embedding_label_centroid, so a workload
-    # running both computes it once); (2) assign EVERY vector to its
+    # The full IVF construction: (1) train the quantizer — #cells =
+    # sqrt_pow2(N) seed cells (vec_id % #cells), centroids via the
+    # chunked deterministic fold; (2) assign EVERY vector to its
     # nearest centroid by cosine; (3) search only the query's cell.
     #
-    # Scale shape: the centroid table is #cells rows — fixed by the
-    # quantizer, NOT corpus-proportional — so broadcasting it is safe
-    # at any data size (unlike the query-set broadcasts round 1
-    # flagged).  Assignment emits N x #cells slim rows (vec_id, cell,
-    # score) — the vectors themselves never ride the shuffle — and the
-    # per-vector argmax is one window on vec_id.  Search is an
+    # Scale shape: the centroid table is #cells = √N rows on a pow2
+    # grid — broadcastable at any data size under IVF_MAX_BITS (~2 MB
+    # at the cap).  Assignment emits N x #cells slim rows (vec_id,
+    # cell, score) — the vectors themselves never ride the shuffle —
+    # and the per-vector argmax is one window on vec_id.  Search is an
     # equi-join on the learned cell key, the same prunable shape as
-    # knn_ivf_label.  A production IVF iterates Lloyd steps; one
-    # deterministic step keeps the oracle exact while exercising the
-    # identical plan.
+    # knn_ivf_label, with per-cell occupancy N/√N = √N, so the
+    # candidate term is O(N^1.5 / QUERY_MOD) instead of the
+    # N²/#cells a fixed quantizer measured in r7.  A production IVF
+    # iterates Lloyd steps; one deterministic step keeps the oracle
+    # exact while exercising the identical plan.
     vecs = _vectors(t)
     cand = vecs.join(ivf_cells(spark, t), "vec_id")
     q = cand.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -454,17 +544,26 @@ def _knn_ivf_kmeans(spark, t):
 
 
 def _multiprobe_oracle() -> str:
-    from ..functions.hyperplane import N_PLANES
+    # STATIC text over a data-derived plane count: probes enumerate all
+    # MAX_PLANES single-bit flips, filtered to the bits the corpus-
+    # scaled bucket actually uses ((1 << pb) < nb); pb = -1 is the
+    # identity probe.  Flipping only in-width bits keeps every probe
+    # distinct, so no candidate pair is double-counted.
+    from ..functions.hyperplane import MAX_PLANES
 
-    probe_list = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_PLANES)]
-    )
     return f"""
     WITH {_VEC_CTE},
-    vb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM v),
-    qb AS (SELECT *, {bucket_expr_duck('v')} AS bucket FROM q),
+    {pow2_grid_cte("lsh_params")},
+    vb AS (SELECT v.*, ({full_bucket_expr_duck('v')}) % p.nb AS bucket
+           FROM v, lsh_params p),
+    qb AS (SELECT * FROM vb WHERE vec_id % {QUERY_MOD} = 0),
     probes AS (
-        SELECT vec_id, v, unnest([{probe_list}]) AS probe FROM qb
+        SELECT q.vec_id, q.v,
+               CASE WHEN g.pb < 0 THEN q.bucket
+                    ELSE xor(q.bucket, CAST(1 AS BIGINT) << g.pb) END AS probe
+        FROM qb q, (SELECT unnest(range(-1, {MAX_PLANES})) AS pb) g,
+             lsh_params p
+        WHERE g.pb < 0 OR (CAST(1 AS BIGINT) << g.pb) < p.nb
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
@@ -477,24 +576,27 @@ def _multiprobe_oracle() -> str:
 @_q(
     "knn_lsh_multiprobe",
     "north-star: multi-probe hyperplane LSH (query bucket + all hamming-1 "
-    "neighbors; recall recovery without widening the index)",
+    "neighbors over the corpus-scaled bucket width)",
     _multiprobe_oracle(),
 )
 def _knn_lsh_multiprobe(spark, t):
-    # Single-probe LSH misses a true neighbor whenever ANY of the 8
-    # sign bits disagrees; probing the 8 hamming-1 buckets too drops
-    # the miss condition to >= 2 disagreeing bits, at a fixed 9x
-    # fan-out on the QUERY side only — the corpus index is untouched
-    # and candidate generation stays a plain equi-join on the bucket
-    # key (partition-prunable, AQE-planned, no broadcast hint for the
-    # same corpus-proportionality reason as single-probe).  This is
-    # the standard recall/latency knob of bucketed ANN at 100 TB:
-    # widen probes, never the index.
-    from ..functions.hyperplane import N_PLANES
-
-    vecs = _vectors(t).withColumn("bucket", bucket_expr_spark("v"))
+    # Single-probe LSH misses a true neighbor whenever ANY of the P
+    # sign bits disagrees; probing the P hamming-1 buckets too drops
+    # the miss condition to >= 2 disagreeing bits, at a (P+1)x fan-out
+    # on the QUERY side only — the corpus index is untouched and
+    # candidate generation stays a plain equi-join on the bucket key
+    # (partition-prunable, AQE-planned, no broadcast hint for the same
+    # corpus-proportionality reason as single-probe).  This is the
+    # standard recall/latency knob of bucketed ANN at 100 TB: widen
+    # probes, never the index.  P tracks the corpus like single-probe
+    # (#buckets = sqrt_pow2(N)), so the probe fan-out grows log-slowly
+    # (P = log2 #buckets) while candidates stay O(N^1.5 * P).
+    nb = lsh_nbuckets(spark, t)
+    vecs = _vectors(t).withColumn(
+        "bucket", scaled_bucket_expr_spark("v", nb)
+    )
     probe_arr = "array(bucket, " + ", ".join(
-        f"bucket ^ {1 << i}" for i in range(N_PLANES)
+        f"bucket ^ {1 << i}" for i in range(nb.bit_length() - 1)
     ) + ")"
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         "vec_id", "v", "n2", F.explode(F.expr(probe_arr)).alias("probe")

@@ -41,7 +41,11 @@ class QuerySpec:
     use per session trains and collects the fixed 128-row PQ codebook
     artifact), ``corpus_semdedup`` (first use collects the fixed
     Lloyd-centroid artifact), ``corpus_word_freqitems`` (freqItems
-    materializes its one-row Misra-Gries summary).  Plan-only consumers
+    materializes its one-row Misra-Gries summary), and the
+    corpus-scaled quantizer paths ``knn_lsh_hyperplane`` /
+    ``knn_lsh_multiprobe`` / ``knn_pq_adc`` / ``knn_pq_refine`` /
+    ``knn_ivf_kmeans`` / ``knn_ivfpq_adc`` (one cached metadata count
+    per session/corpus sizes the bucket/cell grid).  Plan-only consumers
     (EXPLAIN tooling, plan-shape tests) should expect those builders to
     submit jobs; everything else stays lazy.
     """
