@@ -63,18 +63,21 @@ def cancellation_query(params: QueryParams) -> str:
             f" AND DVJ.OperatingDayDate < {_lit(params.today)}))"
             f" AND DC.last_modified >= {_lit(params.since)}))"
         )
-    return f"""SELECT DC.deviation_case_id, DC.valid_from AS VALID_FROM, DC.valid_to AS VALID_TO,
+    return f"""SELECT DC.deviation_case_id AS deviation_case_id, DC.valid_from AS VALID_FROM, DC.valid_to AS VALID_TO,
        DC.type AS DEVIATION_CASES_TYPE, DC.last_modified AS DEVIATION_CASES_LAST_MODIFIED,
        AD.last_modified AS AFFECTED_DEPARTURES_LAST_MODIFIED, AD.status AS AFFECTED_DEPARTURES_STATUS,
        AD.type AS AFFECTED_DEPARTURES_TYPE, BLM.title AS TITLE, BLM.description AS DESCRIPTION,
        B.category AS CATEGORY, B.sub_category AS SUB_CATEGORY,
        CONVERT(CHAR(16), DVJ.Id) AS DVJ_ID, KVV.StringValue AS ROUTE_NAME,
        CONVERT(INTEGER, SUBSTRING(CONVERT(CHAR(16), VJT.IsWorkedOnDirectionOfLineGid), 12, 1)) AS DIRECTION,
-       CONVERT(CHAR(8), DVJ.OperatingDayDate, 112) AS OPERATING_DAY
+       CONVERT(CHAR(8), DVJ.OperatingDayDate, 112) AS OPERATING_DAY,
+       RIGHT('0' + (CONVERT(VARCHAR(2), (DATEDIFF(HOUR, '1900-01-01', PlannedStartOffsetDateTime)))), 2) + ':' +
+       RIGHT('0' + CONVERT(VARCHAR(2), ((DATEDIFF(MINUTE, '1900-01-01', PlannedStartOffsetDateTime)) - +
+              ((DATEDIFF(HOUR, '1900-01-01', PlannedStartOffsetDateTime) * 60)))), 2) + ':00' AS START_TIME
 FROM OMM_Community.dbo.deviation_cases DC
-LEFT JOIN OMM_Community.dbo.affected_departures AD ON AD.deviation_case_id = DC.deviation_case_id
-LEFT JOIN OMM_Community.dbo.bulletin_localized_messages BLM ON BLM.bulletins_id = DC.bulletin_id
-LEFT JOIN OMM_Community.dbo.bulletins B ON B.bulletins_id = DC.bulletin_id
+LEFT JOIN OMM_Community.dbo.affected_departures AD ON DC.deviation_case_id = AD.deviation_case_id
+LEFT JOIN OMM_Community.dbo.bulletin_localized_messages BLM ON DC.bulletin_id = BLM.bulletins_id
+LEFT JOIN OMM_Community.dbo.bulletins B ON DC.bulletin_id = B.bulletins_id
 JOIN ptDOI4_Community.dbo.DatedVehicleJourney DVJ ON DVJ.Id = AD.departure_id
 JOIN ptDOI4_Community.dbo.VehicleJourney VJ ON VJ.Id = DVJ.IsBasedOnVehicleJourneyId
 JOIN ptDOI4_Community.dbo.VehicleJourneyTemplate VJT ON VJT.Id = DVJ.IsBasedOnVehicleJourneyTemplateId
