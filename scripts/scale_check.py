@@ -57,6 +57,11 @@ QUERIES = [
     "knn_label_vote",
     "parts_copurchase_pagerank",
     "orders_upsert_merge",
+    # behavioral / user-history family (skew-prone hot users): second
+    # scaling decade evidence requested by the r7 verdict
+    "events_scd2_user_status",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 
@@ -65,9 +70,17 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    global SF_SMALL, SF_BIG, QUERIES
     passes = 2
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    # second-decade runs: --small .scale/sf1 --big .scale/sf5
+    if "--small" in sys.argv:
+        SF_SMALL = sys.argv[sys.argv.index("--small") + 1]
+    if "--big" in sys.argv:
+        SF_BIG = sys.argv[sys.argv.index("--big") + 1]
+    if "--queries" in sys.argv:
+        QUERIES = sys.argv[sys.argv.index("--queries") + 1].split(",")
     spark = get_spark(app_name="transitdata-omm-scale-check")
     specs = registry.REGISTRY
 
@@ -91,7 +104,7 @@ def main() -> None:
         release_tracked()
         spark.catalog.clearCache()
 
-    print("\n| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
+    print(f"\n| query | {SF_SMALL} (s) | {SF_BIG} (s) | ratio |")
     print("|---|---|---|---|")
     for q in QUERIES:
         a, b = results[q][SF_SMALL], results[q][SF_BIG]

@@ -100,18 +100,30 @@ def _pagerank_oracle() -> str:
 )
 def _pagerank(spark, t):
     items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    edges = (
+    # Symmetrize-after-agg edge build: aggregate only the a < b half of
+    # the pair fan-out, then union the mirror — halves the rows through
+    # the self-join's groupBy (the co-purchase relation is symmetric by
+    # construction, so the mirror is exact).  Measured jointly with the
+    # persist boundary at sf0.1 (r8): half-join 3.7 s vs full-join
+    # 5.4 s warm, value-identical — the r7 rejection of this build was
+    # an artifact of the then-separate nodes distinct (see below).
+    half = (
         items.alias("a")
         .join(
             items.alias("b"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
     )
     wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
     # Persisted: every superstep joins the SAME edge list and re-ranks
@@ -120,15 +132,16 @@ def _pagerank(spark, t):
     # FileScans / zero ReusedExchange in the 3-round plan), which at
     # corpus scale multiplies the dominant cost by the round count.
     # The persist boundary is deliberately the JOINED ``e`` table, not
-    # the raw edge list: additionally persisting ``edges`` was measured
-    # 2.5x SLOWER at sf0.1 (6-8 s -> 16-20 s warm) — columnar cache
-    # materialization of the multi-million-row table costs more than
-    # the whole-stage-codegen-pipelined recompute it saves.  A
-    # symmetrize-after-agg edge build (a < b half-join unioned with its
-    # mirror) won in isolation (2.4x faster cold) but was value-equal
-    # and ~10% slower END-TO-END under this persist — kept simple.
+    # the raw edge list: additionally persisting ``half`` was measured
+    # ~30% slower warm (r8; and persisting the full ``edges`` 2.5x
+    # slower in r7) — columnar cache materialization of the
+    # multi-million-row table costs more than the codegen-pipelined
+    # recompute it saves.
     e = persist_tracked(edges.join(wu, "src"))
-    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
+    # Node set read FROM the persisted ``e``, not re-derived from the
+    # raw edge build (distinct over the cache instead of a third pass
+    # over the fact self-join — measured 1.2 s faster warm at sf0.1).
+    nodes = persist_tracked(e.select(F.col("src").alias("node")).distinct())
     rank = nodes.withColumn(
         "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
     )
