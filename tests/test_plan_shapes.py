@@ -92,14 +92,18 @@ def test_knn_lsh_results_identical_without_broadcast(spark):
     assert default == forced_shuffle
 
 
-def test_embedding_neardup_blocks_on_label_and_band(spark):
-    """The near-dup candidate join key must include the LSH band key —
-    label-only blocking is O(n²/label) all-pairs at scale."""
+def test_embedding_neardup_blocks_on_label_cell_and_band(spark):
+    """The near-dup candidate join key must include the learned cell
+    AND the corpus-scaled band key — label-only blocking is
+    O(n²/label) all-pairs at scale, and same-label vectors are similar
+    by construction so bands alone can't separate them either."""
     import re
 
     df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"Join \[label#\d+, b#\d+, k#\d+L?\]", plan), plan[:2000]
+    assert re.search(
+        r"Join \[label#\d+, cell#\d+, b#\d+, k#\d+L?\]", plan
+    ), plan[:2000]
     assert "CartesianProduct" not in plan
 
 

@@ -20,17 +20,23 @@ from pyspark.sql import functions as F
 
 DIM = 64
 
-#: Width of the LEGACY fixed 256-bucket key — still the right contract
-#: for the banded blocking paths (dedup_embedding_cosine, SemDeDup):
-#: their N_BANDS x BAND_BITS recall math is a property of the band
-#: structure, not of corpus size.  The candidate-generation LSH paths
-#: (knn_lsh_*, PQ bucket candidates) instead use the CORPUS-SCALED
-#: bucket below.
-N_PLANES = 8
-
 #: Headroom for the corpus-scaled bucket: up to 2^16 buckets (√N grid
 #: saturates there at N = 2^32 vectors — beyond that, widen).
 MAX_PLANES = 16
+
+#: Independent band FAMILIES for the banded near-dup blocking paths
+#: (SemDeDup, dedup_embedding_cosine).  Family ``f`` owns planes
+#: [f*MAX_PLANES, (f+1)*MAX_PLANES); its key is that family's bucket
+#: masked to the corpus-scaled width.  This is the classic (b, L) LSH
+#: parameterization with b = log2(sqrt_pow2(N)) bits and L = 8 bands:
+#: per-(block, family) occupancy divides by √N, so the verify-join
+#: cost is O(L · Σocc²/√N) instead of the Σocc² a constant-width band
+#: key degenerates to (measured 12.3x for 5x data on SemDeDup's hot
+#: cells before this change).  The recall trade is the standard one —
+#: per-band collision p^b decays as N grows; L bands and the verify
+#: threshold keep the miss probability small for near-dup cosines
+#: (p ≥ 0.93/bit at tau = 0.98).
+N_BAND_FAMILIES = 8
 
 
 def _hyperplane_weight(j: int, d: int) -> float:
@@ -38,10 +44,9 @@ def _hyperplane_weight(j: int, d: int) -> float:
     return 1.0 if v % 2 == 0 else -1.0
 
 
-#: The first N_PLANES rows are the legacy planes, bit-for-bit: the
-#: scaled bucket masked to 8 bits IS the legacy bucket.
 HYPERPLANES = [
-    [_hyperplane_weight(j, d) for d in range(DIM)] for j in range(MAX_PLANES)
+    [_hyperplane_weight(j, d) for d in range(DIM)]
+    for j in range(MAX_PLANES * N_BAND_FAMILIES)
 ]
 
 
@@ -100,25 +105,6 @@ def _plane_lit_duck(j: int) -> str:
     return "[" + ", ".join(str(w) for w in HYPERPLANES[j]) + "]"
 
 
-def bucket_expr_spark(vec: str) -> F.Column:
-    """256-bucket hyperplane LSH key as a flat codegen expression."""
-    bits = [
-        f"(CASE WHEN {DOT_S.format(a=vec, b=_plane_lit_spark(j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    ]
-    return F.expr("(" + " + ".join(bits) + ")").cast("int")
-
-
-def bucket_expr_duck(vec: str) -> str:
-    bits = [
-        f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    ]
-    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
-
-
 # --- corpus-scaled bucket (#buckets = sqrt_pow2(N)) --------------------------
 # The Spark side computes exactly log2(nb) sign bits once ``nb`` is
 # known (a cached corpus count); the oracle side is a STATIC string, so
@@ -148,26 +134,31 @@ def full_bucket_expr_duck(vec: str) -> str:
     return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
 
-# --- banded blocking over the bucket bits -----------------------------------
-# The 8 sign bits split into N_BANDS bands of BAND_BITS bits.  Two
-# vectors are join candidates when ANY band matches — multi-probe
-# recall (miss probability (1-p^2)^4 for per-bit agreement p) instead
-# of the single-bucket p^8.  Used by dedup_embedding_cosine's blocking
-# key; the exact cosine verification after the join keeps emitted
-# pairs engine-identical.
-
-N_BANDS, BAND_BITS = 4, 2
+# --- corpus-scaled band-family keys (near-dup blocking) ----------------------
 
 
-def band_key_spark(bucket_col: str, b: int) -> F.Column:
-    return F.expr(f"({bucket_col} div {1 << (BAND_BITS * b)}) % {1 << BAND_BITS}")
+def scaled_band_key_spark(vec: str, family: int, nb: int) -> F.Column:
+    """Family ``family``'s W-bit key, W = log2(nb) — exactly the bits
+    the static oracle's 16-bit family bucket % nb keeps."""
+    p = nb.bit_length() - 1
+    base = family * MAX_PLANES
+    bits = [
+        f"(CASE WHEN {DOT_S.format(a=vec, b=_plane_lit_spark(base + j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(p)
+    ]
+    return F.expr("(" + " + ".join(bits) + ")").cast("int")
 
 
-def band_key_duck(bucket_expr: str, b: str) -> str:
-    return (
-        f"(({bucket_expr}) // CAST(pow(2, {BAND_BITS} * {b}) AS INTEGER))"
-        f" % {1 << BAND_BITS}"
-    )
+def band_family_expr_duck(vec: str, family: int) -> str:
+    """Family ``family``'s full 16-bit bucket; callers mask ``% nb``."""
+    base = family * MAX_PLANES
+    bits = [
+        f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(base + j))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(MAX_PLANES)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
 
 def broadcast_if_small(df: DataFrame, est_rows: int, row_bytes: int) -> DataFrame:

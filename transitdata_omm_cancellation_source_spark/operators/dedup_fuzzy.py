@@ -577,8 +577,20 @@ _DOT_D = (
 
 
 def _embedding_oracle() -> str:
-    from ..functions.hyperplane import N_BANDS, band_key_duck, bucket_expr_duck
+    from ..functions.hyperplane import (
+        N_BAND_FAMILIES,
+        band_family_expr_duck,
+        pow2_grid_cte,
+    )
 
+    from ..operators.similarity import ivf_assign_cte
+
+    band_rows = "\n        UNION ALL\n".join(
+        f"""        SELECT vec_id, label, cell, {f} AS b,
+               ({band_family_expr_duck("vc.v", f)}) % p.nb AS k
+        FROM vc, band_params p"""
+        for f in range(N_BAND_FAMILIES)
+    )
     return f"""
     WITH corpus AS (
         SELECT vec_id, embedding, label FROM embeddings
@@ -586,19 +598,22 @@ def _embedding_oracle() -> str:
         SELECT vec_id + 1000000 AS vec_id, embedding, label
         FROM embeddings WHERE vec_id % 20 = 0
     ),
+    {pow2_grid_cte("band_params")},
     vb AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-               {bucket_expr_duck("CAST(embedding AS DOUBLE[])")} AS bucket
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM corpus
     ),
+    v AS (SELECT vec_id, v FROM vb),
+    {ivf_assign_cte()},
+    vc AS (SELECT vb.*, a.cell FROM vb JOIN assign a USING (vec_id)),
     bands AS (
-        SELECT vec_id, label, b, {band_key_duck("bucket", "b")} AS k
-        FROM vb, (SELECT unnest(range(0, {N_BANDS})) AS b)
+{band_rows}
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b
-          ON a.label = b.label AND a.b = b.b AND a.k = b.k
+          ON a.label = b.label AND a.cell = b.cell
+         AND a.b = b.b AND a.k = b.k
          AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b,
@@ -620,15 +635,27 @@ def _embedding_oracle() -> str:
     _embedding_oracle(),
 )
 def _embedding_neardup(spark, t):
-    # Candidate generation is an equi-join on (label, band, band_key):
-    # the 8 hyperplane sign bits (shared with knn_lsh_hyperplane) split
-    # into 4 bands of 2 bits, and a pair is a candidate when any band
-    # matches within its label.  That bounds the join fan-out by bucket
-    # occupancy instead of label size — label-only blocking is O(n²/L)
-    # all-pairs and melts down on a hot label at 100x data.  Both
-    # engines block identically, and the exact cosine >= tau
-    # verification below keeps emitted pairs exact for every candidate.
-    from ..functions.hyperplane import N_BANDS, band_key_spark, bucket_expr_spark
+    # Candidate generation is an equi-join on (label, band, band_key)
+    # with CORPUS-SCALED band keys (log2 √N bits per band, L = 8
+    # independent plane families — functions/hyperplane.py): a pair is
+    # a candidate when any band matches within its label.  That bounds
+    # the join fan-out by the scaled key space — label-only blocking
+    # is O(n²/L) all-pairs, and the previous constant-width 2-bit
+    # bands degenerated to the same Σocc² on hot labels at 50x data.
+    # The LEARNED corpus-scaled cell (the shared ivf_quantizer) joins
+    # the block key alongside the given label: same-label vectors are
+    # similar by construction (labels ARE clusters), so band keys alone
+    # cannot separate them — sub-threshold same-label pairs collided in
+    # some band with probability ~0.8 and the candidate set degenerated
+    # toward all-pairs-per-label (measured 232 s at sf5).  Cells
+    # subdivide each label by learned geometry, the SemDeDup insight
+    # applied to the pair-list variant; a near-dup pair straddling a
+    # cell boundary is missed — the same documented trade SemDeDup
+    # makes.  Both engines block identically, and the exact cosine >=
+    # tau verification below keeps emitted pairs exact for every
+    # candidate.
+    from ..functions.hyperplane import N_BAND_FAMILIES, scaled_band_key_spark
+    from .similarity import assign_to_centroids, ivf_quantizer, lsh_nbuckets
 
     corpus = t["embeddings"].unionAll(
         t["embeddings"]
@@ -649,29 +676,39 @@ def _embedding_neardup(spark, t):
             "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
         )
         .withColumn("n2", F.expr(dot.format(a="v", b="v")))
-        .withColumn("bucket", bucket_expr_spark("v"))
     )
-    # slim (vec_id, label, band, key) frame for candidate generation —
-    # the 64-double vectors never ride through the exploded self-join.
-    bands = vecs.select(
+    # slim (vec_id, label, cell, band, key) frame for candidate
+    # generation — the 64-double vectors never ride through the
+    # exploded self-join.
+    nb = lsh_nbuckets(spark, t)
+    vc = vecs.join(
+        assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
+    )
+    bands = vc.select(
         "vec_id",
         "label",
+        "cell",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("b"), band_key_spark("bucket", b).alias("k")
+                        F.lit(f).alias("b"),
+                        scaled_band_key_spark("v", f, nb).alias("k"),
                     )
-                    for b in range(N_BANDS)
+                    for f in range(N_BAND_FAMILIES)
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "label", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    ).select(
+        "vec_id", "label", "cell",
+        F.col("bk.b").alias("b"), F.col("bk.k").alias("k"),
+    )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.b") == F.col("b.b"))
             & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),

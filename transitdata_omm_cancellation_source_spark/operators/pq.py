@@ -181,7 +181,13 @@ def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    return _assign(_subvectors(vecs), cent)
+    # corpus x M x K distance work pipelines on the embeddings scan —
+    # hash-repartition to full parallelism first so a small parquet's
+    # few scan partitions can't serialize the encode (the
+    # assign_to_centroids remedy; at 100 TB the scan is already wide
+    # and the slim N-row shuffle is noise).
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    return _assign(_subvectors(vecs.repartition(par, "vec_id")), cent)
 
 
 def _train_codebook(

@@ -70,6 +70,15 @@ IVF_MAX_BITS = 12
 #: query build.
 _COUNT_CACHE: dict[tuple, int] = {}
 
+#: Trained coarse-quantizer artifact cache, keyed by (applicationId,
+#: corpus plan) — the same session-artifact discipline as the PQ
+#: codebook (operators/pq.py _CODEBOOK_CACHE): the quantizer is a
+#: bounded ≤ 2^IVF_MAX_BITS-row table at ANY corpus scale, so its
+#: consumers start from a literal local relation instead of embedding
+#: the training fold subtree in every plan.  Served by
+#: ``ivf_quantizer`` below.
+_CENTROID_ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
+
 
 def corpus_count(spark, emb: DataFrame) -> int:
     """Corpus cardinality for quantizer sizing (cached per session/plan).
@@ -441,13 +450,25 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
     so the two paths can never drift apart semantically.
 
     ``vecs`` is (vec_id, v, n2); ``cvec`` is ``centroid_vectors``
-    output.  The centroid table is #cells rows (fixed by the
-    quantizer, not corpus-proportional) so broadcasting it is safe at
-    any scale; assignment emits N x #cells slim (vec_id, key, score)
+    output.  The centroid table is #cells rows (√N under the pow2
+    grid, bounded by IVF_MAX_BITS) so broadcasting it is safe at any
+    scale; assignment emits N x #cells slim (vec_id, key, score)
     rows — the vectors never ride the shuffle — and the per-vector
     argmax is one window on vec_id.
+
+    The corpus is hash-repartitioned on vec_id to the session's full
+    parallelism BEFORE the broadcast cross join: a small embeddings
+    parquet arrives in a handful of scan partitions, and since the
+    N x #cells distance work is pipelined on top of the scan, those
+    few tasks would serialize the entire assignment (measured at sf1:
+    4 tasks, 21 s -> 32 tasks, 4.8 s).  At 100 TB the scan has
+    thousands of partitions anyway and the extra N-row shuffle is
+    noise next to the N x #cells compute it parallelizes.
     """
-    scored = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        vecs.repartition(par, "vec_id").alias("x")
+    ).crossJoin(F.broadcast(cvec.alias("ct"))).select(
         F.col("x.vec_id").alias("vec_id"),
         F.col("ct.c_key").alias("c_key"),
         F.expr(
@@ -464,27 +485,49 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
     )
 
 
-def ivf_cells(spark, t) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment under the
-    CORPUS-SCALED learned coarse quantizer — shared by
-    ``knn_ivf_kmeans`` and the IVF-PQ composition.  Persisted: both
-    sides of a cell-confined search join read it.
+def ivf_quantizer(spark, t) -> DataFrame:
+    """``cvec`` (c_key, cv, cn2): the TRAINED corpus-scaled coarse
+    quantizer, served as a materialized per-session artifact.
 
     #cells = sqrt_pow2(N) (the Faiss √N guideline on a power-of-two
     grid): a fixed cell count left an N²/#cells candidate term — the
     one measured super-linear decade in r7's SURVEY §8.  Cells are
-    seeded ``vec_id % #cells`` (deterministic, engine-independent),
-    centroids trained by the chunked deterministic fold, then every
-    vector joins its nearest centroid's cell.
+    seeded ``vec_id % #cells`` (deterministic, engine-independent) and
+    centroids trained by the chunked deterministic fold.
+
+    ONE quantizer serves the whole cell-confined family —
+    ``knn_ivf_kmeans``, the IVF-PQ composition, and SemDeDup — so the
+    cluster geometry can never drift between search and dedup.  The
+    table is ≤ 2^IVF_MAX_BITS rows (bounded at any corpus size), so it
+    follows the PQ-codebook artifact discipline: first use per
+    (session, corpus plan) trains and collects; later uses replay the
+    local relation (CONTRACTUALLY EAGER, see plans/queries.py
+    QuerySpec).
     """
-    k = _ivf_ncells(spark, t)
-    seeded = t["embeddings"].select(
-        "vec_id",
-        "embedding",
-        (F.col("vec_id") % k).cast("int").alias("scell"),
+    emb = t["embeddings"]
+    key = artifact_cache_key(spark, emb)
+    cached = _CENTROID_ARTIFACT_CACHE.get(key)
+    if cached is None:
+        k = _ivf_ncells(spark, t)
+        seeded = emb.select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % k).cast("int").alias("scell"),
+        )
+        cvec = centroid_vectors(_fold_centroids(seeded, key="scell"), "scell")
+        cached = spark.createDataFrame(cvec.collect(), cvec.schema)
+        replace_plan_artifact(_CENTROID_ARTIFACT_CACHE, key, cached)
+    return cached
+
+
+def ivf_cells(spark, t) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment under the shared
+    corpus-scaled quantizer — shared by ``knn_ivf_kmeans`` and the
+    IVF-PQ composition.  Persisted: both sides of a cell-confined
+    search join read it."""
+    return persist_tracked(
+        assign_to_centroids(_vectors(t), ivf_quantizer(spark, t))
     )
-    cvec = centroid_vectors(_fold_centroids(seeded, key="scell"), "scell")
-    return persist_tracked(assign_to_centroids(_vectors(t), cvec))
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -706,7 +749,11 @@ def _kmeans_lloyd(spark, t):
     # both consume it.  Centroids are rounded to 6 decimals each round
     # (part of the contract, see _lloyd_oracle), so FP summation
     # differences cannot compound across rounds.
-    vecs = _vectors(t)
+    # same scan-partition-starvation remedy as assign_to_centroids:
+    # the N x #cells assignment work of every round pipelines on the
+    # embeddings scan, so spread it across the session's parallelism.
+    par = spark.sparkContext.defaultParallelism
+    vecs = _vectors(t).repartition(par, "vec_id")
     emb = t["embeddings"].select("vec_id", "embedding")
     cent = _label_centroid(spark, t).withColumnRenamed("label", "cell")
     for _ in range(LLOYD_ROUNDS):
@@ -735,37 +782,6 @@ def _kmeans_lloyd(spark, t):
             .select("vec_id", F.col("c_cell").alias("cell"))
         )
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
-    return cent
-
-
-#: Trained-centroid artifact cache, keyed by (applicationId, corpus
-#: plan) — the same session-artifact discipline as the PQ codebook
-#: (operators/pq.py _CODEBOOK_CACHE): the Lloyd result is a bounded
-#: k x DIM table (hundreds of rows at ANY corpus scale), so consumers
-#: that only need the final centroids start from a literal local
-#: relation instead of embedding the whole multi-round training
-#: subtree in their plan.  ``kmeans_lloyd_centroids`` itself always
-#: runs the full distributed loop — the CACHE serves consumers, the
-#: QUERY certifies the computation.
-_CENTROID_ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
-
-
-def shared_lloyd_centroids(spark, t) -> DataFrame:
-    """Final Lloyd centroids as a materialized per-session artifact.
-
-    First use per (session, corpus plan) trains via ``_kmeans_lloyd``
-    and collects; later uses — including across ``release_tracked`` /
-    ``clearCache`` — replay the 320-row local relation.  Consumers are
-    therefore CONTRACTUALLY EAGER on first use (see plans/queries.py
-    QuerySpec).
-    """
-    emb = t["embeddings"]
-    key = artifact_cache_key(spark, emb)
-    cent = _CENTROID_ARTIFACT_CACHE.get(key)
-    if cent is None:
-        trained = _kmeans_lloyd(spark, t)
-        cent = spark.createDataFrame(trained.collect(), trained.schema)
-        replace_plan_artifact(_CENTROID_ARTIFACT_CACHE, key, cent)
     return cent
 
 

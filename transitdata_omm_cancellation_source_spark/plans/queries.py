@@ -39,8 +39,8 @@ class QuerySpec:
     (one convergence count per iteration round),
     ``embedding_pq_codes`` / ``knn_pq_adc`` / ``knn_pq_refine`` (first
     use per session trains and collects the fixed 128-row PQ codebook
-    artifact), ``corpus_semdedup`` (first use collects the fixed
-    Lloyd-centroid artifact), ``corpus_word_freqitems`` (freqItems
+    artifact), ``corpus_semdedup`` (first use collects the bounded
+    shared-quantizer artifact), ``corpus_word_freqitems`` (freqItems
     materializes its one-row Misra-Gries summary), and the
     corpus-scaled quantizer paths ``knn_lsh_hyperplane`` /
     ``knn_lsh_multiprobe`` / ``knn_pq_adc`` / ``knn_pq_refine`` /
@@ -155,8 +155,8 @@ from ..operators import tokenizer  # noqa: E402,F401
 from ..operators import pq  # noqa: E402,F401
 from ..operators import quantize  # noqa: E402,F401
 
-# semdedup composes kmeans_lloyd_centroids' oracle and dedup_fuzzy's
-# shared tau, so it imports after both.
+# semdedup composes similarity's ivf_assign_cte / ivf_quantizer and
+# dedup_fuzzy's shared tau, so it imports after both.
 from ..operators import semdedup  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
