@@ -144,3 +144,39 @@ def test_hopping_window_fanout_and_alignment(spark):
 def test_no_cartesian_in_plans(spark, name):
     plan = REGISTRY[name].build(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_leg_ranks(spark):
+    """RRF invariants: every emitted score is exactly the sum of
+    1/(k+rank) over the legs that retrieved the doc, ranks are
+    consistent with each leg's own top list, and the output is ordered
+    by fused score with the doc_id tie-break."""
+    from transitdata_omm_cancellation_source_spark.operators.retrieval import (
+        _RRF_K,
+        _RRF_LEG_DEPTH,
+        _RRF_TOPN,
+    )
+
+    out = _run(spark, "docs_hybrid_rrf_search").sort_values("rnk")
+    assert 0 < len(out) <= _RRF_TOPN
+    lex = _run(spark, "text_bm25_search")  # top-20 prefix of the lex leg
+    lex_rank = dict(zip(lex["doc_id"], lex["rnk"]))
+    prev = float("inf")
+    prev_id = -1
+    for r in out.itertuples():
+        expected = 0.0
+        if r.lex_rnk == r.lex_rnk and r.lex_rnk is not None:  # not NaN
+            assert 1 <= r.lex_rnk <= _RRF_LEG_DEPTH
+            if r.doc_id in lex_rank:  # overlap with the certified top-20
+                assert lex_rank[r.doc_id] == r.lex_rnk
+            expected += 1.0 / (_RRF_K + r.lex_rnk)
+        if r.sem_rnk == r.sem_rnk and r.sem_rnk is not None:
+            assert 1 <= r.sem_rnk <= _RRF_LEG_DEPTH
+            expected += 1.0 / (_RRF_K + r.sem_rnk)
+        assert expected > 0.0
+        assert abs(r.rrf_score - expected) < 1e-9
+        assert (r.rrf_score, -r.doc_id) <= (prev, -prev_id) or r.rrf_score < prev
+        prev, prev_id = r.rrf_score, r.doc_id
+    # the query vector's own doc must lead the semantic leg
+    sem_best = out[out["sem_rnk"] == 1]
+    assert len(sem_best) == 0 or sem_best.iloc[0]["doc_id"] == 0

@@ -746,3 +746,86 @@ def _upsert_merge(spark, t):
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+# --- TPC-H Q10: returned-item reporting --------------------------------------
+
+#: Q10 quarter window (testdata order dates span 1995-2001).
+_Q10_FROM, _Q10_TO = "1997-01-01", "1997-04-01"
+_Q10_TOPN = 20
+
+
+@_q(
+    "tpch_q10_returned_items",
+    "analytics: returned-item revenue report (Q10 pattern — fact-fact "
+    "join window filter, customer rollup, broadcast nation, top-20)",
+    f"""
+    SELECT c_custkey, c_name, round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+        FROM (
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l.l_discount AS DECIMAL(18,4)))) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '{_Q10_FROM} 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '{_Q10_TO} 00:00:00'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        )
+    ) WHERE rnk <= {_Q10_TOPN}
+    """,
+)
+def _q10(spark, t):
+    """TPC-H Q10 shape: which customers returned the most revenue last
+    quarter.  Scale shape: the quarter predicate filters orders BEFORE
+    the fact-fact join (partition-prunable on an orderdate-partitioned
+    layout), the returnflag predicate prunes lineitem at the scan, the
+    customer rollup is one map-side-combinable aggregation, nation is
+    a broadcast dim, and the top-20 goes through orderBy().limit()
+    (TakeOrderedAndProject) with row_number over only the survivors.
+    Money arithmetic stays DECIMAL(18,4) end-to-end (exact, engine-
+    identical), cast to double only for display."""
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    agg = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _Q10_FROM)
+            & (F.col("o_orderdate") < _Q10_TO)
+        )
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(
+        _Q10_TOPN
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

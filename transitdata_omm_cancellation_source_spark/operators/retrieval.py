@@ -122,8 +122,10 @@ def _tfidf_topk(spark, t):
 # --- Okapi BM25 ranked retrieval --------------------------------------------
 
 
-def _bm25_oracle() -> str:
-    """BM25 oracle with the same parenthesization as the Spark plan —
+def _bm25_scored_ctes() -> str:
+    """The CTE chain up to ``scored(doc_id, s)`` — shared by the BM25
+    oracle and the RRF hybrid oracle (same sharing as ``_bm25_scored``
+    on the Spark side).  Same parenthesization as the Spark plan —
     identical IEEE operation order keeps the score bit-identical."""
     qt = ", ".join(f"'{q}'" for q in _QUERY_TERMS)
     contribs = " + ".join(
@@ -140,8 +142,7 @@ def _bm25_oracle() -> str:
                round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9) END) AS idf_{i}"""
         for i, q in enumerate(_QUERY_TERMS)
     )
-    return f"""
-    WITH tf AS (
+    return f"""tf AS (
         SELECT doc_id, term, count(*) AS tf
         FROM (SELECT doc_id, unnest({_WORDS_D}) AS term FROM documents)
         GROUP BY doc_id, term
@@ -166,7 +167,12 @@ def _bm25_oracle() -> str:
     scored AS (
         SELECT qtf.doc_id, ({contribs}) AS s
         FROM qtf JOIN dl USING (doc_id), stats, idf
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_ctes()}
     SELECT doc_id, bm25, rnk FROM (
         SELECT doc_id, round(s, 6) AS bm25,
                CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk
@@ -175,13 +181,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@_q(
-    "text_bm25_search",
-    "north-star retrieval: Okapi BM25 ranked search, fixed 3-term query",
-    _bm25_oracle(),
-)
-def _bm25(spark, t):
-    docs = t["documents"]
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, _s): the full BM25-scored candidate set for the fixed
+    query — shared by the ranked search and the RRF hybrid fusion so
+    the lexical leg can never drift between them."""
     tf = _postings(docs).filter(F.col("term").isin(*_QUERY_TERMS))
     # Per-term tf pivoted into fixed columns so the 3-term score sum has
     # ONE evaluation order (a float sum over an unordered groupBy would
@@ -239,13 +242,23 @@ def _bm25(spark, t):
     s = contrib[0]
     for c in contrib[1:]:
         s = s + c
+    return scored.select("doc_id", s.alias("_s"))
+
+
+@_q(
+    "text_bm25_search",
+    "north-star retrieval: Okapi BM25 ranked search, fixed 3-term query",
+    _bm25_oracle(),
+)
+def _bm25(spark, t):
     # Top-N via orderBy().limit() — TakeOrderedAndProject, a per-partition
     # heap + driver merge of N rows, never a full single-partition sort of
     # every scored doc.  The row_number window then runs over only the
     # N surviving rows, so its single partition is bounded by _BM25_TOPN.
+    scored = _bm25_scored(t["documents"])
     topn = (
         scored.select(
-            "doc_id", F.round(s, 6).alias("bm25"), s.alias("_s")
+            "doc_id", F.round("_s", 6).alias("bm25"), "_s"
         )
         .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOPN)
@@ -291,3 +304,145 @@ def _keyword_search(spark, t):
         .select("doc_id")
     )
     return docs.join(hits, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (lexical + semantic) ----------
+
+#: RRF constant (Cormack et al. 2009's k=60 — public method) and leg /
+#: fusion depths.
+_RRF_K = 60
+_RRF_LEG_DEPTH = 50
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    from ..functions.hyperplane import DOT_D
+
+    dot_vq = DOT_D.format(a="e.v", b="q.qv")
+    dot_vv = DOT_D.format(a="e.v", b="e.v")
+    dot_qq = DOT_D.format(a="q.qv", b="q.qv")
+    return f"""
+    WITH {_bm25_scored_ctes()},
+    lex AS (
+        SELECT doc_id, rnk AS lex_rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_RRF_LEG_DEPTH}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    semsc AS (
+        SELECT e.vec_id AS doc_id,
+               {dot_vq} / sqrt({dot_vv} * {dot_qq}) AS cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings) e, qv q
+    ),
+    sem AS (
+        SELECT doc_id, rnk AS sem_rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk
+            FROM semsc
+        ) WHERE rnk <= {_RRF_LEG_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rnk, sem.sem_rnk,
+               COALESCE(1.0 / ({_RRF_K} + lex.lex_rnk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + sem.sem_rnk), 0.0) AS rrf
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, CAST(lex_rnk AS INTEGER) AS lex_rnk,
+           CAST(sem_rnk AS INTEGER) AS sem_rnk,
+           round(rrf, 9) AS rrf_score, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {_RRF_TOPN}
+    """
+
+
+@_q(
+    "docs_hybrid_rrf_search",
+    "north-star retrieval: hybrid lexical+semantic search fused by "
+    "reciprocal-rank fusion (BM25 leg + embedding-cosine leg, RRF k=60)",
+    _rrf_oracle(),
+)
+def _hybrid_rrf(spark, t):
+    """Reciprocal-rank fusion over two retrieval legs — the standard
+    hybrid-search shape of RAG / training-data retrieval stacks: BM25
+    ranks the fixed-term query, embedding cosine ranks against a fixed
+    query vector (vec_id 0's embedding, doc_id-aligned), and documents
+    are fused by sum of 1/(k + rank) over the legs that retrieved them.
+    RRF operates on RANKS, not scores, so the fusion needs no score
+    calibration — exactly why production systems use it.
+
+    Determinism: each leg's rank comes from certified bit-identical
+    orderings (the shared ``_bm25_scored`` fold; the shared DOT left
+    fold for cosine); the fusion sum is two IEEE divisions added in a
+    pinned order — identical across engines — and is only rounded for
+    display.
+
+    Scale shape (100 TB): each leg ends in orderBy().limit(50)
+    (TakeOrderedAndProject — per-partition heaps, no global sort); the
+    fusion full-outer join and final top-20 touch at most 100 slim
+    rows.  The semantic leg is the capped exact baseline here; at
+    corpus scale it swaps for any of the bucketed ANN paths without
+    touching the fusion (ranks are ranks).
+    """
+    from ..functions.hyperplane import DOT_S
+
+    docs = t["documents"]
+    lex = (
+        _bm25_scored(docs)
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_LEG_DEPTH)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+    emb = t["embeddings"].select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = F.expr(
+        f"{DOT_S.format(a='v', b='qv')}"
+        f" / sqrt({DOT_S.format(a='v', b='v')} * {DOT_S.format(a='qv', b='qv')})"
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_LEG_DEPTH)
+        .withColumn(
+            "sem_rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "sem_rnk")
+    )
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "lex_rnk",
+        "sem_rnk",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rnk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOPN
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("lex_rnk").cast("int").alias("lex_rnk"),
+            F.col("sem_rnk").cast("int").alias("sem_rnk"),
+            F.round("rrf", 9).alias("rrf_score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
