@@ -1,0 +1,356 @@
+"""PCA for the embedding corpus: exact one-pass moments + fixed
+power-iteration rounds.
+
+``embedding_pca_top_component``: the corpus' top principal component
+— the spectral artifact a training-data pipeline uses for whitening,
+dimension reduction and drift monitoring.  Two phases, each with the
+repo's determinism discipline:
+
+1. MOMENTS (distributed, one pass): every coordinate is quantized
+   ONCE to micro-units (``floor(x * 1e6 + 0.5)`` as BIGINT — the
+   ``pq.py`` pattern), and one map-side-combinable aggregation folds
+   the exact integer sums N, S_j = Σu_j and C_jk = Σu_j·u_k over the
+   upper-triangle (j ≤ k) pair explode.  Integer sums are associative
+   ⇒ partitioning- and merge-order-independent; the covariance
+   cov_jk = (C/N - (S_j/N)(S_k/N)) / 1e12 is then ONE fixed IEEE
+   expression over identical integers, quantized ``round(.., 9)``
+   before anything downstream reads it.  BIGINT headroom: |v| < 1 ⇒
+   u² ≤ 1e12, so C_jk stays in range to ~9e6 vectors; beyond that the
+   standard remedy is a two-level DECIMAL(38) rollup (same note as
+   ``embedding_standardize``).
+2. POWER ITERATION VIA REPEATED SQUARING (bounded, on the 64×64
+   matrix): instead of r matvec rounds, square the matrix
+   PCA_SQUARINGS times — M_{l+1} = round(M_l·M_l / s_l, 12) with
+   s_l = max|entry| as the per-level rescale (a deterministic,
+   order-independent max; without it entries underflow as
+   λ^(2^l)) — then apply ONE matvec to x0 = 1/8 per dimension
+   (exactly representable) and normalize:
+   x = round(y/||y||, 9).  That is power iteration with effective
+   exponent 2^PCA_SQUARINGS at log cost — the per-step fixed overhead
+   of engine-side artifact math is the bottleneck here, not
+   arithmetic, and 6 squaring steps beat 48 matvec rounds (measured
+   25 s -> ~10 s wall, with a HIGHER effective exponent).  Each
+   level's 4096-row result is ferried through a local relation to cut
+   the logical lineage (the self-join references its level twice, so
+   any chained form doubles per level).
+   Every product/norm is a k-ORDERED left fold (the
+   ``_fold_centroids`` phase-2 pattern — collect_list + array_sort +
+   aggregate, bit-identical to the oracle's ``list(.. ORDER BY k)``
+   fold); sqrt is IEEE exactly-rounded; every level is quantized
+   (round 12) before the next reads it, so both engines walk
+   identical doubles.  The reported eigenvalue is the Rayleigh value
+   ``||cov·x||`` of the final iterate against the ORIGINAL
+   covariance.
+
+
+The reference (a cancellation ETL) has no embedding surface; this is
+north-star scope per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hyperplane import DIM
+from ..plans.queries import registered_query as _q
+
+#: fixed squaring levels (unrollable in SQL, the LLOYD_ROUNDS
+#: discipline).  Effective power-iteration exponent is 2^PCA_SQUARINGS
+#: = 64; convergence is rate (λ2/λ1)^64 — the synthetic corpus'
+#: spectrum is flat (λ2/λ1 ≈ 0.93) and 64 effective rounds give
+#: 0.999+ alignment with the true component (pinned against numpy's
+#: eigh in tests/test_pca.py); levels are the accuracy knob and each
+#: level costs one bounded fold over the FIXED 64×64 matrix
+#: (corpus-size-independent).
+PCA_SQUARINGS = 6
+
+_SCALE = 1_000_000
+
+#: x0 = 1/sqrt(DIM) = 0.125 — EXACTLY representable in binary, so both
+#: engines start from literally identical doubles.
+_X0 = 0.125
+
+#: fixed IEEE covariance expression over the exact integer moments —
+#: identical text (modulo dialect casts) on both engines.
+_COV = (
+    "round((CAST({c} AS DOUBLE) / {n} - (CAST({sj} AS DOUBLE) / {n})"
+    " * (CAST({sk} AS DOUBLE) / {n})) / 1e12, 9)"
+)
+
+
+def _pca_oracle() -> str:
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    # squaring SELF-JOINS its level (two references), so inlining
+    # doubles the expansion per level — exponentially many scans of
+    # the base table (observed as an fd exhaustion).  Materialization
+    # evaluates each level once; results are identical.
+    parts = [f"""
+    u AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT)) AS u
+        FROM embeddings
+    ),
+    n AS MATERIALIZED (SELECT count(*) AS n FROM u),
+    comp AS MATERIALIZED (
+        SELECT vec_id, CAST(j AS INTEGER) AS j, u[j + 1] AS uj
+        FROM u, (SELECT unnest(range(0, {DIM})) AS j)
+    ),
+    s AS MATERIALIZED (SELECT j, CAST(sum(uj) AS BIGINT) AS s FROM comp GROUP BY j),
+    pairs AS MATERIALIZED (
+        SELECT a.j AS j, b.j AS k, CAST(sum(a.uj * b.uj) AS BIGINT) AS c
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.j <= b.j
+        GROUP BY a.j, b.j
+    ),
+    cov_ut AS MATERIALIZED (
+        SELECT p.j, p.k,
+               {_COV.format(c="p.c", n="n.n", sj="sj.s", sk="sk.s")} AS cov
+        FROM pairs p
+        JOIN s sj ON sj.j = p.j
+        JOIN s sk ON sk.j = p.k, n
+    ),
+    cov AS MATERIALIZED (
+        SELECT j, k, cov FROM cov_ut
+        UNION ALL
+        SELECT k AS j, j AS k, cov FROM cov_ut WHERE j <> k
+    ),
+    m0 AS MATERIALIZED (SELECT j, k, cov AS m FROM cov)"""]
+    for lv in range(PCA_SQUARINGS):
+        parts.append(f"""
+    sq{lv} AS MATERIALIZED (
+        SELECT a.j, b.k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(a.m * b.m ORDER BY a.k)),
+                   (acc, t) -> acc + t) AS raw
+        FROM m{lv} a JOIN m{lv} b ON a.k = b.j
+        GROUP BY a.j, b.k
+    ),
+    sc{lv} AS MATERIALIZED (SELECT max(abs(raw)) AS s FROM sq{lv}),
+    m{lv + 1} AS MATERIALIZED (
+        SELECT j, k, round(raw / s, 12) AS m FROM sq{lv}, sc{lv}
+    )""")
+    parts.append(f"""
+    y AS MATERIALIZED (
+        SELECT m.j,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(m.m * {_X0} ORDER BY m.k)),
+                   (acc, t) -> acc + t) AS y
+        FROM m{PCA_SQUARINGS} m GROUP BY m.j
+    ),
+    nrm AS MATERIALIZED (
+        SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(y * y ORDER BY j)), (acc, t) -> acc + t)) AS nrm
+        FROM y
+    ),
+    xf AS MATERIALIZED (
+        SELECT j, round(y / nrm, 9) AS x FROM y, nrm
+    ),
+    ray AS MATERIALIZED (
+        SELECT cov.j,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(cov.cov * x.x ORDER BY cov.k)),
+                   (acc, t) -> acc + t) AS ry
+        FROM cov JOIN xf x ON x.j = cov.k
+        GROUP BY cov.j
+    ),
+    lam AS MATERIALIZED (
+        SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(ry * ry ORDER BY j)), (acc, t) -> acc + t)) AS lam
+        FROM ray
+    )""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT x.j AS dim, x.x AS component,
+           round(lam.lam, 6) AS eigenvalue
+    FROM xf x, lam
+    """
+
+
+def _ordered_fold(pair_struct, init=0.0):
+    """k-ordered left fold of ``struct(ord, t)`` rows — the shared
+    deterministic-fold shape (collect, sort by the struct's first
+    field, fold the second)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(pair_struct)),
+        F.lit(init),
+        lambda a, s: a + s["t"],
+    )
+
+
+@_q(
+    "embedding_pca_top_component",
+    "north-star: corpus PCA top principal component — exact one-pass "
+    "integer moments, fixed power-iteration rounds on the bounded "
+    "covariance artifact (unrolled-CTE oracle)",
+    _pca_oracle(),
+)
+def _pca_top_component(spark, t):
+    par = spark.sparkContext.defaultParallelism
+    u = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                f" x -> CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT))"
+            ).alias("u"),
+        )
+        # scan-partition-starvation remedy (see assign_to_centroids):
+        # the DIM²/2 pair explode pipelines on the embeddings scan.
+        .repartition(par, "vec_id")
+    )
+    n = u.agg(F.count(F.lit(1)).alias("n"))
+    comp = u.select(
+        "vec_id", F.posexplode("u").alias("j", "uj")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "uj")
+    s = comp.groupBy("j").agg(F.sum("uj").cast("bigint").alias("s"))
+    # upper-triangle products in ONE projection per row (no self-join):
+    # 2080 slim structs per vector into a map-side-combinable sum.
+    pairs = (
+        u.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {DIM - 1}), j ->"
+                    f" transform(sequence(j, {DIM - 1}), k ->"
+                    " named_struct('j', j, 'k', k,"
+                    " 'p', element_at(u, j + 1) * element_at(u, k + 1)))))"
+                )
+            ).alias("e")
+        )
+        .select(
+            F.col("e.j").cast("int").alias("j"),
+            F.col("e.k").cast("int").alias("k"),
+            F.col("e.p").alias("p"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("p").cast("bigint").alias("c"))
+    )
+    sj = s.select(F.col("j").alias("j"), F.col("s").alias("s_j"))
+    sk = s.select(F.col("j").alias("k"), F.col("s").alias("s_k"))
+    cov_ut = (
+        pairs.join(F.broadcast(sj), "j")
+        .join(F.broadcast(sk), "k")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            "k",
+            F.expr(_COV.format(c="c", n="n", sj="s_j", sk="s_k")).alias("cov"),
+        )
+    )
+    cov = cov_ut.unionAll(
+        cov_ut.filter(F.col("j") != F.col("k")).select(
+            F.col("k").alias("j"), F.col("j").alias("k"), "cov"
+        )
+    )
+    # Bounded driver round-trip per round (64 rows — fixed at ANY
+    # corpus scale): nesting PCA_ROUNDS folds into one lazy plan made
+    # Catalyst's optimization of the 24-deep aggregate chain the
+    # bottleneck (the same trap _train_codebook hit; its fix applies).
+    # ALL arithmetic — fold, sqrt, division, round — happens ENGINE-
+    # side; the driver only ferries already-rounded doubles (collect
+    # does not change bits), so the iterate matches the unrolled
+    # oracle exactly.  Makes this builder CONTRACTUALLY EAGER (see
+    # plans/queries.py QuerySpec).
+    from ..caching import persist_tracked
+
+    cov = persist_tracked(cov)
+    # Materialize the moments at FULL parallelism before the iteration:
+    # the loop below narrows shuffle.partitions to 1 for its 64-row
+    # jobs, and the corpus-sized moment aggregation must not run under
+    # that setting.
+    cov.count()
+    # Narrow the shuffle width for the bounded artifact math: each
+    # squaring folds 64³ = 262k slim rows into 4096 groups — 8
+    # partitions keep those folds parallel while avoiding the
+    # launch-dominated near-empty task storm of the session default;
+    # restore the session's width afterwards.
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # Repeated squaring: each level is one bounded job whose
+        # 4096-row result is ferried through a LOCAL relation — both
+        # because the self-join references the level twice (a lazily
+        # chained plan doubles the recomputed subtree per level) and
+        # because even a persisted chain keeps the full LOGICAL
+        # lineage, whose per-level doubling made Catalyst analysis the
+        # bottleneck (measured 1.6 s -> 10 s by level 6).  The ferry
+        # carries raw engine-computed doubles bit-exactly; the rescale
+        # division + round(12) stay engine-side on the local relation.
+        m = cov.select("j", "k", F.col("cov").alias("m"))
+        for _ in range(PCA_SQUARINGS):
+            sq = (
+                m.alias("a")
+                .join(m.alias("b"), F.col("a.k") == F.col("b.j"))
+                .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
+                .agg(
+                    _ordered_fold(
+                        F.struct(
+                            F.col("a.k").alias("ord"),
+                            (F.col("a.m") * F.col("b.m")).alias("t"),
+                        )
+                    ).alias("raw")
+                )
+            )
+            raw_local = spark.createDataFrame(
+                sq.collect(), "j int, k int, raw double"
+            )
+            s_val = raw_local.agg(F.max(F.abs(F.col("raw")))).collect()[0][0]
+            m = raw_local.select(
+                "j", "k", F.round(F.col("raw") / F.lit(s_val), 12).alias("m")
+            )
+        # final matvec against x0, normalize, then one Rayleigh matvec
+        # against the ORIGINAL covariance for the eigenvalue.
+        y = m.groupBy("j").agg(
+            _ordered_fold(
+                F.struct(
+                    F.col("k").alias("ord"), (F.col("m") * F.lit(_X0)).alias("t")
+                )
+            ).alias("y")
+        )
+        nrm = y.agg(
+            F.sqrt(
+                _ordered_fold(
+                    F.struct(
+                        F.col("j").alias("ord"),
+                        (F.col("y") * F.col("y")).alias("t"),
+                    )
+                )
+            ).alias("nrm")
+        )
+        xf = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("j", F.round(F.col("y") / F.col("nrm"), 9).alias("x"))
+            .collect()
+        )
+        x_rows = sorted((r.j, r.x) for r in xf)
+        x_df = spark.createDataFrame(x_rows, "k int, xv double")
+        ray = (
+            cov.join(F.broadcast(x_df), "k")
+            .groupBy("j")
+            .agg(
+                _ordered_fold(
+                    F.struct(
+                        F.col("k").alias("ord"),
+                        (F.col("cov") * F.col("xv")).alias("t"),
+                    )
+                ).alias("ry")
+            )
+        )
+        lam_val = ray.agg(
+            F.sqrt(
+                _ordered_fold(
+                    F.struct(
+                        F.col("j").alias("ord"),
+                        (F.col("ry") * F.col("ry")).alias("t"),
+                    )
+                )
+            ).alias("lam")
+        ).collect()[0][0]
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.createDataFrame(x_rows, "dim int, component double")
+    return out.select(
+        "dim", "component", F.round(F.lit(lam_val), 6).alias("eigenvalue")
+    )

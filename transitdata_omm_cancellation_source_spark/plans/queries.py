@@ -44,8 +44,11 @@ class QuerySpec:
     materializes its one-row Misra-Gries summary), and the
     corpus-scaled quantizer paths ``knn_lsh_hyperplane`` /
     ``knn_lsh_multiprobe`` / ``knn_pq_adc`` / ``knn_pq_refine`` /
-    ``knn_ivf_kmeans`` / ``knn_ivfpq_adc`` (one cached metadata count
-    per session/corpus sizes the bucket/cell grid).  Plan-only consumers
+    ``knn_ivf_kmeans`` / ``knn_ivfpq_adc`` / ``corpus_semdedup`` /
+    ``dedup_embedding_cosine`` (one cached metadata count per
+    session/corpus sizes the bucket/cell grid),
+    ``embedding_pca_top_component`` (bounded 4096-row local-relation
+    ferries between squaring levels).  Plan-only consumers
     (EXPLAIN tooling, plan-shape tests) should expect those builders to
     submit jobs; everything else stays lazy.
     """
@@ -152,6 +155,7 @@ from ..operators import tokenizer  # noqa: E402,F401
 # quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
 # composes embedding_label_centroid's, so both import after similarity;
 # pq reuses the same constants plus the hyperplane bucket primitives.
+from ..operators import pca  # noqa: E402,F401
 from ..operators import pq  # noqa: E402,F401
 from ..operators import quantize  # noqa: E402,F401
 
