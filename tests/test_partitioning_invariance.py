@@ -25,8 +25,14 @@ from transitdata_omm_cancellation_source_spark.operators.graph import _pagerank
 from transitdata_omm_cancellation_source_spark.operators.pipeline_prep import (
     _substring_dedup,
 )
+from transitdata_omm_cancellation_source_spark.operators.pca import (
+    _pca_top_component,
+)
 from transitdata_omm_cancellation_source_spark.operators.quantize import (
     _standardize,
+)
+from transitdata_omm_cancellation_source_spark.operators.similarity import (
+    _knn_ivf_kmeans,
 )
 from transitdata_omm_cancellation_source_spark.operators.tokenizer import (
     _bigram_pmi,
@@ -38,7 +44,9 @@ from conftest import SF_SMOKE
 
 #: (operator, tables it reads) — math-sensitive paths: exact-integer
 #: moment sums, quantized-log chains, frequency-weighted aggregations,
-#: sketch coverage booleans, positional span rebuilds.
+#: sketch coverage booleans, positional span rebuilds, chunked
+#: centroid folds + broadcast argmax assignment, squared-matrix
+#: power iteration.
 _CASES = [
     (_standardize, ("embeddings",)),
     (_bigram_pmi, ("documents",)),
@@ -47,6 +55,8 @@ _CASES = [
     (_substring_dedup, ("documents",)),
     (_pagerank, ("lineitem",)),
     (_upsert_merge, ("orders",)),
+    (_pca_top_component, ("embeddings",)),
+    (_knn_ivf_kmeans, ("embeddings",)),
 ]
 
 
