@@ -49,7 +49,6 @@ north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM

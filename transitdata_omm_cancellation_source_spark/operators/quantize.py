@@ -27,7 +27,7 @@ codes agree bit-for-bit by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import HYPERPLANES, MAX_PLANES, pow2_grid_cte
