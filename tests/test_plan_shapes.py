@@ -141,12 +141,14 @@ def test_decontaminate_semi_anti_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ivf_kmeans_broadcasts_only_the_centroid_table(spark):
-    """The centroid table is #cells rows (fixed by the quantizer), so
-    its broadcast is scale-safe; the corpus-proportional search join
-    must remain an equi hash join."""
+def test_ivf_kmeans_assigns_in_kernel_and_searches_by_cell(spark):
+    """Assignment is the Arrow-batched exact-integer matmul kernel
+    (MapInPandas — the bounded centroid matrix rides the closure, so
+    no join of any kind), and the corpus-proportional cell-confined
+    search must remain an equi hash join — never a nested loop."""
     plan = _plan(spark, "knn_ivf_kmeans")
-    assert "BroadcastNestedLoopJoin" in plan  # centroid cross-assign (tiny side)
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # the cell-confined search is an equi join on the learned cell key
     import re
@@ -230,19 +232,22 @@ def test_basket_pairs_joins_on_orderkey_with_take_ordered(spark):
 
 
 def test_pq_broadcasts_codebook_but_not_lut(spark):
-    """PQ search: only the fixed 128-row codebook carries a broadcast
-    hint; the per-query LUT and candidate sides are query/corpus-
-    cardinality, so their joins stay size-selected equi joins and the
-    candidate generation remains a bucket equi-join (no all-pairs)."""
+    """PQ search: the encode is the exact-integer matmul kernel
+    (MapInPandas — the codebook rides the closure), so exactly ONE
+    hinted broadcast remains: the codebook's LUT join.  The per-query
+    LUT and candidate sides are query/corpus-cardinality, so their
+    joins stay size-selected equi joins and the candidate generation
+    remains a bucket equi-join (no all-pairs)."""
     import re
 
     df = REGISTRY["knn_pq_adc"].build(spark, SF_PLAN)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    # exactly two hinted broadcasts: the codebook's encode join and its
-    # LUT join — anything more means a corpus/query-proportional side
-    # picked up a forced strategy.
-    assert optimized.count("strategy=broadcast") == 2
+    # exactly one hinted broadcast: the codebook's LUT join — anything
+    # more means a corpus/query-proportional side picked up a forced
+    # strategy.
+    assert optimized.count("strategy=broadcast") == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the encode kernel
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"Join \[bucket#\d+\]", plan), plan[:2000]

@@ -96,6 +96,24 @@ DOT_D = (
     " (acc, x) -> acc + x)"
 )
 
+#: Exact integer dot product over micro-unit BIGINT arrays (DuckDB
+#: spelling) — order-independent by integer associativity, so it can be
+#: mirrored by a vectorized float64 matmul whose intermediates stay
+#: exact integers (see similarity.assign_to_centroids).
+IDOT_D = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_zip({a}, {b}),"
+    " z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))),"
+    " (acc, x) -> acc + x)"
+)
+
+#: one-shot micro-unit quantization (DuckDB spelling) shared by the
+#: integer-assignment paths.
+MICRO_D = (
+    "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT))"
+)
+
 
 def _plane_lit_spark(j: int) -> str:
     return "array(" + ", ".join(f"{w}D" for w in HYPERPLANES[j]) + ")"
@@ -135,26 +153,75 @@ def full_bucket_expr_duck(vec: str) -> str:
 
 
 # --- corpus-scaled band-family keys (near-dup blocking) ----------------------
+# Sign bits are computed over EXACT INTEGER micro-unit dots: the ±1
+# plane weights make each dot a sum of ±u_j (|sum| ≤ DIM·1e6·|v|max,
+# far below 2^53), so a float64 matmul computes literally the same
+# integers as the oracle's BIGINT fold — order-independent signs at
+# BLAS speed.  The per-row HOF fold this replaces evaluated
+# N_BAND_FAMILIES · log2(nb) interpreted 64-dim folds per vector
+# (measured as the 23 s stage of SemDeDup at sf5; the kernel does the
+# same arithmetic in under a second).
 
 
-def scaled_band_key_spark(vec: str, family: int, nb: int) -> F.Column:
-    """Family ``family``'s W-bit key, W = log2(nb) — exactly the bits
-    the static oracle's 16-bit family bucket % nb keeps."""
+def _plane_int_lit_duck(j: int) -> str:
+    return "[" + ", ".join(str(int(w)) for w in HYPERPLANES[j]) + "]"
+
+
+def int_band_keys(df: DataFrame, nb: int, id_col: str = "vec_id",
+                  vec_col: str = "v") -> DataFrame:
+    """(id, b, k): every band family's corpus-scaled key per row —
+    Arrow-batched exact-integer sign bits (see the section comment).
+    Callers join the slim result back on ``id_col``."""
+    import numpy as np
+
+    spark = df.sparkSession
     p = nb.bit_length() - 1
-    base = family * MAX_PLANES
-    bits = [
-        f"(CASE WHEN {DOT_S.format(a=vec, b=_plane_lit_spark(base + j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(p)
-    ]
-    return F.expr("(" + " + ".join(bits) + ")").cast("int")
+    bc = spark.sparkContext.broadcast(
+        np.array(HYPERPLANES, dtype=np.float64)
+    )
+    nfam = N_BAND_FAMILIES
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        P_ = bc.value
+        for pdf in batches:
+            U = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
+                + 0.5
+            )
+            bits = (U @ P_.T) > 0.0  # exact integer dots -> exact signs
+            n = len(U)
+            ks = np.zeros((n, nfam), dtype=np.int64)
+            for f in range(nfam):
+                base = f * MAX_PLANES
+                for j in range(p):
+                    ks[:, f] += bits[:, base + j].astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nfam),
+                    "b": np.tile(np.arange(nfam), n).astype("int32"),
+                    "k": ks.reshape(-1).astype("int32"),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, vec_col)
+        .repartition(par, id_col)
+        .mapInPandas(kernel, f"{id_col} long, b int, k int")
+    )
 
 
 def band_family_expr_duck(vec: str, family: int) -> str:
-    """Family ``family``'s full 16-bit bucket; callers mask ``% nb``."""
+    """Family ``family``'s full 16-bit bucket over the INTEGER
+    micro-unit dots (the ``int_band_keys`` contract); callers mask
+    ``% nb``."""
     base = family * MAX_PLANES
+    uv = MICRO_D.format(v=vec)
     bits = [
-        f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(base + j))} > 0"
+        f"(CASE WHEN {IDOT_D.format(a=uv, b=_plane_int_lit_duck(base + j))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
         for j in range(MAX_PLANES)
     ]

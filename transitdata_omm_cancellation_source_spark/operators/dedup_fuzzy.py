@@ -654,7 +654,7 @@ def _embedding_neardup(spark, t):
     # makes.  Both engines block identically, and the exact cosine >=
     # tau verification below keeps emitted pairs exact for every
     # candidate.
-    from ..functions.hyperplane import N_BAND_FAMILIES, scaled_band_key_spark
+    from ..functions.hyperplane import int_band_keys
     from .similarity import assign_to_centroids, ivf_quantizer, lsh_nbuckets
 
     corpus = t["embeddings"].unionAll(
@@ -678,30 +678,15 @@ def _embedding_neardup(spark, t):
         .withColumn("n2", F.expr(dot.format(a="v", b="v")))
     )
     # slim (vec_id, label, cell, band, key) frame for candidate
-    # generation — the 64-double vectors never ride through the
-    # exploded self-join.
+    # generation (band keys via the exact-integer matmul kernel,
+    # functions/hyperplane.py int_band_keys) — the 64-double vectors
+    # never ride through the exploded self-join.
     nb = lsh_nbuckets(spark, t)
     vc = vecs.join(
         assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
     )
-    bands = vc.select(
-        "vec_id",
-        "label",
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(f).alias("b"),
-                        scaled_band_key_spark("v", f, nb).alias("k"),
-                    )
-                    for f in range(N_BAND_FAMILIES)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "vec_id", "label", "cell",
-        F.col("bk.b").alias("b"), F.col("bk.k").alias("k"),
+    bands = vc.select("vec_id", "label", "cell").join(
+        int_band_keys(vecs, nb), "vec_id"
     )
     cand = (
         bands.alias("a")

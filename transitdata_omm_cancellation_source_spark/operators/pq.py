@@ -161,33 +161,62 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "sv")
 
 
-def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, code): nearest-centroid assignment per subspace.
-
-    corpus x M x K distance rows flow into ONE map-side-combinable
-    argmin aggregation; the codebook side is a 128-row broadcast.  The
-    argmin is min(struct(dist, code)) — exact BIGINT micro-unit dists
-    with the code as the deterministic tie-break.
-    """
-    dists = subs.join(F.broadcast(cent), "sub").select(
-        "vec_id",
-        "sub",
-        "code",
-        F.expr(_L2_S.format(a="sv", b="c")).alias("dist"),
-    )
-    return dists.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("dist", "code")).getField("code").alias("code")
-    )
-
-
 def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    # corpus x M x K distance work pipelines on the embeddings scan —
-    # hash-repartition to full parallelism first so a small parquet's
-    # few scan partitions can't serialize the encode (the
-    # assign_to_centroids remedy; at 100 TB the scan is already wide
-    # and the slim N-row shuffle is noise).
-    par = vecs.sparkSession.sparkContext.defaultParallelism
-    return _assign(_subvectors(vecs.repartition(par, "vec_id")), cent)
+    """(vec_id, sub, code): nearest-centroid argmin per subspace, at
+    MATMUL SPEED with exact-integer semantics.
+
+    The squared distance expands to |sv|² + |c|² - 2·sv·c over the
+    micro-unit BIGINTs; every term (≤~3e13) is far below 2^53, so
+    float64 arithmetic on them is EXACT and order-independent — the
+    BLAS matmul computes literally the same integers as the BIGINT
+    ``_L2_S`` folds the oracle (and the training loop) use, so argmin
+    plus the first-min tie-break (= lowest code, numpy's argmin
+    semantics) is bit-identical to ``min(struct(dist, code))``.  The
+    per-(vector, cell) interpreted HOF fold this replaces was the
+    corpus-encode wall at the third scale decade (64M 8-dim folds at
+    sf25).  The codebook rides the closure as a bounded [M x K x DSUB]
+    array; the corpus is hash-repartitioned to full parallelism first
+    (a small parquet's few scan partitions would serialize the
+    kernel).
+    """
+    import numpy as np
+
+    spark = vecs.sparkSession
+    C = np.zeros((M_SUB, K_CODES, DSUB))
+    for r in cent.collect():
+        C[r["sub"], r["code"]] = list(r["c"])
+    bc = spark.sparkContext.broadcast(C)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        C_ = bc.value
+        cn2 = (C_ * C_).sum(axis=2)  # (M, K) exact ints in float64
+        for pdf in batches:
+            U = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            n = len(U)
+            Us = U.reshape(n, M_SUB, DSUB)
+            un2 = (Us * Us).sum(axis=2)  # (n, M) exact
+            codes = np.empty((n, M_SUB), dtype=np.int64)
+            for s in range(M_SUB):
+                S = Us[:, s, :] @ C_[s].T  # (n, K) exact
+                d = un2[:, s][:, None] + cn2[s][None, :] - 2.0 * S
+                codes[:, s] = np.argmin(d, axis=1)  # first min = lowest code
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M_SUB),
+                    "sub": np.tile(np.arange(M_SUB), n).astype("int32"),
+                    "code": codes.reshape(-1).astype("int32"),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        vecs.select("vec_id", "u")
+        .repartition(par, "vec_id")
+        .mapInPandas(kernel, "vec_id long, sub int, code int")
+    )
 
 
 def _train_codebook(

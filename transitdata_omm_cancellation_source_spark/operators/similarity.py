@@ -382,11 +382,19 @@ def ivf_assign_cte() -> str:
     The quantizer is CORPUS-SCALED: #cells = sqrt_pow2(N) (ivf_params),
     cells seeded by ``vec_id % #cells``, centroids trained with the
     same chunked deterministic fold as ``embedding_label_centroid``,
-    then every vector assigned to its nearest centroid by cosine.
+    then every vector assigned to its nearest centroid.
+
+    Scoring mirrors the matmul kernel of ``assign_to_centroids``:
+    EXACT INTEGER micro-unit dots (vector and 6-dp centroid each
+    quantized once), score = idot(u_v, u_c) / sqrt(idot(u_c, u_c)) —
+    the per-vector norm is a positive constant omitted from the
+    argmax.  Integer folds are order-independent, so the engines
+    cannot disagree however either one parallelizes.
     """
-    dot_vc = _DOT_D.format(a="v.v", b="ct.cv")
-    dot_vv = _DOT_D.format(a="v.v", b="v.v")
-    dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
+    from ..functions.hyperplane import IDOT_D, MICRO_D
+
+    dot_vc = IDOT_D.format(a="v.uv", b="ct.ucv")
+    dot_cc = IDOT_D.format(a="ct.ucv", b="ct.ucv")
     return f"""
     {pow2_grid_cte("ivf_params", hi_bits=IVF_MAX_BITS)},
     ivf_seeded AS (
@@ -414,10 +422,17 @@ def ivf_assign_cte() -> str:
         SELECT scell AS c_label, list(centroid ORDER BY dim) AS cv
         FROM cent_ivf GROUP BY scell
     ),
+    cvec_u AS (
+        SELECT c_label, {MICRO_D.format(v="cv")} AS ucv FROM cvec
+    ),
+    v_u AS (
+        SELECT vec_id, {MICRO_D.format(v="v.v")} AS uv FROM v
+    ),
     pairs AS (
         SELECT v.vec_id, ct.c_label,
-               {dot_vc} / sqrt({dot_vv} * {dot_cc}) AS cos_c
-        FROM v CROSS JOIN cvec ct
+               CAST({dot_vc} AS DOUBLE)
+                   / sqrt(CAST({dot_cc} AS DOUBLE)) AS cos_c
+        FROM v_u v CROSS JOIN cvec_u ct
     ),
     assign AS (
         SELECT vec_id, c_label AS cell FROM (
@@ -443,45 +458,82 @@ def centroid_vectors(cent_rows: DataFrame, key: str) -> DataFrame:
     )
 
 
+#: chunk of centroid columns scored at once inside the assignment
+#: kernel — bounds the per-batch score matrix to
+#: |arrow batch| x _ASSIGN_CHUNK doubles regardless of #cells.
+_ASSIGN_CHUNK = 512
+
+
 def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest-centroid-by-cosine assignment, lowest
-    key as the deterministic tie-break — THE assignment kernel, shared
-    by ``ivf_cells`` (label centroids) and SemDeDup (Lloyd centroids)
-    so the two paths can never drift apart semantically.
+    """(vec_id, cell): nearest-centroid assignment, lowest key as the
+    deterministic tie-break — THE assignment kernel, shared by
+    ``ivf_cells``, SemDeDup and the embedding-cosine dedup blocking so
+    the paths can never drift apart semantically.
 
-    ``vecs`` is (vec_id, v, n2); ``cvec`` is ``centroid_vectors``
-    output.  The centroid table is #cells rows (√N under the pow2
-    grid, bounded by IVF_MAX_BITS) so broadcasting it is safe at any
-    scale; assignment emits N x #cells slim (vec_id, key, score)
-    rows — the vectors never ride the shuffle — and the per-vector
-    argmax is one window on vec_id.
+    EXACT-INTEGER SCORING AT MATMUL SPEED.  Vectors and (already
+    6-dp-rounded) centroids are quantized once to micro-units; the
+    assignment score is ``idot(u_v, u_c) / sqrt(idot(u_c, u_c))`` —
+    the per-vector norm is a positive constant that cannot change the
+    argmax, so it is omitted.  The integer dots are computed as a
+    float64 MATMUL: every product (≤1e12 at |v|<12) and every 64-term
+    partial sum (≤6.4e13) stays far below 2^53, so float64 arithmetic
+    on them is EXACT and therefore summation-order-independent —
+    BLAS-speed with bit-for-bit integer semantics, mirrored by the
+    oracle's BIGINT list folds (``ivf_assign_cte``).  The division and
+    sqrt are single correctly-rounded IEEE ops over identical
+    integers, identical on both engines.  The per-row HOF-expression
+    form this replaces evaluated one interpreted 64-dim fold per
+    (vector, cell) — measured 628 s for the sf25 assignment
+    (500k x 512 cells) vs seconds for the matmul kernel.
 
-    The corpus is hash-repartitioned on vec_id to the session's full
-    parallelism BEFORE the broadcast cross join: a small embeddings
-    parquet arrives in a handful of scan partitions, and since the
-    N x #cells distance work is pipelined on top of the scan, those
-    few tasks would serialize the entire assignment (measured at sf1:
-    4 tasks, 21 s -> 32 tasks, 4.8 s).  At 100 TB the scan has
-    thousands of partitions anyway and the extra N-row shuffle is
-    noise next to the N x #cells compute it parallelizes.
+    Scale shape: the centroid matrix is a bounded (≤2^IVF_MAX_BITS
+    x DIM) task-local broadcast; the kernel is Arrow-batched
+    mapInPandas, embarrassingly parallel over the corpus scan, scored
+    in _ASSIGN_CHUNK-column chunks with a strict-> running best so
+    ties keep the LOWEST cell (matching the oracle's ORDER BY score
+    DESC, cell ASC).  The corpus is hash-repartitioned to full
+    parallelism first — a small parquet's few scan partitions would
+    serialize the kernel (same remedy as the PQ encode).
     """
-    par = vecs.sparkSession.sparkContext.defaultParallelism
-    scored = (
-        vecs.repartition(par, "vec_id").alias("x")
-    ).crossJoin(F.broadcast(cvec.alias("ct"))).select(
-        F.col("x.vec_id").alias("vec_id"),
-        F.col("ct.c_key").alias("c_key"),
-        F.expr(
-            f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
-        ).alias("cos_c"),
+    spark = vecs.sparkSession
+    cent_rows = sorted(
+        (r["c_key"], list(r["cv"])) for r in cvec.select("c_key", "cv").collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("c_key").asc()
-    )
+    bc = spark.sparkContext.broadcast(cent_rows)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows = bc.value
+        keys = np.array([k for k, _ in rows], dtype=np.int64)
+        C = np.floor(
+            np.array([cv for _, cv in rows], dtype=np.float64) * 1e6 + 0.5
+        )
+        cn = np.sqrt((C * C).sum(axis=1))  # exact ints -> exact sqrt input
+        for pdf in batches:
+            U = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+            )
+            best = np.full(len(U), -np.inf)
+            best_ix = np.zeros(len(U), dtype=np.int64)
+            for lo in range(0, len(keys), _ASSIGN_CHUNK):
+                Cc = C[lo : lo + _ASSIGN_CHUNK]
+                score = (U @ Cc.T) / cn[lo : lo + _ASSIGN_CHUNK][None, :]
+                ix = np.argmax(score, axis=1)  # first max = lowest cell
+                sc = score[np.arange(len(U)), ix]
+                better = sc > best  # strict: earlier chunk wins ties
+                best[better] = sc[better]
+                best_ix[better] = ix[better] + lo
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": keys[best_ix].astype("int32")}
+            )
+
+    par = spark.sparkContext.defaultParallelism
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_key").alias("cell"))
+        vecs.select("vec_id", "v")
+        .repartition(par, "vec_id")
+        .mapInPandas(kernel, "vec_id long, cell int")
     )
 
 
