@@ -191,6 +191,16 @@ def int_band_keys(df: DataFrame, nb: int, id_col: str = "vec_id",
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
                 + 0.5
             )
+            # Exactness contract, enforced: the ±1 planes make each dot
+            # a DIM-term sum of ±u_j, which is exact in float64 only
+            # while |sum| < 2^53.  A corpus whose coordinates break the
+            # bound must fail loudly, not drift from the BIGINT oracle.
+            if np.abs(U).max(initial=0.0) * DIM >= 2.0**53:
+                raise ValueError(
+                    "int_band_keys: |u|*DIM exceeds the 2^53 exact-"
+                    "integer float64 headroom; band keys would diverge "
+                    "from the BIGINT oracle"
+                )
             bits = (U @ P_.T) > 0.0  # exact integer dots -> exact signs
             n = len(U)
             ks = np.zeros((n, nfam), dtype=np.int64)

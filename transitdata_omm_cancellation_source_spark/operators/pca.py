@@ -29,10 +29,14 @@ repo's determinism discipline:
    exponent 2^PCA_SQUARINGS at log cost — the per-step fixed overhead
    of engine-side artifact math is the bottleneck here, not
    arithmetic, and 6 squaring steps beat 48 matvec rounds (measured
-   25 s -> ~10 s wall, with a HIGHER effective exponent).  Each
-   level's 4096-row result is ferried through a local relation to cut
-   the logical lineage (the self-join references its level twice, so
-   any chained form doubles per level).
+   25 s -> ~10 s wall, with a HIGHER effective exponent).  Each level
+   runs SHUFFLE-FREE as a crossJoin of two 64-row local relations
+   (row-arrays × column-arrays) whose per-pair aggregate(zip_with)
+   is the same k-ascending left fold; the driver only reshapes the
+   ferried, already-rounded doubles between levels (no float
+   arithmetic), cutting both the self-join's doubling logical
+   lineage and the per-level exchange overhead (~11 s -> ~4 s at
+   sf0.1, identical output hashes).
    Every product/norm is a k-ORDERED left fold (the
    ``_fold_centroids`` phase-2 pattern — collect_list + array_sort +
    aggregate, bit-identical to the oracle's ``list(.. ORDER BY k)``
@@ -49,6 +53,7 @@ north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM
@@ -185,6 +190,22 @@ def _ordered_fold(pair_struct, init=0.0):
     _pca_oracle(),
 )
 def _pca_top_component(spark, t):
+    from .similarity import corpus_count
+
+    # Overflow guard (same failure class as PageRank's raise_error,
+    # graph.py): with ANSI off Spark silently wraps a BIGINT sum where
+    # DuckDB promotes to HUGEINT, so past the documented ~9e6-vector
+    # headroom (|v| < 1 ⇒ u_j·u_k ≤ 1e12 per row) the engines would
+    # diverge into wrong-but-plausible covariances.  Fail loudly until
+    # the DECIMAL(38) two-level rollup lands.  Uses the session-cached
+    # metadata count, so the check costs nothing after first use.
+    n_corpus = corpus_count(spark, t["embeddings"])
+    if n_corpus > 9_000_000:
+        raise ValueError(
+            f"embedding_pca_top_component: {n_corpus} vectors exceeds "
+            "the ~9e6-vector BIGINT headroom of the C_jk moment sums; "
+            "needs the DECIMAL(38) rollup before running at this scale"
+        )
     par = spark.sparkContext.defaultParallelism
     u = (
         t["embeddings"]
@@ -199,21 +220,24 @@ def _pca_top_component(spark, t):
         # the DIM²/2 pair explode pipelines on the embeddings scan.
         .repartition(par, "vec_id")
     )
-    n = u.agg(F.count(F.lit(1)).alias("n"))
-    comp = u.select(
-        "vec_id", F.posexplode("u").alias("j", "uj")
-    ).select("vec_id", F.col("j").cast("int").alias("j"), "uj")
-    s = comp.groupBy("j").agg(F.sum("uj").cast("bigint").alias("s"))
-    # upper-triangle products in ONE projection per row (no self-join):
-    # 2080 slim structs per vector into a map-side-combinable sum.
-    pairs = (
+    # ONE fused scan-aggregation produces BOTH exact integer moment
+    # families: the upper-triangle pair sums C_jk AND (via sentinel
+    # rows keyed k = -1) the coordinate sums S_j — 2080 pair structs
+    # plus 64 sentinel structs per vector into a map-side-combinable
+    # BIGINT sum.  Integer sums are associative, so fusing changes
+    # nothing about the values; it halves the corpus scans.
+    mom = (
         u.select(
             F.explode(
                 F.expr(
+                    "concat("
                     f"flatten(transform(sequence(0, {DIM - 1}), j ->"
                     f" transform(sequence(j, {DIM - 1}), k ->"
                     " named_struct('j', j, 'k', k,"
-                    " 'p', element_at(u, j + 1) * element_at(u, k + 1)))))"
+                    " 'p', element_at(u, j + 1) * element_at(u, k + 1))))),"
+                    f" transform(sequence(0, {DIM - 1}), j ->"
+                    " named_struct('j', j, 'k', -1,"
+                    " 'p', element_at(u, j + 1))))"
                 )
             ).alias("e")
         )
@@ -225,130 +249,145 @@ def _pca_top_component(spark, t):
         .groupBy("j", "k")
         .agg(F.sum("p").cast("bigint").alias("c"))
     )
-    sj = s.select(F.col("j").alias("j"), F.col("s").alias("s_j"))
-    sk = s.select(F.col("j").alias("k"), F.col("s").alias("s_k"))
-    cov_ut = (
-        pairs.join(F.broadcast(sj), "j")
-        .join(F.broadcast(sk), "k")
-        .crossJoin(F.broadcast(n))
-        .select(
+    mom_rows = mom.collect()
+    s_vals = {r["j"]: r["c"] for r in mom_rows if r["k"] == -1}
+    c_ut = {(r["j"], r["k"]): r["c"] for r in mom_rows if r["k"] >= 0}
+    if not c_ut:  # empty corpus: no moments, no component
+        return spark.createDataFrame(
+            [], "dim int, component double, eigenvalue double"
+        )
+    # Mirror the upper triangle driver-side (pure copying — C_kj = C_jk
+    # by definition) and compose the covariance ENGINE-side on the
+    # bounded local relation; n is the session-cached exact corpus
+    # count, inlined as an integer literal (same double division as
+    # the previous BIGINT-column crossJoin form).
+    cov_in = spark.createDataFrame(
+        [
+            (j, k, c_ut[(j, k) if j <= k else (k, j)], s_vals[j], s_vals[k])
+            for j in range(DIM)
+            for k in range(DIM)
+        ],
+        "j int, k int, c bigint, sj bigint, sk bigint",
+    )
+    cov_rows = cov_in.select(
+        "j",
+        "k",
+        F.expr(
+            _COV.format(c="c", n=str(n_corpus), sj="sj", sk="sk")
+        ).alias("cov"),
+    ).collect()
+    # Repeated squaring on the bounded artifact — per level ONE
+    # single-partition job, no join, no broadcast, no shuffle: the
+    # matrix ships as a single-row nested-array literal, a double
+    # posexplode enumerates all (j, k) pairs carrying row j's array
+    # ``av`` and row k's array ``bv``, and the product is an EXPLICIT
+    # left-associative add chain — SQL ``+`` is left-associative, so
+    # ((0 + t0) + t1) + … is the same IEEE op sequence as the
+    # previous aggregate() fold and the oracle's list_reduce, but
+    # whole-stage codegen compiles it (the interpreted HOF form
+    # measured ~30 µs/element, 8 s per level; the chain runs in ms).
+    # The covariance (and hence every level — products commute, the
+    # fold order is fixed) is EXACTLY symmetric, so row k IS column k
+    # and the oracle's m[j,i]·m[i,k] operands are the same doubles as
+    # this form's M[j,i]·M[k,i]; the reshape below asserts the
+    # invariant.  The per-level rescale max rides the same plan as an
+    # unpartitioned window (max/abs select existing doubles, no new
+    # arithmetic); division + round(12) stay ENGINE-side.  The driver
+    # only RESHAPES already-rounded doubles between levels (list
+    # restructuring, zero float arithmetic) — the bounded ferry that
+    # cuts the self-join's doubling logical lineage (a fully chained
+    # plan measured 1.6 s -> 10 s of Catalyst analysis by level 6).
+    # Net: 11 s -> ~5 s at sf0.1 with identical output hashes.
+    _fold_chain = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + av[{i}] * bv[{i}]" for i in range(DIM)
+    )
+    w_all = Window.partitionBy()
+
+    def _reshape(rows) -> list[list[float]]:
+        grid: dict[tuple[int, int], float] = {
+            (r["j"], r["k"]): r[-1] for r in rows
+        }
+        mat = [[grid[(j, k)] for k in range(DIM)] for j in range(DIM)]
+        for j in range(DIM):
+            for k in range(j + 1, DIM):
+                if mat[j][k] != mat[k][j]:
+                    raise AssertionError(
+                        "PCA iterate lost exact symmetry — the row-as-"
+                        "column substitution would diverge from the oracle"
+                    )
+        return mat
+
+    mat = _reshape(cov_rows)
+    for _ in range(PCA_SQUARINGS):
+        one = spark.createDataFrame([(mat,)], "mat array<array<double>>")
+        d = one.select("mat", F.posexplode("mat").alias("j", "av")).select(
+            "j", "av", F.posexplode("mat").alias("k", "bv")
+        )
+        sq = d.select("j", "k", F.expr(_fold_chain).alias("raw"))
+        level = sq.select(
             "j",
             "k",
-            F.expr(_COV.format(c="c", n="n", sj="s_j", sk="s_k")).alias("cov"),
+            F.round(
+                F.col("raw") / F.max(F.abs(F.col("raw"))).over(w_all), 12
+            ).alias("m"),
         )
+        mat = _reshape(level.collect())
+    m = spark.createDataFrame(
+        [(j, k, mat[j][k]) for j in range(DIM) for k in range(DIM)],
+        "j int, k int, m double",
     )
-    cov = cov_ut.unionAll(
-        cov_ut.filter(F.col("j") != F.col("k")).select(
-            F.col("k").alias("j"), F.col("j").alias("k"), "cov"
-        )
+    cov = spark.createDataFrame(
+        [(r["j"], r["k"], r["cov"]) for r in cov_rows],
+        "j int, k int, cov double",
     )
-    # Bounded driver round-trip per round (64 rows — fixed at ANY
-    # corpus scale): nesting PCA_ROUNDS folds into one lazy plan made
-    # Catalyst's optimization of the 24-deep aggregate chain the
-    # bottleneck (the same trap _train_codebook hit; its fix applies).
-    # ALL arithmetic — fold, sqrt, division, round — happens ENGINE-
-    # side; the driver only ferries already-rounded doubles (collect
-    # does not change bits), so the iterate matches the unrolled
-    # oracle exactly.  Makes this builder CONTRACTUALLY EAGER (see
-    # plans/queries.py QuerySpec).
-    from ..caching import persist_tracked
-
-    cov = persist_tracked(cov)
-    # Materialize the moments at FULL parallelism before the iteration:
-    # the loop below narrows shuffle.partitions to 1 for its 64-row
-    # jobs, and the corpus-sized moment aggregation must not run under
-    # that setting.
-    cov.count()
-    # Narrow the shuffle width for the bounded artifact math: each
-    # squaring folds 64³ = 262k slim rows into 4096 groups — 8
-    # partitions keep those folds parallel while avoiding the
-    # launch-dominated near-empty task storm of the session default;
-    # restore the session's width afterwards.
-    conf = spark.conf
-    prev_parts = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        # Repeated squaring: each level is one bounded job whose
-        # 4096-row result is ferried through a LOCAL relation — both
-        # because the self-join references the level twice (a lazily
-        # chained plan doubles the recomputed subtree per level) and
-        # because even a persisted chain keeps the full LOGICAL
-        # lineage, whose per-level doubling made Catalyst analysis the
-        # bottleneck (measured 1.6 s -> 10 s by level 6).  The ferry
-        # carries raw engine-computed doubles bit-exactly; the rescale
-        # division + round(12) stay engine-side on the local relation.
-        m = cov.select("j", "k", F.col("cov").alias("m"))
-        for _ in range(PCA_SQUARINGS):
-            sq = (
-                m.alias("a")
-                .join(m.alias("b"), F.col("a.k") == F.col("b.j"))
-                .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
-                .agg(
-                    _ordered_fold(
-                        F.struct(
-                            F.col("a.k").alias("ord"),
-                            (F.col("a.m") * F.col("b.m")).alias("t"),
-                        )
-                    ).alias("raw")
-                )
+    # final matvec against x0, normalize, then one Rayleigh matvec
+    # against the ORIGINAL covariance for the eigenvalue.
+    y = m.groupBy("j").agg(
+        _ordered_fold(
+            F.struct(
+                F.col("k").alias("ord"), (F.col("m") * F.lit(_X0)).alias("t")
             )
-            raw_local = spark.createDataFrame(
-                sq.collect(), "j int, k int, raw double"
-            )
-            s_val = raw_local.agg(F.max(F.abs(F.col("raw")))).collect()[0][0]
-            m = raw_local.select(
-                "j", "k", F.round(F.col("raw") / F.lit(s_val), 12).alias("m")
-            )
-        # final matvec against x0, normalize, then one Rayleigh matvec
-        # against the ORIGINAL covariance for the eigenvalue.
-        y = m.groupBy("j").agg(
+        ).alias("y")
+    )
+    nrm = y.agg(
+        F.sqrt(
             _ordered_fold(
                 F.struct(
-                    F.col("k").alias("ord"), (F.col("m") * F.lit(_X0)).alias("t")
+                    F.col("j").alias("ord"),
+                    (F.col("y") * F.col("y")).alias("t"),
                 )
-            ).alias("y")
-        )
-        nrm = y.agg(
-            F.sqrt(
-                _ordered_fold(
-                    F.struct(
-                        F.col("j").alias("ord"),
-                        (F.col("y") * F.col("y")).alias("t"),
-                    )
-                )
-            ).alias("nrm")
-        )
-        xf = (
-            y.crossJoin(F.broadcast(nrm))
-            .select("j", F.round(F.col("y") / F.col("nrm"), 9).alias("x"))
-            .collect()
-        )
-        x_rows = sorted((r.j, r.x) for r in xf)
-        x_df = spark.createDataFrame(x_rows, "k int, xv double")
-        ray = (
-            cov.join(F.broadcast(x_df), "k")
-            .groupBy("j")
-            .agg(
-                _ordered_fold(
-                    F.struct(
-                        F.col("k").alias("ord"),
-                        (F.col("cov") * F.col("xv")).alias("t"),
-                    )
-                ).alias("ry")
             )
-        )
-        lam_val = ray.agg(
-            F.sqrt(
-                _ordered_fold(
-                    F.struct(
-                        F.col("j").alias("ord"),
-                        (F.col("ry") * F.col("ry")).alias("t"),
-                    )
+        ).alias("nrm")
+    )
+    xf = (
+        y.crossJoin(F.broadcast(nrm))
+        .select("j", F.round(F.col("y") / F.col("nrm"), 9).alias("x"))
+        .collect()
+    )
+    x_rows = sorted((r.j, r.x) for r in xf)
+    x_df = spark.createDataFrame(x_rows, "k int, xv double")
+    ray = (
+        cov.join(F.broadcast(x_df), "k")
+        .groupBy("j")
+        .agg(
+            _ordered_fold(
+                F.struct(
+                    F.col("k").alias("ord"),
+                    (F.col("cov") * F.col("xv")).alias("t"),
                 )
-            ).alias("lam")
-        ).collect()[0][0]
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev_parts)
+            ).alias("ry")
+        )
+    )
+    lam_val = ray.agg(
+        F.sqrt(
+            _ordered_fold(
+                F.struct(
+                    F.col("j").alias("ord"),
+                    (F.col("ry") * F.col("ry")).alias("t"),
+                )
+            )
+        ).alias("lam")
+    ).collect()[0][0]
     out = spark.createDataFrame(x_rows, "dim int, component double")
     return out.select(
         "dim", "component", F.round(F.lit(lam_val), 6).alias("eigenvalue")

@@ -161,9 +161,13 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "sv")
 
 
-def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, code): nearest-centroid argmin per subspace, at
-    MATMUL SPEED with exact-integer semantics.
+def _encode(vecs: DataFrame, cent: DataFrame, packed: bool = False) -> DataFrame:
+    """(vec_id, sub, code) — or (vec_id, codes array<int>) when
+    ``packed`` — nearest-centroid argmin per subspace, at MATMUL SPEED
+    with exact-integer semantics.  The packed shape is the same
+    assignment emitted once per vector instead of once per (vector,
+    sub): what the cell-confined IVF-PQ scan consumes (M gathers per
+    candidate want the code vector contiguous).
 
     The squared distance expands to |sv|² + |c|² - 2·sv·c over the
     micro-unit BIGINTs; every term (≤~3e13) is far below 2^53, so
@@ -182,8 +186,20 @@ def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     import numpy as np
 
     spark = vecs.sparkSession
+    rows = cent.collect()
+    # Completeness contract, enforced: the dense codebook array maps a
+    # missing (sub, code) entry to a zero centroid that could win the
+    # argmin — semantics the join-based form never had.  Training's
+    # keep-old-on-empty merge guarantees all M*K entries today; assert
+    # it so a future training change fails loudly instead of silently
+    # introducing phantom zero centroids.
+    if len({(r["sub"], r["code"]) for r in rows}) != M_SUB * K_CODES:
+        raise ValueError(
+            f"_encode: codebook must carry exactly {M_SUB}x{K_CODES} "
+            f"distinct (sub, code) entries, got {len(rows)} rows"
+        )
     C = np.zeros((M_SUB, K_CODES, DSUB))
-    for r in cent.collect():
+    for r in rows:
         C[r["sub"], r["code"]] = list(r["c"])
     bc = spark.sparkContext.broadcast(C)
 
@@ -193,8 +209,18 @@ def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
         C_ = bc.value
         cn2 = (C_ * C_).sum(axis=2)  # (M, K) exact ints in float64
+        cmax = np.abs(C_).max(initial=1.0)
         for pdf in batches:
             U = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            # Exactness contract, enforced: each expanded distance is
+            # ≤ DSUB·(|u|+|c|)², which must stay below 2^53 for the
+            # float64 matmul to equal the oracle's BIGINT L2 folds.
+            if DSUB * (np.abs(U).max(initial=0.0) + cmax) ** 2 >= 2.0**53:
+                raise ValueError(
+                    "_encode: DSUB*(|u|+|c|)^2 exceeds the 2^53 exact-"
+                    "integer float64 headroom; codes would diverge "
+                    "from the BIGINT oracle"
+                )
             n = len(U)
             Us = U.reshape(n, M_SUB, DSUB)
             un2 = (Us * Us).sum(axis=2)  # (n, M) exact
@@ -203,19 +229,31 @@ def _encode(vecs: DataFrame, cent: DataFrame) -> DataFrame:
                 S = Us[:, s, :] @ C_[s].T  # (n, K) exact
                 d = un2[:, s][:, None] + cn2[s][None, :] - 2.0 * S
                 codes[:, s] = np.argmin(d, axis=1)  # first min = lowest code
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M_SUB),
-                    "sub": np.tile(np.arange(M_SUB), n).astype("int32"),
-                    "code": codes.reshape(-1).astype("int32"),
-                }
-            )
+            if packed:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "codes": list(codes.astype("int32")),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M_SUB),
+                        "sub": np.tile(np.arange(M_SUB), n).astype("int32"),
+                        "code": codes.reshape(-1).astype("int32"),
+                    }
+                )
 
     par = spark.sparkContext.defaultParallelism
+    schema = (
+        "vec_id long, codes array<int>" if packed
+        else "vec_id long, sub int, code int"
+    )
     return (
         vecs.select("vec_id", "u")
         .repartition(par, "vec_id")
-        .mapInPandas(kernel, "vec_id long, sub int, code int")
+        .mapInPandas(kernel, schema)
     )
 
 
@@ -741,6 +779,19 @@ def _ivfpq_oracle() -> str:
     """
 
 
+#: salt width for the per-cell IVF-PQ scan: cell populations are
+#: corpus/√N (and skewed further by near-dup lattices), so a single
+#: grouped-map task per cell would concentrate a hot cell's whole
+#: member list in one task's memory.  Salting the MEMBER side
+#: ``vec_id % IVFPQ_NSALT`` splits every cell into NSALT bounded
+#: groups and replicates each query across them (the repo's
+#: deterministic salted-join pattern, ``events_segment_enrich_salted``);
+#: per-group top-k unions are merged by one final window over
+#: |queries| x NSALT x TOP_K slim rows — top-k is distributive over a
+#: partition of the candidate set, so the result is identical.
+IVFPQ_NSALT = 8
+
+
 @_q(
     "knn_ivfpq_adc",
     "north-star: IVF-PQ — learned coarse-quantizer cells confine the "
@@ -758,35 +809,115 @@ def _knn_ivfpq(spark, t):
     compressed-domain scan that makes the residency math work at
     100 TB: cells prune the corpus, 32-bit codes prune the bytes.
 
-    Scale shape: candidate generation is an equi-join on the learned
-    cell key (partition-prunable, AQE-broadcastable) instead of
-    ``knn_pq_adc``'s hyperplane bucket; scoring joins only slim
-    (vec_id, sub, code) rows against the per-query 128-entry LUT and
-    folds exact BIGINT sums (map-side combinable).  No all-pairs
-    stage, no corpus-proportional broadcast.
+    Scale shape — the Faiss per-list scan, not a row-explosion join:
+    packed 32-bit codes cogroup with the queries of their (cell,
+    salt) group, and an Arrow-batched kernel builds each query's
+    [M x K] integer LUT once and gathers M codes per candidate —
+    the same arithmetic the previous form paid a candidate-pair
+    equi-join + per-(pair, sub) LUT join + aggregation for (measured
+    306 s cold at sf25, dominated by shuffling |q| x occupancy x M
+    slim rows through two joins and a window; the kernel scans the
+    same candidates at C speed).  Hot cells are salt-split
+    (IVFPQ_NSALT) so no task ever holds a whole skewed cell; the
+    final merge window ranks only the per-group top-k survivors.
 
-    Determinism: identical discipline to ``knn_pq_adc`` — integer
-    micro-unit LUT entries, exact BIGINT ranking, neighbor_id
-    tie-break; ``adc_dist2`` is one IEEE division for display.
+    Determinism: identical discipline to ``knn_pq_adc`` — the LUT
+    entries and candidate sums are the same exact int64 integers the
+    oracle folds as BIGINTs (|u|,|c| ≤ ~1.2e7 ⇒ every term ≤ ~4.6e15,
+    far inside int64), ranking is (s ASC, neighbor_id ASC) in-kernel
+    via threshold + lexsort and in the merge window; ``adc_dist2`` is
+    one IEEE division for display.
     """
+    import numpy as np
+
     from .similarity import ivf_cells
 
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    codes = _encode(vecs, cent)
+    rows = cent.collect()
+    C = np.zeros((M_SUB, K_CODES, DSUB), dtype=np.int64)
+    for r in rows:
+        C[r["sub"], r["code"]] = list(r["c"])
     cells = ivf_cells(spark, t)
+    corpus = (
+        _encode(vecs, cent, packed=True)
+        .join(cells, "vec_id")
+        .withColumn("salt", (F.col("vec_id") % IVFPQ_NSALT).cast("int"))
+    )
+    # rename the query side's join product (both sides read the SAME
+    # persisted ``cells`` frame — unqualified ``cell`` would be an
+    # ambiguous self-join reference).
+    q_cells = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
     qs = (
         vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .join(cells, "vec_id")
-        .select(F.col("vec_id").alias("query_id"), "u", "cell")
+        .select(F.col("vec_id").alias("query_id"), "u")
+        .join(q_cells, "query_id")
+        .select(
+            "query_id",
+            "u",
+            F.col("qcell").alias("cell"),
+            F.explode(
+                F.expr(f"sequence(0, {IVFPQ_NSALT - 1})")
+            ).alias("salt"),
+        )
     )
-    # only candidate generation differs from knn_pq_adc: the learned
-    # cell replaces the hyperplane bucket; LUT build, exact-BIGINT
-    # scoring and the ranking tail are the shared discipline.
-    cand = (
-        qs.select("query_id", "cell")
-        .join(cells, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+    def kernel(corpus_pdf, qs_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+            }
+        )
+        if len(corpus_pdf) == 0 or len(qs_pdf) == 0:
+            return empty
+        codes = np.stack(corpus_pdf["codes"].to_numpy()).astype(np.int64)
+        nid = corpus_pdf["vec_id"].to_numpy()
+        U = np.stack(qs_pdf["u"].to_numpy()).astype(np.int64)
+        qid = qs_pdf["query_id"].to_numpy()
+        nq, nc = len(U), len(nid)
+        Us = U.reshape(nq, M_SUB, DSUB)
+        diff = Us[:, :, None, :] - C[None, :, :, :]
+        lut = (diff * diff).sum(axis=3)  # (nq, M, K) exact int64
+        out_q, out_n, out_s = [], [], []
+        kth = min(TOP_K, nc - 1)
+        for lo in range(0, nq, 256):
+            hi = min(lo + 256, nq)
+            S = np.zeros((hi - lo, nc), dtype=np.int64)
+            for m in range(M_SUB):
+                S += lut[lo:hi, m][:, codes[:, m]]
+            for qi in range(lo, hi):
+                s = S[qi - lo]
+                # threshold to the k+1 smallest (slack for self), then
+                # exact (s, neighbor_id) lexsort of the small survivor
+                # set — ties at the boundary all survive the <= mask.
+                thresh = np.partition(s, kth)[kth]
+                mask = (s <= thresh) & (nid != qid[qi])
+                cand_ix = np.flatnonzero(mask)
+                order = cand_ix[np.lexsort((nid[cand_ix], s[cand_ix]))]
+                take = order[:TOP_K]
+                out_q.extend([qid[qi]] * len(take))
+                out_n.extend(nid[take])
+                out_s.extend(s[take])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "s": np.asarray(out_s, dtype=np.int64),
+            }
+        )
+
+    scored = (
+        corpus.groupby("cell", "salt")
+        .cogroup(qs.groupby("cell", "salt"))
+        .applyInPandas(kernel, "query_id long, neighbor_id long, s long")
     )
-    return _adc_topk(_adc_score(cand, codes, _query_lut(qs, cent)))
+    return _adc_topk(scored)

@@ -511,10 +511,21 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
             np.array([cv for _, cv in rows], dtype=np.float64) * 1e6 + 0.5
         )
         cn = np.sqrt((C * C).sum(axis=1))  # exact ints -> exact sqrt input
+        cmax = np.abs(C).max(initial=1.0)
         for pdf in batches:
             U = np.floor(
                 np.stack(pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
             )
+            # Exactness contract, enforced: every u·c product and every
+            # DIM-term partial sum must stay below 2^53 for the float64
+            # matmul to equal the oracle's BIGINT fold.  Fail loudly on
+            # a corpus that breaks the documented magnitude bound.
+            if np.abs(U).max(initial=0.0) * cmax * DIM >= 2.0**53:
+                raise ValueError(
+                    "assign_to_centroids: |u|*|c|*DIM exceeds the 2^53 "
+                    "exact-integer float64 headroom; assignment would "
+                    "diverge from the BIGINT oracle"
+                )
             best = np.full(len(U), -np.inf)
             best_ix = np.zeros(len(U), dtype=np.int64)
             for lo in range(0, len(keys), _ASSIGN_CHUNK):
