@@ -836,13 +836,21 @@ def _kmeans_lloyd(spark, t):
                 f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
             ).alias("cos_c"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos_c").desc(), F.col("c_cell").asc()
-        )
+        # argmax via a map-side-combinable min(struct(-cos, cell)) —
+        # the same (cos DESC, cell ASC) order the oracle's row_number
+        # window ranks by (negation is exact, struct comparison is the
+        # same double comparison), but partial aggregation collapses
+        # the N x #cells pair stream per partition instead of sorting
+        # it through a full window shuffle.
         assign = persist_tracked(
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("c_cell").alias("cell"))
+            pairs.groupBy("vec_id").agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cos_c")).alias("neg"),
+                        F.col("c_cell").alias("cell"),
+                    )
+                ).getField("cell").alias("cell")
+            )
         )
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
     return cent
