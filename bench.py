@@ -93,7 +93,11 @@ FLAGSHIPS = ("cancellation_pipeline_now", "cancellation_pipeline_past")
 #: dominated by fixed per-cycle machinery (streaming-query startup,
 #: checkpoint recovery), not data volume, so they are reported in their
 #: own section rather than polluting the batch noise-band totals.
-STREAMING_CYCLE_QUERIES = ("a3_stateful_two_cycle_poll",)
+#: Value = number of poll cycles the query executes, so the tail can
+#: also report ``per_cycle_sec`` — the figure comparable to the
+#: reference's 4 s per-cycle SLO (total/cycles still includes the
+#: amortized one-time stream startup, so it OVERSTATES steady state).
+STREAMING_CYCLE_QUERIES = {"a3_stateful_two_cycle_poll": 2}
 
 #: The driver keeps only the last 2000 chars of bench output and parses
 #: the final line; leave headroom so the closing summary keys plus the
@@ -179,6 +183,10 @@ def main() -> None:
         "queries_timed": len(timings),
         "full_detail": "BENCH_FULL.json",
         "streaming_cycle_overhead": streaming_overhead,
+        "per_cycle_sec": {
+            n: round(t / STREAMING_CYCLE_QUERIES[n], 3)
+            for n, t in streaming_overhead.items()
+        },
         "batch_total": round(total - sum(streaming_overhead.values()), 3),
         "flagship": flagship,
         "flagship_slo_sec": FLAGSHIP_SLO_SEC,

@@ -779,17 +779,37 @@ def _ivfpq_oracle() -> str:
     """
 
 
-#: salt width for the per-cell IVF-PQ scan: cell populations are
-#: corpus/√N (and skewed further by near-dup lattices), so a single
-#: grouped-map task per cell would concentrate a hot cell's whole
-#: member list in one task's memory.  Salting the MEMBER side
-#: ``vec_id % IVFPQ_NSALT`` splits every cell into NSALT bounded
-#: groups and replicates each query across them (the repo's
-#: deterministic salted-join pattern, ``events_segment_enrich_salted``);
-#: per-group top-k unions are merged by one final window over
-#: |queries| x NSALT x TOP_K slim rows — top-k is distributive over a
-#: partition of the candidate set, so the result is identical.
-IVFPQ_NSALT = 8
+#: member-count target per (cell, salt) kernel group for the IVF-PQ
+#: scan.  Cell populations are corpus/√N (skewed further by near-dup
+#: lattices), so a single grouped-map task per cell would concentrate
+#: a hot cell's whole member list in one task's memory once occupancy
+#: outgrows this bound.  Salting the MEMBER side ``vec_id % nsalt``
+#: splits every cell into bounded groups and replicates each query
+#: across them (the repo's deterministic salted-join pattern,
+#: ``events_segment_enrich_salted``); per-group top-k unions are
+#: merged by one final window over |queries| x nsalt x TOP_K slim
+#: rows — top-k is distributive over a partition of the candidate
+#: set, so the result is identical for ANY salt width.  The width is
+#: derived from the session-cached corpus count (occupancy / target,
+#: rounded up to a power of two, capped), so a small corpus pays no
+#: empty-group overhead and a 100 TB one never exceeds the per-task
+#: bound: N = 1e9 -> 4096 cells (IVF_MAX_BITS cap) -> 244k occupancy
+#: -> 64 salts -> ~3.8k members per group.
+IVFPQ_GROUP_TARGET = 4096
+IVFPQ_MAX_SALT = 64
+
+#: headroom multiplier for skewed cells: the width is sized for a cell
+#: holding IVFPQ_SKEW_ALLOWANCE x the mean occupancy (near-dup
+#: lattices concentrate mass), without paying a per-cell count job.
+IVFPQ_SKEW_ALLOWANCE = 16
+
+
+def _ivfpq_nsalt(n_corpus: int, ncells: int) -> int:
+    hot = max(1, n_corpus // max(1, ncells)) * IVFPQ_SKEW_ALLOWANCE
+    nsalt = 1
+    while hot / nsalt > IVFPQ_GROUP_TARGET and nsalt < IVFPQ_MAX_SALT:
+        nsalt *= 2
+    return nsalt
 
 
 @_q(
@@ -818,7 +838,7 @@ def _knn_ivfpq(spark, t):
     306 s cold at sf25, dominated by shuffling |q| x occupancy x M
     slim rows through two joins and a window; the kernel scans the
     same candidates at C speed).  Hot cells are salt-split
-    (IVFPQ_NSALT) so no task ever holds a whole skewed cell; the
+    (corpus-derived nsalt) so no task ever holds a whole skewed cell;
     final merge window ranks only the per-group top-k survivors.
 
     Determinism: identical discipline to ``knn_pq_adc`` — the LUT
@@ -830,7 +850,7 @@ def _knn_ivfpq(spark, t):
     """
     import numpy as np
 
-    from .similarity import ivf_cells
+    from .similarity import _ivf_ncells, corpus_count, ivf_cells
 
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
@@ -839,10 +859,13 @@ def _knn_ivfpq(spark, t):
     for r in rows:
         C[r["sub"], r["code"]] = list(r["c"])
     cells = ivf_cells(spark, t)
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
+    )
     corpus = (
         _encode(vecs, cent, packed=True)
         .join(cells, "vec_id")
-        .withColumn("salt", (F.col("vec_id") % IVFPQ_NSALT).cast("int"))
+        .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )
     # rename the query side's join product (both sides read the SAME
     # persisted ``cells`` frame — unqualified ``cell`` would be an
@@ -859,7 +882,7 @@ def _knn_ivfpq(spark, t):
             "u",
             F.col("qcell").alias("cell"),
             F.explode(
-                F.expr(f"sequence(0, {IVFPQ_NSALT - 1})")
+                F.expr(f"sequence(0, {nsalt - 1})")
             ).alias("salt"),
         )
     )
