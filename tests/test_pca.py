@@ -87,3 +87,65 @@ def test_pca_matches_reference_iteration_and_spectrum(spark):
     assert abs(float(np.linalg.norm(x)) - 1.0) < 1e-6
     assert float(x @ top) > 0.99, float(x @ top)
     assert abs(lam - w[-1]) / w[-1] < 0.005, (lam, w[-1])
+
+
+def test_moment_rollup_exact_past_int64(spark):
+    """The DECIMAL(38,0) moment rollup stays exact where a BIGINT sum
+    would silently wrap: synthetic micro-unit coordinates near the
+    per-row product bound push the C_jk partials past 2^63 within a
+    handful of rows.  Pins the rollup arithmetic against Python's
+    arbitrary-precision integers (no doubles anywhere)."""
+    from pyspark.sql import functions as F
+
+    # |u| = 2e9 (allowed: < _U_PRODUCT_BOUND ~ 3.037e9); per-row
+    # product 4e18 < 2^63-1 ~ 9.22e18, but 3 rows already wrap.
+    us = [
+        [2_000_000_000, -1_999_999_999],
+        [1_999_999_997, 1_999_999_993],
+        [-1_999_999_987, 1_999_999_983],
+        [1_999_999_979, -1_999_999_973],
+        [1_999_999_967, 1_999_999_961],
+    ]
+    exact = {
+        (j, k): sum(row[j] * row[k] for row in us)
+        for j in range(2)
+        for k in range(2)
+        if j <= k
+    }
+    assert any(abs(v) > 2**63 for v in exact.values()), "fixture too small"
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(us)], "vec_id int, u array<bigint>"
+    )
+    mom = (
+        df.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, 1), j ->"
+                    " transform(sequence(j, 1), k ->"
+                    " named_struct('j', j, 'k', k,"
+                    " 'p', element_at(u, j + 1) * element_at(u, k + 1)))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.j").alias("j"), F.col("e.k").alias("k"))
+        .agg(F.sum(F.col("e.p").cast("decimal(38,0)")).alias("c"))
+        .collect()
+    )
+    got = {(r["j"], r["k"]): int(r["c"]) for r in mom}
+    assert got == exact, (got, exact)
+
+
+def test_max_abs_u_guard_fails_loud(spark):
+    """Coordinates past the per-row product bound raise instead of
+    silently wrapping the BIGINT products (ADVICE r9 #2)."""
+    import pytest as _pytest
+
+    from transitdata_omm_cancellation_source_spark.operators import pca as _pca
+
+    emb = spark.createDataFrame(
+        [(0, [4000.0] * 64)], "vec_id int, embedding array<double>"
+    )
+    assert _pca.corpus_max_abs_u(spark, emb) == 4_000_000_000_000 // 1_000
+    t = {"embeddings": emb}
+    with _pytest.raises(ValueError, match="wrap BIGINT"):
+        _pca._pca_top_component(spark, t)

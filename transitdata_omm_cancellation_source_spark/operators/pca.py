@@ -14,10 +14,18 @@ repo's determinism discipline:
    ⇒ partitioning- and merge-order-independent; the covariance
    cov_jk = (C/N - (S_j/N)(S_k/N)) / 1e12 is then ONE fixed IEEE
    expression over identical integers, quantized ``round(.., 9)``
-   before anything downstream reads it.  BIGINT headroom: |v| < 1 ⇒
-   u² ≤ 1e12, so C_jk stays in range to ~9e6 vectors; beyond that the
-   standard remedy is a two-level DECIMAL(38) rollup (same note as
-   ``embedding_standardize``).
+   before anything downstream reads it.  HEADROOM: per-row products
+   stay BIGINT (guarded — see ``corpus_max_abs_u``), but the moment
+   SUMS roll up in DECIMAL(38,0) on the Spark side (internally the
+   compact-long fast path until a partial sum actually exceeds int64,
+   then promotion — the two-level rollup, inside the engine) and in
+   DuckDB's native HUGEINT on the oracle side, so the arithmetic is
+   exact to ~1e38 — no corpus-size ceiling.  Cross-engine parity of
+   the one final integer→DOUBLE cast is exact (both single-rounded)
+   for |C| < 2^64 ≈ 1.8e19, i.e. to ~18M unit-norm vectors at test
+   scales; past that the EXACT integer moments still agree and any
+   residual divergence is ≤1 ulp in DuckDB's hugeint→double cast (a
+   test-oracle artifact, not an engine error).
 2. POWER ITERATION VIA REPEATED SQUARING (bounded, on the 64×64
    matrix): instead of r matvec rounds, square the matrix
    PCA_SQUARINGS times — M_{l+1} = round(M_l·M_l / s_l, 12) with
@@ -101,9 +109,9 @@ def _pca_oracle() -> str:
         SELECT vec_id, CAST(j AS INTEGER) AS j, u[j + 1] AS uj
         FROM u, (SELECT unnest(range(0, {DIM})) AS j)
     ),
-    s AS MATERIALIZED (SELECT j, CAST(sum(uj) AS BIGINT) AS s FROM comp GROUP BY j),
+    s AS MATERIALIZED (SELECT j, CAST(sum(uj) AS HUGEINT) AS s FROM comp GROUP BY j),
     pairs AS MATERIALIZED (
-        SELECT a.j AS j, b.j AS k, CAST(sum(a.uj * b.uj) AS BIGINT) AS c
+        SELECT a.j AS j, b.j AS k, CAST(sum(a.uj * b.uj) AS HUGEINT) AS c
         FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.j <= b.j
         GROUP BY a.j, b.j
     ),
@@ -171,6 +179,40 @@ def _pca_oracle() -> str:
     """
 
 
+#: largest |u| whose per-row product u_j·u_k still fits BIGINT on both
+#: engines — floor(sqrt(2^63 - 1)).  The SUMS have DECIMAL(38)/HUGEINT
+#: headroom; the per-row product is the one term both dialects compute
+#: in BIGINT (Spark would wrap silently with ANSI off, DuckDB would
+#: error), so it gets the fail-loud guard.  |u| = 3e9 means a raw
+#: coordinate of ~3000 — unit-ish embeddings sit near 1e6.
+_U_PRODUCT_BOUND = 3_037_000_499
+
+#: cached per-(session, corpus-plan) max|u| — one cheap aggregate,
+#: the corpus_count caching discipline (similarity._COUNT_CACHE).
+_MAXU_CACHE: dict[tuple, int] = {}
+
+
+def corpus_max_abs_u(spark, emb) -> int:
+    """Exact max micro-unit coordinate magnitude over the corpus
+    (cached per session/plan) — bounds the per-row BIGINT products."""
+    from ..caching import artifact_cache_key, replace_plan_artifact
+
+    key = artifact_cache_key(spark, emb)
+    m = _MAXU_CACHE.get(key)
+    if m is None:
+        m = emb.select(
+            F.max(
+                F.expr(
+                    "array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                    f" x -> abs(CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT))))"
+                )
+            )
+        ).collect()[0][0]
+        m = int(m) if m is not None else 0
+        replace_plan_artifact(_MAXU_CACHE, key, m)
+    return m
+
+
 def _ordered_fold(pair_struct, init=0.0):
     """k-ordered left fold of ``struct(ord, t)`` rows — the shared
     deterministic-fold shape (collect, sort by the struct's first
@@ -192,19 +234,19 @@ def _ordered_fold(pair_struct, init=0.0):
 def _pca_top_component(spark, t):
     from .similarity import corpus_count
 
-    # Overflow guard (same failure class as PageRank's raise_error,
-    # graph.py): with ANSI off Spark silently wraps a BIGINT sum where
-    # DuckDB promotes to HUGEINT, so past the documented ~9e6-vector
-    # headroom (|v| < 1 ⇒ u_j·u_k ≤ 1e12 per row) the engines would
-    # diverge into wrong-but-plausible covariances.  Fail loudly until
-    # the DECIMAL(38) two-level rollup lands.  Uses the session-cached
-    # metadata count, so the check costs nothing after first use.
+    # The moment SUMS are exact to 1e38 (DECIMAL(38,0) rollup below);
+    # the one remaining BIGINT term is the per-row product u_j·u_k,
+    # which Spark would wrap silently with ANSI off where DuckDB
+    # errors.  Guard it on the corpus' actual max coordinate (one
+    # cheap cached aggregate — ADVICE r9: a count-only guard misses
+    # large-|v| corpora entirely).
     n_corpus = corpus_count(spark, t["embeddings"])
-    if n_corpus > 9_000_000:
+    max_u = corpus_max_abs_u(spark, t["embeddings"])
+    if max_u > _U_PRODUCT_BOUND:
         raise ValueError(
-            f"embedding_pca_top_component: {n_corpus} vectors exceeds "
-            "the ~9e6-vector BIGINT headroom of the C_jk moment sums; "
-            "needs the DECIMAL(38) rollup before running at this scale"
+            f"embedding_pca_top_component: max |u| = {max_u} exceeds "
+            f"{_U_PRODUCT_BOUND} — a per-row moment product would wrap "
+            "BIGINT; rescale the corpus or lower the micro-unit scale"
         )
     par = spark.sparkContext.defaultParallelism
     u = (
@@ -247,7 +289,13 @@ def _pca_top_component(spark, t):
             F.col("e.p").alias("p"),
         )
         .groupBy("j", "k")
-        .agg(F.sum("p").cast("bigint").alias("c"))
+        # DECIMAL(38,0) rollup: the per-row product is BIGINT (guarded
+        # above), the SUM accumulates in decimal — Spark's Decimal
+        # stays on its compact-long fast path until a partial sum
+        # actually exceeds int64, then promotes, i.e. the two-level
+        # BIGINT→wide rollup happens inside the engine.  DuckDB's
+        # side is its native HUGEINT sum.  Exact to ~1e38.
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("c"))
     )
     mom_rows = mom.collect()
     s_vals = {r["j"]: r["c"] for r in mom_rows if r["k"] == -1}
@@ -267,7 +315,7 @@ def _pca_top_component(spark, t):
             for j in range(DIM)
             for k in range(DIM)
         ],
-        "j int, k int, c bigint, sj bigint, sk bigint",
+        "j int, k int, c decimal(38,0), sj decimal(38,0), sk decimal(38,0)",
     )
     cov_rows = cov_in.select(
         "j",

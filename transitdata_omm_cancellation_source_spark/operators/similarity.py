@@ -836,20 +836,25 @@ def _kmeans_lloyd(spark, t):
                 f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
             ).alias("cos_c"),
         )
-        # argmax via a map-side-combinable min(struct(-cos, cell)) —
+        # argmax via a map-side-combinable max(struct(cos, -cell)) —
         # the same (cos DESC, cell ASC) order the oracle's row_number
-        # window ranks by (negation is exact, struct comparison is the
-        # same double comparison), but partial aggregation collapses
-        # the N x #cells pair stream per partition instead of sorting
-        # it through a full window shuffle.
+        # window ranks by, but partial aggregation collapses the
+        # N x #cells pair stream per partition instead of sorting it
+        # through a full window shuffle.  max (not min-of-negation):
+        # both engines' DESC ordering ranks NaN FIRST, and Spark's
+        # struct max also puts NaN first, whereas a negated min key
+        # would rank NaN last — so a 0/0 score (zero-norm centroid)
+        # keeps identical assignment semantics on both engines.  The
+        # negated SECOND field gives the cell-ASC tie-break (cells are
+        # integers; negation is exact).
         assign = persist_tracked(
             pairs.groupBy("vec_id").agg(
-                F.min(
+                (-F.max(
                     F.struct(
-                        (-F.col("cos_c")).alias("neg"),
-                        F.col("c_cell").alias("cell"),
+                        F.col("cos_c").alias("cos"),
+                        (-F.col("c_cell")).alias("nc"),
                     )
-                ).getField("cell").alias("cell")
+                ).getField("nc")).alias("cell")
             )
         )
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
