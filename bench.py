@@ -97,7 +97,18 @@ FLAGSHIPS = ("cancellation_pipeline_now", "cancellation_pipeline_past")
 #: also report ``per_cycle_sec`` — the figure comparable to the
 #: reference's 4 s per-cycle SLO (total/cycles still includes the
 #: amortized one-time stream startup, so it OVERSTATES steady state).
+#: Pinned against the query's own constant below so a cycle-count
+#: change in the builder can't silently mislabel ``per_cycle_sec``.
 STREAMING_CYCLE_QUERIES = {"a3_stateful_two_cycle_poll": 2}
+
+from transitdata_omm_cancellation_source_spark.plans.lifecycle_queries import (  # noqa: E402
+    TWO_CYCLE_POLL_CYCLES,
+)
+
+assert STREAMING_CYCLE_QUERIES["a3_stateful_two_cycle_poll"] == TWO_CYCLE_POLL_CYCLES, (
+    "bench per_cycle_sec divisor out of sync with the poll query's "
+    f"cycle count ({TWO_CYCLE_POLL_CYCLES})"
+)
 
 #: The driver keeps only the last 2000 chars of bench output and parses
 #: the final line; leave headroom so the closing summary keys plus the

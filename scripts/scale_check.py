@@ -7,8 +7,15 @@ whose work grows faster than the data — the thing that kills a 100 TB
 run.  Best-of-2 per (query, sf) like bench.py; tracked persists and the
 SQL cache are released between passes so each pass pays its own work.
 
-Usage: python scripts/scale_check.py [--passes N]
-Writes a markdown table to stdout (paste into SURVEY §8).
+Usage:
+    python scripts/scale_check.py [--passes N] [--small DIR] [--big DIR]
+        [--queries a,b,c]          # two-scale §8 table (the default)
+    python scripts/scale_check.py --only DIR [--queries a,b,c] [--passes N]
+        # single-scale per-query best-of-N (the former time_queries.py,
+        # folded in so every §8 number comes from ONE harness)
+
+Writes a markdown table to stdout (paste into SURVEY §8).  All flags
+accept the space-separated form (``--passes 3``).
 """
 
 from __future__ import annotations
@@ -72,6 +79,7 @@ def _materialize(df) -> None:
 def main() -> None:
     global SF_SMALL, SF_BIG, QUERIES
     passes = 2
+    only = None
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
     # second-decade runs: --small .scale/sf1 --big .scale/sf5
@@ -79,13 +87,16 @@ def main() -> None:
         SF_SMALL = sys.argv[sys.argv.index("--small") + 1]
     if "--big" in sys.argv:
         SF_BIG = sys.argv[sys.argv.index("--big") + 1]
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     if "--queries" in sys.argv:
         QUERIES = sys.argv[sys.argv.index("--queries") + 1].split(",")
     spark = get_spark(app_name="transitdata-omm-scale-check")
     specs = registry.REGISTRY
 
+    sf_dirs = (only,) if only else (SF_SMALL, SF_BIG)
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
-    for sf_dir in (SF_SMALL, SF_BIG):
+    for sf_dir in sf_dirs:
         tables = load_tables(spark, sf_dir)
         for name in ("lineitem", "documents", "embeddings"):
             tables[name].count()
@@ -104,6 +115,13 @@ def main() -> None:
         release_tracked()
         spark.catalog.clearCache()
 
+    if only:
+        print(f"\n| query | {only} (s) |")
+        print("|---|---|")
+        for q in QUERIES:
+            print(f"| {q} | {results[q][only]:.2f} |")
+        print(f"| **total** | {sum(r[only] for r in results.values()):.2f} |")
+        return
     print(f"\n| query | {SF_SMALL} (s) | {SF_BIG} (s) | ratio |")
     print("|---|---|---|---|")
     for q in QUERIES:

@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+#: Artifact caches holding PERSISTED DataFrame objects (not bounded
+#: local relations like the trained-centroid/codebook caches) — their
+#: entries go stale the moment release_tracked unpersists the data, so
+#: registering them here keeps "release" one call with no dangling
+#: unpersisted frame objects handed out afterwards.
+_ARTIFACT_FRAME_CACHES: list[dict] = []
+
+
+def register_artifact_frame_cache(cache: dict) -> dict:
+    """Register a dict of persisted-DataFrame artifacts for clearing by
+    release_tracked; returns the dict for inline module-level use."""
+    _ARTIFACT_FRAME_CACHES.append(cache)
+    return cache
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """persist() + record the frame for a later bulk release."""
@@ -34,6 +48,8 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 def release_tracked() -> int:
     """Unpersist every tracked frame (idempotent); returns the count."""
     n = 0
+    for cache in _ARTIFACT_FRAME_CACHES:
+        cache.clear()
     while _TRACKED:
         df = _TRACKED.pop()
         try:

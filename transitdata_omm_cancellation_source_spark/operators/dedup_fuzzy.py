@@ -33,10 +33,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
-from ..functions import text as X
+#: embedding-cosine near-dup threshold — defined BEFORE the registry
+#: import: semdedup.py imports it from here, and the registry import
+#: below re-enters this module through plans.queries' registration
+#: imports, so a later definition would break `import dedup_fuzzy` as
+#: the first module in a fresh interpreter (circular-import partial
+#: initialization).
+_COSINE_TAU = 0.98
+
+from ..caching import (  # noqa: E402
+    artifact_cache_key,
+    persist_tracked,
+    register_artifact_frame_cache,
+    replace_plan_artifact,
+)
+from ..functions import text as X  # noqa: E402
 from ..observability import get_json_logger
 from ..plans.queries import registered_query as _q
+
+#: Session-artifact cache for the family's shared PERSISTED frames
+#: (word hashes, shingle sets, banded candidates, verified pairs) —
+#: the ivf_quantizer/_shared_codebook discipline applied to frames.
+#: Sharing the built DataFrame OBJECT matters as much as sharing the
+#: cached data: re-CONSTRUCTING the 64-minhash/band plan per consumer
+#: measured ~1.7 s of driver-side work (py4j column building +
+#: Catalyst analysis) with the data fully cached.  Keyed content-
+#: sensitively on the documents table; registered so release_tracked
+#: clears it together with the persisted data it points to.
+_FRAME_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
+
+
+def _family_frame(name: str, t, build):
+    """Build-once, serve-per-session for the family's shared frames."""
+    spark = t["documents"].sparkSession
+    key = (name, *artifact_cache_key(spark, t["documents"]))
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = persist_tracked(build())
+        replace_plan_artifact(_FRAME_CACHE, key, df)
+    return df
 
 P = X.HASH_MOD
 
@@ -123,6 +158,16 @@ _HOT_SHINGLE_MASS_FRACTION = 2e-4
 _HOT_SHINGLE_LIMIT = int(1 / _HOT_SHINGLE_MASS_FRACTION)
 
 
+#: deterministic hot-shingle estimation sample: doc_id % MOD == 0.
+#: SAFE TO SAMPLE: the PPJoin prefix lemma holds for ANY total order
+#: common to all docs, so the hot set only shapes the order (a skew /
+#: performance heuristic) — recall and results are exact regardless of
+#: which shingles land in it.  Stopword n-grams are corpus-wide by
+#: nature, so a 1/8 deterministic sample ranks the same heavy hitters
+#: at 1/8 the aggregation cost.
+_HOT_SAMPLE_MOD = 8
+
+
 def _hot_shingles(sh: DataFrame) -> list[int]:
     """Heavy-hitter shingles, collected under an explicit driver bound.
 
@@ -132,24 +177,27 @@ def _hot_shingles(sh: DataFrame) -> list[int]:
     argument in a comment, so the collect can never return more than
     ``_HOT_SHINGLE_LIMIT`` rows regardless of corpus size.
 
-    One pass over the shingle sets: the document-frequency aggregation
-    is the only scan of ``sh`` — total shingle mass is its marginal
-    (``Σ_shingles df == Σ_docs |shingles|``), read off the persisted
-    frequency frame instead of a separate pre-pass.  The frequency
-    frame is distinct-shingle-sized (the same scale the inverted-index
-    join already shuffles) and is released with the other tracked
-    frames.  The hot set is ordered (df DESC, shingle) before the
-    limit, so even a limit that fired (impossible by pigeonhole) would
-    keep the HOTTEST shingles and stay deterministic, never
+    Runs on the deterministic ``doc_id % _HOT_SAMPLE_MOD`` sample (see
+    the lemma note above — exactness does not depend on the hot set).
+    Total sample shingle mass is the marginal of the sample's
+    document-frequency aggregation (``Σ_shingles df == Σ_docs
+    |shingles|``), so it is read off the CACHED shingle sets as one
+    cheap sum of array sizes — no shingle explode, no groupBy — and
+    the df aggregation runs exactly once, inside the single top-k
+    collect (it needs ``cap``, hence the mass, as its filter bound).
+    The hot set is ordered (df DESC, shingle) before the limit, so
+    even a limit that fired (impossible by pigeonhole) would keep the
+    HOTTEST shingles and stay deterministic, never
     partition-order-dependent.
     """
-    freq = persist_tracked(
-        sh.select(F.explode("shingles").alias("shingle"))
+    sample = sh.filter(F.col("doc_id") % _HOT_SAMPLE_MOD == 0)
+    total_mass = sample.agg(F.sum(F.size("shingles"))).first()[0] or 0
+    cap = max(1000 // _HOT_SAMPLE_MOD, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
+    freq = (
+        sample.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    total_mass = freq.agg(F.sum("df")).first()[0] or 0
-    cap = max(1000, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
     hot = [
         r[0]
         for r in freq.filter(F.col("df") > cap)
@@ -198,15 +246,7 @@ def _ngram_jaccard(spark, t):
     # verification (array_intersect on the full sets) discards false
     # positives, so the result set is identical to the oracle's full
     # inverted-index join.
-    corpus = planted_corpus(t["documents"])
-    sh = (
-        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
-        .select(
-            "doc_id",
-            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
-        )
-    )
-    sh = persist_tracked(sh)
+    sh = _minhash_shingles(t)
     hot = _hot_shingles(sh)
     if hot:
         hot_lit = F.lit(sorted(hot))
@@ -272,52 +312,98 @@ _BANDS_D = (
 )
 
 
-def _minhash_shingles(t) -> DataFrame:
-    """Persisted sorted shingle sets of the planted corpus.
+def _word_hash_frame(t) -> DataFrame:
+    """Persisted per-doc word-hash arrays of the planted corpus — the
+    ONE tokenize-and-hash pass the whole fuzzy-dedup family derives
+    from (shingle sets for jaccard/minhash/edit, the SimHash token
+    stream); served as a shared session artifact so a workload running
+    several dedup variants hashes the corpus text exactly once."""
+    return _family_frame(
+        "word_hashes",
+        t,
+        lambda: planted_corpus(t["documents"]).select(
+            "doc_id", X.word_hashes("text").alias("wh")
+        ),
+    )
 
-    array_sort: min/intersect are order-insensitive, but sorting makes
-    this plan byte-identical to the jaccard query's persisted shingle
-    set, so a workload running both computes shingles once."""
-    corpus = planted_corpus(t["documents"])
-    return persist_tracked(
-        corpus.select("doc_id", X.word_hashes("text").alias("wh"))
-        .select(
+
+def _minhash_shingles(t) -> DataFrame:
+    """Persisted sorted shingle sets of the planted corpus (shared
+    session artifact; min/intersect are order-insensitive, but sorting
+    gives every consumer one canonical form)."""
+    return _family_frame(
+        "shingle_sets",
+        t,
+        lambda: _word_hash_frame(t).select(
             "doc_id",
             F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
-        )
+        ),
     )
 
 
-def _band_candidates(sh: DataFrame) -> DataFrame:
-    """LSH-banded candidate pairs (doc_a < doc_b) from shingle sets.
+def _band_candidates(t) -> DataFrame:
+    """LSH-banded candidate pairs (doc_a < doc_b) from shingle sets —
+    a shared session artifact.
 
-    Scale-first formulation: the naive shape (a 64-lambda higher-order
-    transform per row, recomputed on both sides of the band self-join)
-    is interpreted per-element and quadratically wasteful.  Instead:
-    explode shingles ONCE, compute the 64 min-hashes as plain codegen'd
-    min() aggregates (one shuffle on doc_id), fold band keys as flat
-    column arithmetic.  Same math as functions.text.minhash_signature/
-    band_keys (oracles unchanged); docs with zero shingles drop out of
-    the groupBy, which is equivalent to the sentinel path (their pairs
-    never verify).  Shared by the Jaccard-verified and edit-distance-
-    verified dedup queries — identical subtree, one cached compute."""
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = inv.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(2 * i + 1) * F.col("s") + F.lit(i * i + 1)) % P).alias(f"m{i}")
-            for i in range(_NUM_HASHES)
-        ]
-    )
+    Scale-first formulation: the 64 min-hashes and 16 band keys are
+    computed MAP-SIDE by an Arrow-batched kernel over the cached
+    shingle sets (the assign_to_centroids playbook) — pure int64
+    arithmetic mirroring functions.text.minhash_signature/band_keys
+    exactly ((2i+1)·s + i²+1 mod P is < 2^48, the band fold's
+    acc·1000003 + m < 2^52, so nothing wraps), with np.minimum.reduceat
+    folding each doc's segment.  That removes both the corpus-shingle
+    explode + 64-aggregate shuffle of the previous SQL form and its
+    ~1.7 s of per-consumer driver-side plan construction; the only
+    shuffle left is the band-key self-join, which is the operator's
+    irreducible candidate-generation step.  Docs with zero shingles
+    are skipped exactly as they dropped out of the groupBy (their
+    pairs never verify).  Oracles are unchanged — values identical.
+    Shared by the Jaccard-verified and edit-distance-verified dedup
+    queries — one built frame, one cached compute."""
+    return _family_frame("band_candidates", t, lambda: _build_band_candidates(t))
 
-    def band_key(b: int):
-        acc = F.lit(b).cast("long")
-        for r in range(_ROWS):
-            acc = (acc * 1000003 + F.col(f"m{b * _ROWS + r}")) % P
-        return acc
 
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[band_key(b) for b in range(_BANDS)])).alias("band_key"),
+def _build_band_candidates(t) -> DataFrame:
+    sh = _minhash_shingles(t)
+    spark = sh.sparkSession
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        mult = 2 * np.arange(_NUM_HASHES, dtype=np.int64) + 1
+        add = np.arange(_NUM_HASHES, dtype=np.int64) ** 2 + 1
+        for pdf in batches:
+            sets = [np.asarray(s, dtype=np.int64) for s in pdf["shingles"]]
+            keep = [i for i, s in enumerate(sets) if s.size]
+            if not keep:
+                continue
+            lens = np.array([sets[i].size for i in keep], dtype=np.int64)
+            flat = np.concatenate([sets[i] for i in keep])
+            offsets = np.zeros(len(keep), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sig = np.empty((len(keep), _NUM_HASHES), dtype=np.int64)
+            for i in range(_NUM_HASHES):
+                sig[:, i] = np.minimum.reduceat(
+                    (mult[i] * flat + add[i]) % P, offsets
+                )
+            bk = np.empty((len(keep), _BANDS), dtype=np.int64)
+            for b in range(_BANDS):
+                acc = np.full(len(keep), b, dtype=np.int64)
+                for r in range(_ROWS):
+                    acc = (acc * 1000003 + sig[:, b * _ROWS + r]) % P
+                bk[:, b] = acc
+            ids = pdf["doc_id"].to_numpy()[keep]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, _BANDS),
+                    "band_key": bk.reshape(-1),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    bands = sh.repartition(par, "doc_id").mapInPandas(
+        kernel, "doc_id long, band_key long"
     )
     return (
         bands.alias("a")
@@ -359,22 +445,26 @@ def _band_candidates(sh: DataFrame) -> DataFrame:
     """,
 )
 def _minhash_lsh(spark, t):
-    sh = _minhash_shingles(t)
-    cand = _band_candidates(sh)
-    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
-    jac = inter / (
-        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
-    )
     # The verified-pairs frame is tiny (near-dup pairs only) and is the
-    # exact subtree _cluster_canonical re-derives; persisting it lets a
-    # workload running both queries generate candidates once — the same
-    # cross-query cache sharing the sorted shingle sets already get.
-    return persist_tracked(
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= _JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    # exact frame _cluster_canonical consumes; serving it as a session
+    # artifact means a workload running both queries verifies once.
+    def build():
+        sh = _minhash_shingles(t)
+        cand = _band_candidates(t)
+        inter = F.size(
+            F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+        )
+        jac = inter / (
+            F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+        )
+        return (
+            cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+            .filter(jac >= _JACCARD_TAU)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+
+    return _family_frame("minhash_verified_pairs", t, build)
 
 
 # --- edit-distance verification on the LSH candidates -----------------------
@@ -426,7 +516,7 @@ def _edit_distance(spark, t):
     # {_ED_PREFIX}-char prefixes so per-pair verify cost is a constant,
     # never corpus- or document-length-proportional.
     corpus = planted_corpus(t["documents"])
-    cand = _band_candidates(_minhash_shingles(t))
+    cand = _band_candidates(t)
     pa, pb = (
         F.substring(F.col("ca.text"), 1, _ED_PREFIX),
         F.substring(F.col("cb.text"), 1, _ED_PREFIX),
@@ -503,37 +593,54 @@ _SIMHASH_SH_D = f"""
     """,
 )
 def _simhash(spark, t):
-    # Same restructuring as minhash: the one-expression simhash64 is a
-    # 3-level interpreted lambda per doc; instead explode tokens once,
-    # hash each token in a single flat pass, then compute the 62 bit
-    # votes as plain codegen'd sum(CASE ...) aggregates (one shuffle on
-    # doc_id) and assemble the fingerprint with literal-power arithmetic.
-    # Identical math to functions.text.simhash64 / the oracle's
-    # relational form; zero-token docs drop out of the groupBy exactly
-    # as they vanish from the oracle's unnest.
-    corpus = planted_corpus(t["documents"])
-    toks = corpus.select("doc_id", F.explode(X.words("text")).alias("tok"))
-    h = F.expr(
-        f"aggregate(split(tok, ''), CAST(0 AS BIGINT),"
-        f" (acc, x) -> (acc * 31 + ascii(x)) % {P})"
-    )
-    wide = toks.withColumn("h", h).select(
-        "doc_id", (F.col("h") + (F.col("h") * 2654435761 % P) * P).alias("w")
-    )
-    votes = wide.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(w div {1 << j}) % 2 = 1"), 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(62)
-        ]
-    )
-    sh64 = None
-    for j in range(62):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sh64 = term if sh64 is None else sh64 + term
+    # Arrow-batched fingerprint kernel over the family's shared
+    # persisted word-hash frame (the r8 mapInPandas playbook —
+    # assign_to_centroids / pq._encode): per doc, widen each token
+    # hash w = h + (h * 2654435761 % P) * P (pure int64 arithmetic,
+    # |w| < P² < 2^62 so nothing wraps), take the ±1 vote per bit as
+    # 2*ones - n_tokens, and assemble sh64 = Σ 2^j [votes_j > 0].
+    # Everything is exact integer math on int64 — sums are associative
+    # so the kernel is partition- and order-independent, and the values
+    # are identical to the oracle's relational unnest + sum(CASE) form
+    # (and to the 62-aggregate groupBy this replaces, which shuffled a
+    # corpus-token-sized explode and evaluated 62 CASEs per token).
+    # Zero-token docs are skipped exactly as they vanish from the
+    # oracle's unnest.  Bit votes fold column-wise (62 passes over the
+    # flat token array, np.add.reduceat per doc segment) so peak memory
+    # is one int64 array of the batch's tokens, never tokens x 62.
+    whf = _word_hash_frame(t)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            wh_list = [np.asarray(w, dtype=np.int64) for w in pdf["wh"]]
+            keep = [i for i, w in enumerate(wh_list) if w.size]
+            if not keep:
+                continue
+            lens = np.array([wh_list[i].size for i in keep], dtype=np.int64)
+            flat = np.concatenate([wh_list[i] for i in keep])
+            wide = flat + (flat * 2654435761 % P) * P
+            offsets = np.zeros(len(keep), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sh64 = np.zeros(len(keep), dtype=np.int64)
+            for j in range(62):
+                ones = np.add.reduceat((wide >> j) & 1, offsets)
+                votes = 2 * ones - lens
+                sh64 += (votes > 0).astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "sh64": sh64,
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
     sh = persist_tracked(
-        votes.select("doc_id", sh64.cast("long").alias("sh64"))
+        whf.repartition(par, "doc_id").mapInPandas(
+            kernel, "doc_id long, sh64 long"
+        )
     )
     chunks = sh.select(
         "doc_id",
@@ -566,8 +673,6 @@ def _simhash(spark, t):
 
 
 # --- embedding cosine near-dup ----------------------------------------------
-
-_COSINE_TAU = 0.98
 
 _DOT_D = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE),"

@@ -55,11 +55,18 @@ register(
 )
 
 
+#: poll cycles the stateful query executes — the single source of
+#: truth for bench.py's ``per_cycle_sec`` figure (bench asserts its
+#: cycle count against this, so a change here can't silently mislabel
+#: the per-cycle SLO comparison).
+TWO_CYCLE_POLL_CYCLES = 2
+
+
 def _build_two_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     store = SnapshotStore(tempfile.mkdtemp(prefix="omm_snapshot_"))
     rows = []
-    for cycle in (1, 2):
+    for cycle in range(1, TWO_CYCLE_POLL_CYCLES + 1):
         counts = run_poll_cycle(spark, store, QueryParams(mode="NOW"))
         rows.append((cycle, counts["total"], counts["new"], counts["repeated"]))
     return spark.createDataFrame(
