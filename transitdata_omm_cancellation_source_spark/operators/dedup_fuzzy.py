@@ -66,7 +66,11 @@ _FRAME_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
 def _family_frame(name: str, t, build):
     """Build-once, serve-per-session for the family's shared frames."""
     spark = t["documents"].sparkSession
-    key = (name, *artifact_cache_key(spark, t["documents"]))
+    app_id, plan_hash, files = artifact_cache_key(spark, t["documents"])
+    # key[:2] is replace_plan_artifact's eviction scope — fold the
+    # artifact name INTO the first element so a rewrite evicts only
+    # THIS artifact for THIS plan, never a different corpus' frames.
+    key = ((name, app_id), plan_hash, files)
     df = _FRAME_CACHE.get(key)
     if df is None:
         df = persist_tracked(build())
