@@ -57,7 +57,7 @@ def test_short_docs_flow_through_dedup_family(spark):
     for fn, name, expect_pair in [
         (_ngram_jaccard, "dedup_ngram_jaccard", True),
         (_minhash_lsh, "dedup_minhash_lsh", True),
-        # simhash over 7-token docs legitimately lands above hamming 7
+        # simhash over 7-token docs legitimately lands above hamming 3
         # for a 1-word edit — parity (both engines empty) is the check.
         (_simhash, "dedup_simhash", False),
     ]:

@@ -9,8 +9,10 @@ large-corpus dedup technique:
                 shingle are never materialized
 - MinHash+LSH:  signature -> banded bucket join -> exact verification;
                 candidate generation is O(n·bands) — the 100 TB path
-- SimHash:      62-bit fingerprint, 8-chunk pigeonhole blocking (exact
-                recall for hamming <= 7), bit_count(xor) verification
+- SimHash:      62-bit fingerprint, 4-chunk pigeonhole blocking (exact
+                recall for hamming <= 3 — the Manku et al. WWW'07
+                production parameterization; 16-bit chunk keys keep
+                bucket occupancy ~N/65536), bit_count(xor) verification
 - embedding:    cosine near-dup within label blocks (blocked join, not
                 a cross join)
 
@@ -547,7 +549,27 @@ def _edit_distance(spark, t):
 
 # --- SimHash ----------------------------------------------------------------
 
-_HAMMING_MAX = 7  # < 8 chunks => pigeonhole: blocking has exact recall
+#: SimHash near-dup threshold + blocking, the production web-scale
+#: parameterization (Manku/Jain/Sarma, WWW'07 "Detecting Near-
+#: Duplicates for Web Crawling" — public method: 64-bit fingerprints,
+#: hamming <= 3, key tables of ~16 bits): hamming <= _HAMMING_MAX with
+#: _N_CHUNKS = _HAMMING_MAX + 1 equality-blocked chunks has EXACT
+#: recall by pigeonhole, and 62/4 ≈ 16-bit chunk keys give 2^16
+#: buckets per chunk, so bucket occupancy — and with it the Σocc²
+#: candidate mass — scales as N/65536.  The previous ham<=7 / 8-chunk
+#: form had only 2^8 buckets per chunk (the widest key 8 exact-recall
+#: chunks of 62 bits allow): fine to ~100k docs, but at the sf25
+#: corpus (1.4M docs) the chunk self-join exploded to ~3e10 candidate
+#: pairs — the same fixed-width-quantizer disease the r8 sqrt(N) LSH
+#: rework fixed, except ham<=7 admits NO wider exact blocking on 62
+#: bits (b blocks / t-block keys need b - 7 >= t, and every feasible
+#: (b, t) stays under 14-bit keys at exponentially many tables).  At
+#: corpora where N/2^16 occupancy itself becomes the bottleneck, the
+#: published path is a LONGER fingerprint (e.g. 2 x 62 bits -> 8
+#: chunks of 15.5 bits at ham<=7), not more buckets per bit.
+_HAMMING_MAX = 3
+_N_CHUNKS = _HAMMING_MAX + 1  # pigeonhole: blocking has exact recall
+_CHUNK_BITS = 16  # 62 bits / 4 chunks (top chunk carries 14)
 
 _TOKHASH_D = (
     f"list_transform({_WORDS}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
@@ -583,8 +605,10 @@ _SIMHASH_SH_D = f"""
     WITH corpus AS ({_CORPUS_D}),
     {_SIMHASH_SH_D},
     chunks AS (
-        SELECT doc_id, sh64, c, (sh64 // CAST(pow(2, 8 * c) AS BIGINT)) % 256 AS chunk_key
-        FROM sh, (SELECT unnest(range(0, 8)) AS c)
+        SELECT doc_id, sh64, c,
+               (sh64 // CAST(pow(2, {_CHUNK_BITS} * c) AS BIGINT))
+                   % {1 << _CHUNK_BITS} AS chunk_key
+        FROM sh, (SELECT unnest(range(0, {_N_CHUNKS})) AS c)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -649,10 +673,13 @@ def _simhash(spark, t):
     chunks = sh.select(
         "doc_id",
         "sh64",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_CHUNKS - 1))).alias("c"),
     ).withColumn(
         "chunk_key",
-        F.expr("(sh64 div CAST(pow(2, 8 * c) AS BIGINT)) % 256"),
+        F.expr(
+            f"(sh64 div CAST(pow(2, {_CHUNK_BITS} * c) AS BIGINT))"
+            f" % {1 << _CHUNK_BITS}"
+        ),
     )
     cand = (
         chunks.alias("a")
