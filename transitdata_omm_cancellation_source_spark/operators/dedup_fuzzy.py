@@ -9,10 +9,10 @@ large-corpus dedup technique:
                 shingle are never materialized
 - MinHash+LSH:  signature -> banded bucket join -> exact verification;
                 candidate generation is O(n·bands) — the 100 TB path
-- SimHash:      62-bit fingerprint, 4-chunk pigeonhole blocking (exact
-                recall for hamming <= 3 — the Manku et al. WWW'07
-                production parameterization; 16-bit chunk keys keep
-                bucket occupancy ~N/65536), bit_count(xor) verification
+- SimHash:      62-bit fingerprint, corpus-tiered Manku block-choice
+                tables (C(b,3) tables keyed on b-3 kept blocks: exact
+                recall for hamming <= 3 with key width ~log2(N)),
+                bit_count(xor) verification
 - embedding:    cosine near-dup within label blocks (blocked join, not
                 a cross join)
 
@@ -551,25 +551,51 @@ def _edit_distance(spark, t):
 
 #: SimHash near-dup threshold + blocking, the production web-scale
 #: parameterization (Manku/Jain/Sarma, WWW'07 "Detecting Near-
-#: Duplicates for Web Crawling" — public method: 64-bit fingerprints,
-#: hamming <= 3, key tables of ~16 bits): hamming <= _HAMMING_MAX with
-#: _N_CHUNKS = _HAMMING_MAX + 1 equality-blocked chunks has EXACT
-#: recall by pigeonhole, and 62/4 ≈ 16-bit chunk keys give 2^16
-#: buckets per chunk, so bucket occupancy — and with it the Σocc²
-#: candidate mass — scales as N/65536.  The previous ham<=7 / 8-chunk
-#: form had only 2^8 buckets per chunk (the widest key 8 exact-recall
-#: chunks of 62 bits allow): fine to ~100k docs, but at the sf25
-#: corpus (1.4M docs) the chunk self-join exploded to ~3e10 candidate
-#: pairs — the same fixed-width-quantizer disease the r8 sqrt(N) LSH
-#: rework fixed, except ham<=7 admits NO wider exact blocking on 62
-#: bits (b blocks / t-block keys need b - 7 >= t, and every feasible
-#: (b, t) stays under 14-bit keys at exponentially many tables).  At
-#: corpora where N/2^16 occupancy itself becomes the bottleneck, the
-#: published path is a LONGER fingerprint (e.g. 2 x 62 bits -> 8
-#: chunks of 15.5 bits at ham<=7), not more buckets per bit.
+#: Duplicates for Web Crawling"): hamming <= 3 on ~64-bit
+#: fingerprints, with the paper's block-permutation tables expressed
+#: relationally.  Split the 62 bits into b blocks; any pair within
+#: hamming 3 differs in at most 3 blocks, so it agrees EXACTLY (by
+#: pigeonhole) on some choice of b-3 blocks — one equality-join table
+#: per C(b,3) choice of "blocks allowed to differ", keyed on the
+#: CONCATENATION of the b-3 kept blocks, gives exact recall.  Key
+#: width is 62·(b-3)/b bits, so b trades table count (C(b,3)) against
+#: buckets per table (2^key_bits); candidate mass is
+#: C(b,3) · N² / 2^key_bits, so the key must cover ~log2(N) bits for
+#: the self-join to stay linear in N.  A FIXED b is therefore another
+#: fixed-width quantizer (the disease the r8 sqrt(N) LSH rework
+#: fixed): b=4's 15.5-bit keys were measured super-linear at the sf25
+#: corpus (1.4M docs: 4 · N²/2^16 ≈ 6e7 candidate pairs, 18x wall
+#: clock for 5x data).  So b is tiered from the cached corpus count —
+#: exactly Manku's Table 1 tradeoff, picked at plan-build time:
+#:   b=4:  4 tables, ~15-bit keys  (N up to ~2^15)
+#:   b=5: 10 tables, ~24-bit keys  (N up to ~2^24)
+#:   b=6: 20 tables, ~31-bit keys  (N up to ~2^31)
+#:   b=7: 35 tables, ~35-bit keys  (beyond)
+#: Blocking choice NEVER changes the output (exact recall + exact
+#: bit_count verification), so the DuckDB oracle keeps the simplest
+#: exact-recall form (b=4) at any scale.
 _HAMMING_MAX = 3
-_N_CHUNKS = _HAMMING_MAX + 1  # pigeonhole: blocking has exact recall
-_CHUNK_BITS = 16  # 62 bits / 4 chunks (top chunk carries 14)
+
+
+def _simhash_blocking(n_docs: int) -> list[list[tuple[int, int]]]:
+    """Per-table kept-block (offset, width) lists for corpus size N.
+
+    Picks the smallest b in 4..7 whose kept-key width covers log2(N)
+    (occupancy <= 1 per bucket), then enumerates the C(b,3) tables.
+    """
+    from itertools import combinations
+
+    b = next(
+        (bb for bb in (4, 5, 6) if (1 << (62 * (bb - 3) // bb)) >= n_docs),
+        7,
+    )
+    w, r = divmod(62, b)
+    widths = [w + (1 if i < r else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    return [
+        [(offs[j], widths[j]) for j in range(b) if j not in diff]
+        for diff in combinations(range(b), _HAMMING_MAX)
+    ]
 
 _TOKHASH_D = (
     f"list_transform({_WORDS}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
@@ -604,11 +630,12 @@ _SIMHASH_SH_D = f"""
     f"""
     WITH corpus AS ({_CORPUS_D}),
     {_SIMHASH_SH_D},
+    -- b=4 single-block keys: exact recall for hamming <= 3, so the
+    -- oracle's output is identical to ANY _simhash_blocking tier.
     chunks AS (
         SELECT doc_id, sh64, c,
-               (sh64 // CAST(pow(2, {_CHUNK_BITS} * c) AS BIGINT))
-                   % {1 << _CHUNK_BITS} AS chunk_key
-        FROM sh, (SELECT unnest(range(0, {_N_CHUNKS})) AS c)
+               (sh64 // CAST(pow(2, 16 * c) AS BIGINT)) % 65536 AS chunk_key
+        FROM sh, (SELECT unnest(range(0, 4)) AS c)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -670,17 +697,30 @@ def _simhash(spark, t):
             kernel, "doc_id long, sh64 long"
         )
     )
+    # Corpus-tiered Manku tables (see _simhash_blocking): table c keys
+    # on its kept blocks packed 16 bits apart (block width <= 16, kept
+    # count <= 4, so the packed key stays under 2^62 — pure codegen bit
+    # arithmetic on the fingerprint, no extra shuffle before the join).
+    from .similarity import corpus_count
+
+    n_docs = corpus_count(spark, t["documents"])
+    n_docs += n_docs // 10 + 1  # planted corpus: +10% dups + 1 short doc
+    tables = [
+        F.struct(
+            F.lit(ci).alias("c"),
+            F.expr(
+                " + ".join(
+                    f"shiftleft((shiftright(sh64, {off}) & {(1 << w) - 1}),"
+                    f" {16 * pos})"
+                    for pos, (off, w) in enumerate(kept)
+                )
+            ).alias("chunk_key"),
+        )
+        for ci, kept in enumerate(_simhash_blocking(n_docs))
+    ]
     chunks = sh.select(
-        "doc_id",
-        "sh64",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_CHUNKS - 1))).alias("c"),
-    ).withColumn(
-        "chunk_key",
-        F.expr(
-            f"(sh64 div CAST(pow(2, {_CHUNK_BITS} * c) AS BIGINT))"
-            f" % {1 << _CHUNK_BITS}"
-        ),
-    )
+        "doc_id", "sh64", F.explode(F.array(*tables)).alias("e")
+    ).select("doc_id", "sh64", "e.c", "e.chunk_key")
     cand = (
         chunks.alias("a")
         .join(
