@@ -112,6 +112,12 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 prev = results[q].get(sf_dir)
                 results[q][sf_dir] = dt if prev is None else min(prev, dt)
+                # progress to stderr so a crashed run is attributable
+                print(
+                    f"  [{sf_dir} pass {pass_no}] {q}: {dt:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
         release_tracked()
         spark.catalog.clearCache()
 
