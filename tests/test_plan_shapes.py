@@ -144,16 +144,15 @@ def test_decontaminate_semi_anti_no_cartesian(spark):
 def test_ivf_kmeans_assigns_in_kernel_and_searches_by_cell(spark):
     """Assignment is the Arrow-batched exact-integer matmul kernel
     (MapInPandas — the bounded centroid matrix rides the closure, so
-    no join of any kind), and the corpus-proportional cell-confined
-    search must remain an equi hash join — never a nested loop."""
+    no join of any kind), and the cell-confined search is the salted
+    per-(cell, salt) cogrouped kernel scan (_bucket_cos_scored) —
+    never a nested loop and never a per-pair scored row explosion."""
     plan = _plan(spark, "knn_ivf_kmeans")
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the cell-confined search is an equi join on the learned cell key
-    import re
-
-    assert re.search(r"Join.*cell", plan), plan[:2000]
+    # the cell-confined search cogroups members with queries per cell
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
 
 
 def test_pack_sequences_windows_are_range_partitioned(spark):
@@ -233,24 +232,19 @@ def test_basket_pairs_joins_on_orderkey_with_take_ordered(spark):
 
 def test_pq_broadcasts_codebook_but_not_lut(spark):
     """PQ search: the encode is the exact-integer matmul kernel
-    (MapInPandas — the codebook rides the closure), so exactly ONE
-    hinted broadcast remains: the codebook's LUT join.  The per-query
-    LUT and candidate sides are query/corpus-cardinality, so their
-    joins stay size-selected equi joins and the candidate generation
-    remains a bucket equi-join (no all-pairs)."""
-    import re
-
+    (MapInPandas — the codebook rides the closure) and scoring is the
+    per-(bucket, salt) cogrouped kernel scan — the [M x K] codebook
+    matrix rides the scan closure too, so NO hinted broadcast remains
+    and no corpus/query-proportional side may pick up a forced
+    strategy."""
     df = REGISTRY["knn_pq_adc"].build(spark, SF_PLAN)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    # exactly one hinted broadcast: the codebook's LUT join — anything
-    # more means a corpus/query-proportional side picked up a forced
-    # strategy.
-    assert optimized.count("strategy=broadcast") == 1
+    assert "strategy=broadcast" not in optimized
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan  # the encode kernel
+    assert "FlatMapCoGroupsInPandas" in plan  # the per-bucket scan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert re.search(r"Join \[bucket#\d+\]", plan), plan[:2000]
 
 
 def test_funnel_steps_are_not_forced_broadcast(spark):

@@ -90,6 +90,18 @@ DOT_S = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
     " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 )
+
+#: Spark SQL spellings of the exact-integer contract (IDOT_D / MICRO_D
+#: below): BIGINT folds over micro-unit arrays — order-independent by
+#: integer associativity, identical to the DuckDB forms term by term.
+IDOT_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+MICRO_S = (
+    "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT))"
+)
 DOT_D = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
     " list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),"

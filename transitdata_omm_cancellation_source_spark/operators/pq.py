@@ -65,7 +65,7 @@ from ..functions.hyperplane import (
     scaled_bucket_expr_spark,
 )
 from ..plans.queries import registered_query as _q
-from .similarity import QUERY_MOD, TOP_K, lsh_nbuckets
+from .similarity import QUERY_MOD, TOP_K, corpus_count, lsh_nbuckets
 
 #: M subspaces x DSUB dims each (M * DSUB = 64); K centroids per
 #: subspace -> 4-bit codes, 32 bits per vector.
@@ -533,40 +533,6 @@ _ADC_SCORED_CTES = f"""
     )"""
 
 
-def _query_lut(qs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(query_id, sub, code, qd): per-query integer squared-L2 LUT.
-
-    NOTE: |queries| x 128 rows — query-cardinality, hence corpus-
-    proportional at fixed QUERY_MOD — so it carries NO forced broadcast
-    hint (size-based selection broadcasts it while small, AQE degrades
-    to shuffle when it isn't); only the fixed 128-row codebook is
-    hint-broadcast.
-    """
-    return (
-        _subvectors(qs.select(F.col("query_id").alias("vec_id"), "u"))
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cent), "sub")
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.expr(_L2_S.format(a="sv", b="c")).alias("qd"),
-        )
-    )
-
-
-def _adc_score(cand: DataFrame, codes: DataFrame, lut: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, s): exact-BIGINT ADC sums over the given
-    candidate pairs — the scoring discipline shared by every PQ search
-    variant regardless of how candidates were generated."""
-    return (
-        cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
-        .join(lut, ["query_id", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").cast("bigint").alias("s"))
-    )
-
-
 def _adc_topk(scored: DataFrame) -> DataFrame:
     """The shared ranking tail: exact-BIGINT order, neighbor_id
     tie-break, ``adc_dist2`` as one IEEE division for display."""
@@ -588,31 +554,52 @@ def _adc_topk(scored: DataFrame) -> DataFrame:
     )
 
 
+def _codebook_matrix(cent: DataFrame):
+    """The trained codebook as a [M x K x DSUB] int64 array — bounded
+    (128 x DSUB) at any corpus size, so collecting it is the same
+    artifact discipline as broadcasting it."""
+    import numpy as np
+
+    C = np.zeros((M_SUB, K_CODES, DSUB), dtype=np.int64)
+    for r in cent.collect():
+        C[r["sub"], r["code"]] = list(r["c"])
+    return C
+
+
 def _adc_scored(
-    vecs: DataFrame, cent: DataFrame, codes: DataFrame, nb: int
+    spark, t, vecs: DataFrame, cent: DataFrame, depth: int
 ) -> DataFrame:
-    """(query_id, neighbor_id, s): ADC scores over HYPERPLANE-BUCKET
-    candidates — the first stage of the one-shot search and the
-    reranked variant (mirror of the ``_ADC_SCORED_CTES`` oracle
-    block).  ``nb`` is the corpus-scaled bucket count
-    (``lsh_nbuckets``), so per-bucket occupancy stays √N.  The IVF-PQ
-    variant feeds cell-confined candidates through the same
-    ``_query_lut`` / ``_adc_score`` discipline."""
+    """(query_id, neighbor_id, s): per-query local top-``depth`` ADC
+    scores over HYPERPLANE-BUCKET candidates — the first stage of the
+    one-shot search and the reranked variant (output-identical to the
+    ``_ADC_SCORED_CTES`` oracle block under the callers' merge
+    windows).  Buckets are corpus-scaled (``lsh_nbuckets``, occupancy
+    √N) and scanned by the shared per-(bucket, salt) kernel
+    (``_pq_group_scan``) — the previous candidate-pair equi-join +
+    per-(pair, sub) LUT join + aggregation measured 290 s cold at
+    sf25 on exactly this path (the pre-r9 IVF-PQ disease with buckets
+    in place of cells); the kernel scans the same candidates at C
+    speed with identical BIGINT sums."""
+    nb = lsh_nbuckets(spark, t)
+    nsalt = _ivfpq_nsalt(corpus_count(spark, t["embeddings"]), nb)
     bucketed = vecs.select(
-        "vec_id", scaled_bucket_expr_spark("v", nb).alias("bucket")
+        "vec_id", scaled_bucket_expr_spark("v", nb).alias("cell")
     )
-    qs = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        "u",
-        scaled_bucket_expr_spark("v", nb).alias("bucket"),
+    corpus = (
+        _encode(vecs, cent, packed=True)
+        .join(bucketed, "vec_id")
+        .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )
-    cand = (
-        qs.select("query_id", "bucket")
-        .join(bucketed, "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    qs = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "u",
+            scaled_bucket_expr_spark("v", nb).alias("cell"),
+        )
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})")))
     )
-    return _adc_score(cand, codes, _query_lut(qs, cent))
+    return _pq_group_scan(corpus, qs, _codebook_matrix(cent), depth)
 
 
 @_q(
@@ -637,9 +624,7 @@ def _knn_pq(spark, t):
     # Ranking compares exact BIGINT LUT sums — no float ordering.
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    return _adc_topk(
-        _adc_scored(vecs, cent, _encode(vecs, cent), lsh_nbuckets(spark, t))
-    )
+    return _adc_topk(_adc_scored(spark, t, vecs, cent, TOP_K))
 
 
 #: rerank shortlist depth: the ADC stage hands its best 4*TOP_K
@@ -698,9 +683,7 @@ def _knn_pq_refine(spark, t):
     """
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    scored = _adc_scored(
-        vecs, cent, _encode(vecs, cent), lsh_nbuckets(spark, t)
-    )
+    scored = _adc_scored(spark, t, vecs, cent, PQ_SHORTLIST)
     ws = Window.partitionBy("query_id").orderBy(
         F.col("s").asc(), F.col("neighbor_id").asc()
     )
@@ -812,6 +795,85 @@ def _ivfpq_nsalt(n_corpus: int, ncells: int) -> int:
     return nsalt
 
 
+def _pq_group_scan(
+    corpus: DataFrame, qs: DataFrame, C, depth: int
+) -> DataFrame:
+    """(query_id, neighbor_id, s): the per-group PQ compressed-domain
+    kernel scan shared by every PQ search variant — the grouping key
+    ``cell`` is whatever confines the candidates (the learned IVF cell
+    for ``knn_ivfpq_adc``, the hyperplane bucket for ``knn_pq_adc`` /
+    ``knn_pq_refine``).
+
+    ``corpus``: (vec_id, codes packed, cell, salt); ``qs``: (query_id,
+    u, cell, salt) with each query replicated across its cell's salts.
+    Each cogroup task builds its queries' [M x K] exact-int64 LUT once
+    and gathers M codes per candidate — identical BIGINT sums to the
+    oracles' per-(pair, sub) LUT joins.  Emits each query's LOCAL
+    top-``depth`` (boundary ties kept by the slack threshold, then
+    (s, neighbor_id) lexsort) — top-k is distributive over any salt
+    partition of the candidate set, so the caller's merge window
+    reproduces the global ranking exactly at any salt width.
+    """
+    topd = depth
+
+    def kernel(corpus_pdf, qs_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+            }
+        )
+        if len(corpus_pdf) == 0 or len(qs_pdf) == 0:
+            return empty
+        codes = np.stack(corpus_pdf["codes"].to_numpy()).astype(np.int64)
+        nid = corpus_pdf["vec_id"].to_numpy()
+        U = np.stack(qs_pdf["u"].to_numpy()).astype(np.int64)
+        qid = qs_pdf["query_id"].to_numpy()
+        nq, nc = len(U), len(nid)
+        Us = U.reshape(nq, M_SUB, DSUB)
+        diff = Us[:, :, None, :] - C[None, :, :, :]
+        lut = (diff * diff).sum(axis=3)  # (nq, M, K) exact int64
+        out_q, out_n, out_s = [], [], []
+        kth = min(topd, nc - 1)
+        for lo in range(0, nq, 256):
+            hi = min(lo + 256, nq)
+            S = np.zeros((hi - lo, nc), dtype=np.int64)
+            for m in range(M_SUB):
+                S += lut[lo:hi, m][:, codes[:, m]]
+            for qi in range(lo, hi):
+                s = S[qi - lo]
+                # threshold to the depth+1 smallest (slack for self),
+                # then exact (s, neighbor_id) lexsort of the small
+                # survivor set — boundary ties all survive the <= mask.
+                thresh = np.partition(s, kth)[kth]
+                mask = (s <= thresh) & (nid != qid[qi])
+                cand_ix = np.flatnonzero(mask)
+                order = cand_ix[np.lexsort((nid[cand_ix], s[cand_ix]))]
+                take = order[:topd]
+                out_q.extend([qid[qi]] * len(take))
+                out_n.extend(nid[take])
+                out_s.extend(s[take])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "s": np.asarray(out_s, dtype=np.int64),
+            }
+        )
+
+    return (
+        corpus.groupby("cell", "salt")
+        .cogroup(qs.groupby("cell", "salt"))
+        .applyInPandas(kernel, "query_id long, neighbor_id long, s long")
+    )
+
+
 @_q(
     "knn_ivfpq_adc",
     "north-star: IVF-PQ — learned coarse-quantizer cells confine the "
@@ -848,16 +910,11 @@ def _knn_ivfpq(spark, t):
     via threshold + lexsort and in the merge window; ``adc_dist2`` is
     one IEEE division for display.
     """
-    import numpy as np
-
-    from .similarity import _ivf_ncells, corpus_count, ivf_cells
+    from .similarity import _ivf_ncells, ivf_cells
 
     vecs = _vectors(t)
     cent = _shared_codebook(spark, vecs)
-    rows = cent.collect()
-    C = np.zeros((M_SUB, K_CODES, DSUB), dtype=np.int64)
-    for r in rows:
-        C[r["sub"], r["code"]] = list(r["c"])
+    C = _codebook_matrix(cent)
     cells = ivf_cells(spark, t)
     nsalt = _ivfpq_nsalt(
         corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
@@ -887,60 +944,4 @@ def _knn_ivfpq(spark, t):
         )
     )
 
-    def kernel(corpus_pdf, qs_pdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "neighbor_id": pd.Series(dtype="int64"),
-                "s": pd.Series(dtype="int64"),
-            }
-        )
-        if len(corpus_pdf) == 0 or len(qs_pdf) == 0:
-            return empty
-        codes = np.stack(corpus_pdf["codes"].to_numpy()).astype(np.int64)
-        nid = corpus_pdf["vec_id"].to_numpy()
-        U = np.stack(qs_pdf["u"].to_numpy()).astype(np.int64)
-        qid = qs_pdf["query_id"].to_numpy()
-        nq, nc = len(U), len(nid)
-        Us = U.reshape(nq, M_SUB, DSUB)
-        diff = Us[:, :, None, :] - C[None, :, :, :]
-        lut = (diff * diff).sum(axis=3)  # (nq, M, K) exact int64
-        out_q, out_n, out_s = [], [], []
-        kth = min(TOP_K, nc - 1)
-        for lo in range(0, nq, 256):
-            hi = min(lo + 256, nq)
-            S = np.zeros((hi - lo, nc), dtype=np.int64)
-            for m in range(M_SUB):
-                S += lut[lo:hi, m][:, codes[:, m]]
-            for qi in range(lo, hi):
-                s = S[qi - lo]
-                # threshold to the k+1 smallest (slack for self), then
-                # exact (s, neighbor_id) lexsort of the small survivor
-                # set — ties at the boundary all survive the <= mask.
-                thresh = np.partition(s, kth)[kth]
-                mask = (s <= thresh) & (nid != qid[qi])
-                cand_ix = np.flatnonzero(mask)
-                order = cand_ix[np.lexsort((nid[cand_ix], s[cand_ix]))]
-                take = order[:TOP_K]
-                out_q.extend([qid[qi]] * len(take))
-                out_n.extend(nid[take])
-                out_s.extend(s[take])
-        if not out_q:
-            return empty
-        return pd.DataFrame(
-            {
-                "query_id": np.asarray(out_q, dtype=np.int64),
-                "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                "s": np.asarray(out_s, dtype=np.int64),
-            }
-        )
-
-    scored = (
-        corpus.groupby("cell", "salt")
-        .cogroup(qs.groupby("cell", "salt"))
-        .applyInPandas(kernel, "query_id long, neighbor_id long, s long")
-    )
-    return _adc_topk(scored)
+    return _adc_topk(_pq_group_scan(corpus, qs, C, TOP_K))

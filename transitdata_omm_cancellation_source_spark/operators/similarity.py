@@ -40,6 +40,8 @@ from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
     DOT_S as _DOT_S,
+    IDOT_D as _IDOT_D,
+    MICRO_D as _MICRO_D,
     broadcast_if_small,
     full_bucket_expr_duck,
     pow2_grid_cte,
@@ -141,6 +143,19 @@ _COS_D = (
     f" / sqrt({_DOT_D.format(a='q.v', b='q.v')} * {_DOT_D.format(a='c.v', b='c.v')})"
 )
 
+#: exact-integer pairwise cosine (DuckDB spelling): micro-unit BIGINT
+#: dots cast to DOUBLE once, one multiply, one sqrt, one divide — every
+#: op correctly-rounded IEEE over identical integers on both engines,
+#: so a kernel's int64 matmul reproduces it bit-for-bit (the same
+#: contract as ``assign_to_centroids`` / the PQ LUT kernels).  The
+#: family-wide scoring contract of the kNN variants the recall tests
+#: compare against each other.
+_COS_INT_D = (
+    f"CAST({_IDOT_D.format(a='q.uv', b='c.uv')} AS DOUBLE)"
+    f" / sqrt(CAST({_IDOT_D.format(a='q.uv', b='q.uv')} AS DOUBLE)"
+    f" * CAST({_IDOT_D.format(a='c.uv', b='c.uv')} AS DOUBLE))"
+)
+
 _ORACLE_TAIL = f"""
     SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
            round(cos, 6) AS cosine
@@ -150,10 +165,17 @@ _ORACLE_TAIL = f"""
     WHERE rank <= {TOP_K}
 """
 
+#: shared corpus CTE: raw double vectors for the exact paths plus the
+#: one-shot micro-unit quantization ``uv`` the integer-cosine kernels
+#: and their oracles (``_COS_INT_D``) score on.
 _VEC_CTE = """
-    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                 {micro} AS uv
+          FROM embeddings),
     q AS (SELECT * FROM v WHERE vec_id % {mod} = 0)
-""".format(mod=QUERY_MOD)
+""".format(
+    mod=QUERY_MOD, micro=_MICRO_D.format(v="CAST(embedding AS DOUBLE[])")
+)
 
 
 @_q(
@@ -163,7 +185,8 @@ _VEC_CTE = """
     f"""
     WITH {_VEC_CTE},
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_INT_D} AS cos
         FROM q JOIN v c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {QUERY_CAP}
     )
@@ -177,13 +200,24 @@ def _knn_bruteforce(spark, t):
     # is O(32 x N) — linear in corpus size — and the query side is
     # broadcast-sized by construction, no measured count needed (the
     # build stays a lazy plan).  The bucketed LSH/IVF variants handle
-    # corpus-proportional query sets.
-    vecs = _vectors(t)
+    # corpus-proportional query sets.  Scores follow the family-wide
+    # ``_COS_INT_D`` integer contract (micro-unit BIGINT folds, one
+    # IEEE divide/sqrt) so the domination bound "approximate <= exact"
+    # the recall tests assert compares IDENTICAL arithmetic — a raw-
+    # double baseline would sit +-1e-6 off the quantized variants.
+    from ..functions.hyperplane import IDOT_S, MICRO_S
+
+    vecs = _vectors(t).withColumn("uv", F.expr(MICRO_S.format(v="v")))
     q = vecs.filter(
         (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
     )
     q_side = broadcast_if_small(
         q.alias("q"), QUERY_CAP // QUERY_MOD, row_bytes=8 * DIM + 100
+    )
+    cos_int = F.expr(
+        f"CAST({IDOT_S.format(a='q.uv', b='c.uv')} AS DOUBLE)"
+        f" / sqrt(CAST({IDOT_S.format(a='q.uv', b='q.uv')} AS DOUBLE)"
+        f" * CAST({IDOT_S.format(a='c.uv', b='c.uv')} AS DOUBLE))"
     )
     scored = (
         q_side
@@ -191,16 +225,101 @@ def _knn_bruteforce(spark, t):
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _cos_s().alias("cos"),
+            cos_int.alias("cos"),
         )
     )
     return _topk(scored)
 
 
+def _bucket_cos_scored(corpus: DataFrame, qs: DataFrame) -> DataFrame:
+    """Per-(bucket, salt) cogrouped cosine kernel — the shared scoring
+    stage of the hyperplane-LSH searches (single- and multi-probe).
+
+    ``corpus``: (vec_id, v, bucket, salt); ``qs``: (query_id, qv,
+    bucket, salt) with each query replicated across its buckets'
+    salts.  Emits each query's LOCAL top-k per group as (query_id,
+    neighbor_id, cos); the caller's ``_topk`` window merges the
+    |q| x groups x TOP_K survivors.  Scores follow the ``_COS_INT_D``
+    integer contract: micro-unit int64 dots (exact matmul), then
+    double / sqrt(double * double) — identical correctly-rounded IEEE
+    ops on both engines.  Per-group truncation keeps boundary ties
+    (slack threshold + (-cos, neighbor_id) lexsort), so top-k stays
+    distributive over any salt partition of the candidate set.
+    """
+    topk = TOP_K
+
+    def kernel(corpus_pdf, qs_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(corpus_pdf) == 0 or len(qs_pdf) == 0:
+            return empty
+        Uc = np.floor(
+            np.stack(corpus_pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        nid = corpus_pdf["vec_id"].to_numpy()
+        Uq = np.floor(
+            np.stack(qs_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        qid = qs_pdf["query_id"].to_numpy()
+        # int64 exactness contract: |dot| <= umax^2 * DIM must stay
+        # inside int64 (the oracle folds the same BIGINTs; DuckDB
+        # would error on wrap where numpy wraps silently).
+        umax = max(np.abs(Uc).max(initial=0), np.abs(Uq).max(initial=0))
+        if umax * umax * Uc.shape[1] >= 2**62:
+            raise ValueError(
+                "bucket cosine kernel: |u|^2 * DIM exceeds int64 headroom;"
+                " the kernel would wrap where the BIGINT oracle errors"
+            )
+        nc2 = (Uc * Uc).sum(axis=1).astype(np.float64)
+        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
+        nc = len(nid)
+        out_q, out_n, out_c = [], [], []
+        kth = min(topk, nc - 1)
+        for lo in range(0, len(qid), 256):
+            hi = min(lo + 256, len(qid))
+            dots = Uq[lo:hi] @ Uc.T  # exact int64 matmul
+            cos = dots.astype(np.float64) / np.sqrt(
+                nq2[lo:hi, None] * nc2[None, :]
+            )
+            for qi in range(lo, hi):
+                s = -cos[qi - lo]
+                thresh = np.partition(s, kth)[kth]
+                mask = (s <= thresh) & (nid != qid[qi])
+                cand_ix = np.flatnonzero(mask)
+                order = cand_ix[np.lexsort((nid[cand_ix], s[cand_ix]))]
+                take = order[:topk]
+                out_q.extend([qid[qi]] * len(take))
+                out_n.extend(nid[take])
+                out_c.extend(cos[qi - lo][take])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cos": np.asarray(out_c, dtype=np.float64),
+            }
+        )
+
+    return (
+        corpus.groupby("bucket", "salt")
+        .cogroup(qs.groupby("bucket", "salt"))
+        .applyInPandas(kernel, "query_id long, neighbor_id long, cos double")
+    )
+
+
 @_q(
     "knn_lsh_hyperplane",
-    "north-star: ANN via corpus-scaled random-hyperplane LSH bucket join "
-    "(#buckets = sqrt_pow2(N), single probe)",
+    "north-star: ANN via corpus-scaled random-hyperplane LSH buckets "
+    "(#buckets = sqrt_pow2(N), single probe, per-bucket kernel scan)",
     f"""
     WITH {_VEC_CTE},
     {pow2_grid_cte("lsh_params")},
@@ -208,39 +327,60 @@ def _knn_bruteforce(spark, t):
            FROM v, lsh_params p),
     qb AS (SELECT * FROM vb WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_INT_D} AS cos
         FROM qb q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
     )
     {_ORACLE_TAIL}
     """,
 )
 def _knn_lsh(spark, t):
-    # No broadcast hint: the bucket predicate is an equi-join key, so
-    # the shuffle plan scales and AQE broadcasts while the (corpus-
-    # proportional) query side actually fits.  The bucket count tracks
-    # the corpus (#buckets = sqrt_pow2(N), a cached count + pow2 grid):
-    # a fixed 256-bucket key gave per-bucket occupancy N/256 and hence
-    # an N²/256 candidate term — the measured super-linear decade
-    # (r7 SURVEY §8); √N buckets make candidates O(N^1.5) with recall
-    # traded transparently (the oracle masks the SAME planes).
-    vecs = _vectors(t).withColumn(
-        "bucket", scaled_bucket_expr_spark("v", lsh_nbuckets(spark, t))
+    """Single-probe hyperplane LSH as a salted per-bucket kernel scan.
+
+    The bucket count tracks the corpus (#buckets = sqrt_pow2(N), a
+    cached count + pow2 grid): a fixed 256-bucket key gave per-bucket
+    occupancy N/256 and hence an N²/256 candidate term — the measured
+    super-linear decade (r7 SURVEY §8); √N buckets make candidates
+    O(N^1.5) with recall traded transparently (the oracle masks the
+    SAME planes).
+
+    Scale shape (the knn_ivfpq_adc playbook, ``pq.py``): the previous
+    bucket equi-join evaluated one INTERPRETED 64-dim ``aggregate(
+    zip_with(...))`` fold per candidate pair and shuffled every scored
+    pair into a global ranking window — measured 506 s cold at sf25
+    (10M candidate pairs).  Here each (bucket, salt) group cogroups
+    its members with the bucket's queries and an Arrow-batched kernel
+    scores the group with ONE exact int64 matmul, emitting only each
+    query's local top-k; the merge window ranks |q| x nsalt x TOP_K
+    slim rows.  Hot buckets are salt-split on the member side
+    (corpus-derived nsalt, same sizing as ``pq._ivfpq_nsalt``), so no
+    task ever holds a whole skewed bucket; top-k is distributive over
+    a partition of the candidate set, so the result is identical at
+    any salt width.
+
+    Determinism: vectors are micro-unit quantized once; dots and
+    norms are exact int64 (|u| <= ~1.2e7 and DIM = 64 keep every term
+    below 2^60, asserted in-kernel); cosine is CAST-to-double /
+    sqrt(double * double) — the identical correctly-rounded IEEE op
+    sequence as the oracle's ``_COS_INT_D``, so both engines rank the
+    same doubles.  Per-group truncation keeps boundary ties (slack
+    threshold + (-cos, neighbor_id) lexsort), matching the window's
+    (cos DESC, neighbor_id ASC) order.
+    """
+    from .pq import _ivfpq_nsalt
+
+    nb = lsh_nbuckets(spark, t)
+    nsalt = _ivfpq_nsalt(corpus_count(spark, t["embeddings"]), nb)
+    vecs = _vectors(t).withColumn("bucket", scaled_bucket_expr_spark("v", nb))
+    corpus = vecs.select("vec_id", "v", "bucket").withColumn(
+        "salt", F.col("vec_id") % nsalt
     )
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    scored = (
-        q.alias("q")
-        .join(
-            vecs.alias("c"),
-            (F.col("c.bucket") == F.col("q.bucket"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cos_s().alias("cos"),
-        )
+    qs = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})")))
     )
-    return _topk(scored)
+    return _topk(_bucket_cos_scored(corpus, qs))
 
 
 #: fixed chunk width (by vec_id range) for the two-phase centroid fold.
@@ -343,17 +483,28 @@ def _label_centroid(spark, t):
     f"""
     WITH {_VEC_CTE},
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_INT_D} AS cos
         FROM q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
     )
     {_ORACLE_TAIL}
     """,
 )
 def _knn_ivf(spark, t):
-    # No broadcast hint — same reasoning as _knn_lsh (label is the
-    # equi-join cell key).
-    vecs = _vectors(t)
+    # No broadcast hint — label is the equi-join cell key; the family-
+    # wide _COS_INT_D integer scoring keeps this variant comparable to
+    # the kernelized ones in the recall-domination tests.  The scale
+    # ceiling here is label cardinality itself (occupancy N/#labels) —
+    # documented as the reason the LEARNED quantizer variant exists.
+    from ..functions.hyperplane import IDOT_S, MICRO_S
+
+    vecs = _vectors(t).withColumn("uv", F.expr(MICRO_S.format(v="v")))
     q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cos_int = F.expr(
+        f"CAST({IDOT_S.format(a='q.uv', b='c.uv')} AS DOUBLE)"
+        f" / sqrt(CAST({IDOT_S.format(a='q.uv', b='q.uv')} AS DOUBLE)"
+        f" * CAST({IDOT_S.format(a='c.uv', b='c.uv')} AS DOUBLE))"
+    )
     scored = (
         q.alias("q")
         .join(
@@ -364,7 +515,7 @@ def _knn_ivf(spark, t):
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            _cos_s().alias("cos"),
+            cos_int.alias("cos"),
         )
     )
     return _topk(scored)
@@ -600,7 +751,8 @@ def _ivf_kmeans_oracle() -> str:
     cand AS (SELECT v.*, a.cell FROM v JOIN assign a USING (vec_id)),
     qc AS (SELECT * FROM cand WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_INT_D} AS cos
         FROM qc q JOIN cand c ON c.cell = q.cell AND c.vec_id <> q.vec_id
     )
     {_ORACLE_TAIL}
@@ -621,32 +773,36 @@ def _knn_ivf_kmeans(spark, t):
     #
     # Scale shape: the centroid table is #cells = √N rows on a pow2
     # grid — broadcastable at any data size under IVF_MAX_BITS (~2 MB
-    # at the cap).  Assignment emits N x #cells slim rows (vec_id,
-    # cell, score) — the vectors themselves never ride the shuffle —
-    # and the per-vector argmax is one window on vec_id.  Search is an
-    # equi-join on the learned cell key, the same prunable shape as
-    # knn_ivf_label, with per-cell occupancy N/√N = √N, so the
-    # candidate term is O(N^1.5 / QUERY_MOD) instead of the
-    # N²/#cells a fixed quantizer measured in r7.  A production IVF
-    # iterates Lloyd steps; one deterministic step keeps the oracle
-    # exact while exercising the identical plan.
+    # at the cap); assignment is the exact-integer matmul kernel
+    # (assign_to_centroids).  Search is the salted per-(cell, salt)
+    # cogrouped kernel scan (_bucket_cos_scored, the knn_ivfpq_adc
+    # playbook): per-cell occupancy N/√N = √N keeps candidates
+    # O(N^1.5 / QUERY_MOD) — instead of the N²/#cells a fixed
+    # quantizer measured in r7 — and the kernel scores each cell with
+    # one exact int64 matmul where the previous equi-join form paid an
+    # interpreted 64-dim fold per pair plus a global ranking window.
+    # A production IVF iterates Lloyd steps; one deterministic step
+    # keeps the oracle exact while exercising the identical plan.
+    from .pq import _ivfpq_nsalt
+
     vecs = _vectors(t)
     cand = vecs.join(ivf_cells(spark, t), "vec_id")
-    q = cand.filter(F.col("vec_id") % QUERY_MOD == 0)
-    scored = (
-        q.alias("q")
-        .join(
-            cand.alias("c"),
-            (F.col("c.cell") == F.col("q.cell"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cos_s().alias("cos"),
-        )
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
     )
-    return _topk(scored)
+    corpus = cand.select(
+        "vec_id", "v", F.col("cell").alias("bucket")
+    ).withColumn("salt", F.col("vec_id") % nsalt)
+    qs = (
+        cand.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cell").alias("bucket"),
+        )
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})")))
+    )
+    return _topk(_bucket_cos_scored(corpus, qs))
 
 
 def _multiprobe_oracle() -> str:
@@ -664,7 +820,7 @@ def _multiprobe_oracle() -> str:
            FROM v, lsh_params p),
     qb AS (SELECT * FROM vb WHERE vec_id % {QUERY_MOD} = 0),
     probes AS (
-        SELECT q.vec_id, q.v,
+        SELECT q.vec_id, q.uv,
                CASE WHEN g.pb < 0 THEN q.bucket
                     ELSE xor(q.bucket, CAST(1 AS BIGINT) << g.pb) END AS probe
         FROM qb q, (SELECT unnest(range(-1, {MAX_PLANES})) AS pb) g,
@@ -672,7 +828,8 @@ def _multiprobe_oracle() -> str:
         WHERE g.pb < 0 OR (CAST(1 AS BIGINT) << g.pb) < p.nb
     ),
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_D} AS cos
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_INT_D} AS cos
         FROM probes q JOIN vb c ON c.bucket = q.probe AND c.vec_id <> q.vec_id
     )
     {_ORACLE_TAIL}
@@ -689,38 +846,38 @@ def _knn_lsh_multiprobe(spark, t):
     # Single-probe LSH misses a true neighbor whenever ANY of the P
     # sign bits disagrees; probing the P hamming-1 buckets too drops
     # the miss condition to >= 2 disagreeing bits, at a (P+1)x fan-out
-    # on the QUERY side only — the corpus index is untouched and
-    # candidate generation stays a plain equi-join on the bucket key
-    # (partition-prunable, AQE-planned, no broadcast hint for the same
-    # corpus-proportionality reason as single-probe).  This is the
-    # standard recall/latency knob of bucketed ANN at 100 TB: widen
-    # probes, never the index.  P tracks the corpus like single-probe
-    # (#buckets = sqrt_pow2(N)), so the probe fan-out grows log-slowly
-    # (P = log2 #buckets) while candidates stay O(N^1.5 * P).
+    # on the QUERY side only — the corpus index is untouched: the
+    # probes just replicate each query into more (bucket, salt) kernel
+    # groups of the SAME per-bucket scan as single-probe (a neighbor
+    # lives in exactly one bucket, so no pair is double-counted).
+    # This is the standard recall/latency knob of bucketed ANN at
+    # 100 TB: widen probes, never the index.  P tracks the corpus like
+    # single-probe (#buckets = sqrt_pow2(N)), so the probe fan-out
+    # grows log-slowly (P = log2 #buckets) while candidates stay
+    # O(N^1.5 * P).
+    from .pq import _ivfpq_nsalt
+
     nb = lsh_nbuckets(spark, t)
+    nsalt = _ivfpq_nsalt(corpus_count(spark, t["embeddings"]), nb)
     vecs = _vectors(t).withColumn(
         "bucket", scaled_bucket_expr_spark("v", nb)
+    )
+    corpus = vecs.select("vec_id", "v", "bucket").withColumn(
+        "salt", F.col("vec_id") % nsalt
     )
     probe_arr = "array(bucket, " + ", ".join(
         f"bucket ^ {1 << i}" for i in range(nb.bit_length() - 1)
     ) + ")"
-    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        "vec_id", "v", "n2", F.explode(F.expr(probe_arr)).alias("probe")
-    )
-    scored = (
-        q.alias("q")
-        .join(
-            vecs.alias("c"),
-            (F.col("c.bucket") == F.col("q.probe"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
+    qs = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cos_s().alias("cos"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.expr(probe_arr)).alias("bucket"),
         )
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})")))
     )
-    return _topk(scored)
+    return _topk(_bucket_cos_scored(corpus, qs))
 
 
 #: Lloyd refinement rounds after the label-seeded initialization.
