@@ -92,18 +92,15 @@ def test_knn_lsh_results_identical_without_broadcast(spark):
     assert default == forced_shuffle
 
 
-def test_embedding_neardup_blocks_on_label_cell_and_band(spark):
-    """The near-dup candidate join key must include the learned cell
-    AND the corpus-scaled band key — label-only blocking is
-    O(n²/label) all-pairs at scale, and same-label vectors are similar
-    by construction so bands alone can't separate them either."""
-    import re
-
+def test_embedding_neardup_is_per_block_cogroup_kernel_scan(spark):
+    """The near-dup pair stage must be the cogrouped Arrow kernel
+    keyed on (label, cell, salt) — label-only blocking is O(n²/label)
+    all-pairs at scale, and a materialized banded candidate join
+    shuffles Σocc² pair rows on a duplicate-heavy corpus (measured:
+    filled the disk at sf25)."""
     df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert re.search(
-        r"Join \[label#\d+, cell#\d+, b#\d+, k#\d+L?\]", plan
-    ), plan[:2000]
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -271,19 +268,18 @@ def test_bigram_lm_broadcasts_only_the_vocab_scalar(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
-def test_semdedup_candidates_stay_cluster_confined_equi_join(spark):
-    """The band self-join must stay an equi join on (cell, band, key);
-    the only nested-loop joins are the fixed-size centroid-table
-    broadcasts (assignment + the Lloyd rounds it inherits)."""
+def test_semdedup_is_per_cluster_cogroup_kernel_scan(spark):
+    """The within-cluster pairwise stage must be the cogrouped Arrow
+    kernel keyed on (cell, salt) — never a materialized pair join (the
+    band self-join + DISTINCT + two vector joins it replaced shuffled
+    Σocc² pair rows and filled the disk at sf25)."""
     df = REGISTRY["corpus_semdedup"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # vec-to-vec candidate generation is never nested-loop: every BNLJ
-    # in the plan carries the fixed-size centroid/cvec side, which the
-    # equi-join keys (cell, b, k) of the band join would never produce
-    assert "SortMergeJoin [cell" in plan or "ShuffledHashJoin [cell" in plan or (
-        "cell" in plan and "BroadcastHashJoin" in plan
-    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    # no pair-level aggregation survives: the one Aggregate family in
+    # the plan belongs to the quantizer build, not a pair DISTINCT
+    assert "vec_a" not in plan and "vec_b" not in plan
 
 
 def test_boilerplate_prune_no_cartesian_and_pruned_scan(spark):

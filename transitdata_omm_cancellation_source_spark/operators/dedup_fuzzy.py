@@ -745,27 +745,21 @@ def _simhash(spark, t):
 
 # --- embedding cosine near-dup ----------------------------------------------
 
-_DOT_D = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
-    " list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),"
-    " (acc, x) -> acc + x)"
-)
-
-
 def _embedding_oracle() -> str:
-    from ..functions.hyperplane import (
-        N_BAND_FAMILIES,
-        band_family_expr_duck,
-        pow2_grid_cte,
-    )
-
+    from ..functions.hyperplane import IDOT_D
     from ..operators.similarity import ivf_assign_cte
 
-    band_rows = "\n        UNION ALL\n".join(
-        f"""        SELECT vec_id, label, cell, {f} AS b,
-               ({band_family_expr_duck("vc.v", f)}) % p.nb AS k
-        FROM vc, band_params p"""
-        for f in range(N_BAND_FAMILIES)
+    # (label x learned-cell) blocked exact pairwise, on the family-wide
+    # exact-integer cosine contract: micro-unit BIGINT dots (the
+    # ``v_u`` CTE ivf_assign_cte already builds), one CAST-to-DOUBLE
+    # each, one sqrt, one divide -- the identical correctly-rounded
+    # IEEE op sequence the Spark kernel computes via exact int64
+    # matmul, so both engines emit the same pairs with the same
+    # cosines at every scale.
+    idot_ab = IDOT_D.format(a="a.uv", b="b.uv")
+    cos = (
+        f"CAST({idot_ab} AS DOUBLE)"
+        f" / sqrt(CAST(a.in2 AS DOUBLE) * CAST(b.in2 AS DOUBLE))"
     )
     return f"""
     WITH corpus AS (
@@ -774,64 +768,70 @@ def _embedding_oracle() -> str:
         SELECT vec_id + 1000000 AS vec_id, embedding, label
         FROM embeddings WHERE vec_id % 20 = 0
     ),
-    {pow2_grid_cte("band_params")},
-    vb AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        FROM corpus
-    ),
-    v AS (SELECT vec_id, v FROM vb),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
     {ivf_assign_cte()},
-    vc AS (SELECT vb.*, a.cell FROM vb JOIN assign a USING (vec_id)),
-    bands AS (
-{band_rows}
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
-          ON a.label = b.label AND a.cell = b.cell
-         AND a.b = b.b AND a.k = b.k
-         AND a.vec_id < b.vec_id
+    u AS (
+        SELECT vu.vec_id, c.label, a.cell, vu.uv,
+               {IDOT_D.format(a="vu.uv", b="vu.uv")} AS in2
+        FROM v_u vu
+        JOIN assign a ON a.vec_id = vu.vec_id
+        JOIN corpus c ON c.vec_id = vu.vec_id
     )
-    SELECT vec_a, vec_b,
-           round({_DOT_D.format(a="a.v", b="b.v")}
-                 / sqrt({_DOT_D.format(a="a.v", b="a.v")}
-                        * {_DOT_D.format(a="b.v", b="b.v")}), 6) AS cosine
-    FROM cand
-    JOIN vb a ON a.vec_id = vec_a
-    JOIN vb b ON b.vec_id = vec_b
-    WHERE {_DOT_D.format(a="a.v", b="b.v")}
-          / sqrt({_DOT_D.format(a="a.v", b="a.v")}
-                 * {_DOT_D.format(a="b.v", b="b.v")}) >= {_COSINE_TAU}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cos}, 6) AS cosine
+    FROM u a JOIN u b
+      ON a.label = b.label AND a.cell = b.cell
+     AND a.vec_id < b.vec_id
+    WHERE {cos} >= {_COSINE_TAU}
     """
 
 
 @_q(
     "dedup_embedding_cosine",
-    "north-star: embedding cosine near-dup, (label x LSH-band) blocked candidates",
+    "north-star: embedding cosine near-dup, (label x learned-cell) "
+    "blocked, per-block kernel scan",
     _embedding_oracle(),
 )
 def _embedding_neardup(spark, t):
-    # Candidate generation is an equi-join on (label, band, band_key)
-    # with CORPUS-SCALED band keys (log2 √N bits per band, L = 8
-    # independent plane families — functions/hyperplane.py): a pair is
-    # a candidate when any band matches within its label.  That bounds
-    # the join fan-out by the scaled key space — label-only blocking
-    # is O(n²/L) all-pairs, and the previous constant-width 2-bit
-    # bands degenerated to the same Σocc² on hot labels at 50x data.
-    # The LEARNED corpus-scaled cell (the shared ivf_quantizer) joins
-    # the block key alongside the given label: same-label vectors are
-    # similar by construction (labels ARE clusters), so band keys alone
-    # cannot separate them — sub-threshold same-label pairs collided in
-    # some band with probability ~0.8 and the candidate set degenerated
-    # toward all-pairs-per-label (measured 232 s at sf5).  Cells
-    # subdivide each label by learned geometry, the SemDeDup insight
-    # applied to the pair-list variant; a near-dup pair straddling a
-    # cell boundary is missed — the same documented trade SemDeDup
-    # makes.  Both engines block identically, and the exact cosine >=
-    # tau verification below keeps emitted pairs exact for every
-    # candidate.
-    from ..functions.hyperplane import int_band_keys
-    from .similarity import assign_to_centroids, ivf_quantizer, lsh_nbuckets
+    """Embedding near-dup pair list as a per-(label, cell) cogrouped
+    kernel scan.
+
+    Blocking: the GIVEN ``label`` column AND the learned corpus-scaled
+    cell (the shared ``ivf_quantizer`` -- same-label vectors are
+    similar by construction, so labels alone degenerate toward
+    all-pairs-per-label; cells subdivide each label by learned
+    geometry, the SemDeDup insight applied to the pair-list variant).
+    A near-dup pair straddling a cell boundary is missed -- the same
+    documented trade SemDeDup makes.  Within a block the scan is
+    EXACT: the previous LSH-band candidate join is gone, so a
+    cos >= tau pair inside a block is now found ALWAYS, not only when
+    it also collided in a band (and the Σocc² banded pair list --
+    which filled the disk at sf25 on the duplicate-heavy scaled
+    corpus -- is never materialized).
+
+    Kernel shape (the knn_ivfpq_adc playbook): queries are
+    salt-PARTITIONED (vec_id % nsalt, corpus-derived sizing shared
+    with the other kernel scans), members replicated across the
+    block's salts; each vector meets its block's FULL member list
+    exactly once, so the pair list is exact at any salt width.  Per
+    group one exact int64 matmul scores the block; only verified
+    pairs (cos >= tau, member_id < query_id) leave the kernel --
+    the emitted row count is the true duplicate-pair mass, the
+    query's actual output.
+
+    Determinism: micro-unit quantization once, exact integer dots
+    (in-kernel int64-headroom guard), cosine = CAST-to-double /
+    sqrt(double * double) -- identical correctly-rounded IEEE ops on
+    both engines; display rounding via Spark round(6) == DuckDB
+    round(6) (both half-away-from-zero on these positive cosines).
+    """
+    from .pq import _ivfpq_nsalt
+    from .similarity import (
+        _ivf_ncells,
+        assign_to_centroids,
+        corpus_count,
+        ivf_quantizer,
+    )
 
     corpus = t["embeddings"].unionAll(
         t["embeddings"]
@@ -840,56 +840,86 @@ def _embedding_neardup(spark, t):
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
         )
     )
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    vecs = corpus.select(
+        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
     )
-    # squared norm once per VECTOR (persisted), not once per PAIR:
-    # drops the per-pair work from 3 dot products to 1.  sqrt(n2a*n2b)
-    # is arithmetically identical to the oracle's per-pair form.
-    vecs = persist_tracked(
-        corpus.select(
-            "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    vb = persist_tracked(
+        vecs.join(assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id")
+    )
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
+    )
+    members = vb.select("vec_id", "v", "label", "cell").withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))
+    )
+    qs = vb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+        F.col("cell").alias("q_cell"),
+    ).withColumn("salt", (F.col("q_id") % nsalt).cast("int"))
+    tau = _COSINE_TAU
+
+    def kernel(m_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
         )
-        .withColumn("n2", F.expr(dot.format(a="v", b="v")))
-    )
-    # slim (vec_id, label, cell, band, key) frame for candidate
-    # generation (band keys via the exact-integer matmul kernel,
-    # functions/hyperplane.py int_band_keys) — the 64-double vectors
-    # never ride through the exploded self-join.
-    nb = lsh_nbuckets(spark, t)
-    vc = vecs.join(
-        assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
-    )
-    bands = vc.select("vec_id", "label", "cell").join(
-        int_band_keys(vecs, nb), "vec_id"
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        if len(q_pdf) == 0 or len(m_pdf) == 0:
+            return empty
+        Um = np.floor(
+            np.stack(m_pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        mid = m_pdf["vec_id"].to_numpy()
+        Uq = np.floor(
+            np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        qid = q_pdf["q_id"].to_numpy()
+        umax = max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0))
+        if umax * umax * Um.shape[1] >= 2**62:
+            raise ValueError(
+                "embedding near-dup kernel: |u|^2 * DIM exceeds int64"
+                " headroom; the kernel would wrap where the BIGINT"
+                " oracle errors"
+            )
+        nm2 = (Um * Um).sum(axis=1).astype(np.float64)
+        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(qid), 256):
+            hi = min(lo + 256, len(qid))
+            dots = Uq[lo:hi] @ Um.T  # exact int64 matmul
+            cos = dots.astype(np.float64) / np.sqrt(
+                nq2[lo:hi, None] * nm2[None, :]
+            )
+            hit = (cos >= tau) & (mid[None, :] < qid[lo:hi, None])
+            r, c = np.nonzero(hit)
+            if len(r):
+                out_a.extend(mid[c])
+                out_b.extend(qid[lo + r])
+                out_c.extend(cos[r, c])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.asarray(out_a, dtype=np.int64),
+                "vec_b": np.asarray(out_b, dtype=np.int64),
+                "cos": np.asarray(out_c, dtype=np.float64),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+
+    scan = (
+        members.groupby("label", "cell", "salt")
+        .cogroup(qs.groupby("q_label", "q_cell", "salt"))
+        .applyInPandas(kernel, "vec_a long, vec_b long, cos double")
     )
-    cos = F.expr(f"{dot.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)")
-    return (
-        cand.join(vecs.alias("a"), F.col("a.vec_id") == F.col("vec_a"))
-        .join(vecs.alias("b"), F.col("b.vec_id") == F.col("vec_b"))
-        .filter(cos >= _COSINE_TAU)
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cos, 6).alias("cosine"),
-        )
-    )
+    return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+
 
 
 # --- duplicate-cluster canonicalization --------------------------------------

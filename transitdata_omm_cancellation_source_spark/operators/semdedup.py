@@ -15,14 +15,24 @@ the engine itself LEARNED — the CORPUS-SCALED coarse quantizer shared
 with the IVF search paths (``similarity.ivf_quantizer``: #cells =
 sqrt_pow2(N), exactly the paper's k-grows-with-corpus prescription) —
 and emits the per-vector keep/drop GATE — the artifact a
-training-data pipeline actually consumes.  Within a
-cluster, candidates are still generated by the shared hyperplane
-LSH-band equi-join rather than a cluster-wide all-pairs: at 100 TB a
-hot cluster would otherwise melt down exactly like a hot label, and a
-cos >= 0.98 near-duplicate collides in at least one 2-bit band with
-near-certainty (sign flips need ~11.5 degrees of angle; the paper's
-within-cluster pairwise matrix is the same candidate set, reached
-exactly because its clusters are small).
+training-data pipeline actually consumes.
+
+Within a cluster the search is the paper's OWN prescription: the
+exact pairwise cosine matrix, computed by a per-(cell, salt)
+cogrouped Arrow kernel as ONE exact int64 matmul (the r9/r10
+kernel-scan playbook — ``pq._ivfpq_scan``, ``similarity.
+_bucket_cos_scored``).  The previous implementation generated
+candidates through an LSH-band self-join and materialized every
+colliding pair through a DISTINCT and two vector joins; on a
+duplicate-heavy corpus the per-bucket pair mass is Σocc² and the
+shuffled pair list exploded (measured: filled >70 GB of shuffle and
+did not finish at sf25, where the scaled corpus packs ~250 mutual
+near-duplicates per bucket).  The kernel scan shuffles only
+|corpus| x nsalt slim member rows, emits one row per vector, and
+needs no band machinery at all — the in-kernel BLAS matmul scores a
+cluster's full occ² matrix faster than the join could shuffle its
+pair list.  Exactness improves: a cos >= tau pair inside a cluster
+is now found ALWAYS, not only when it also collided in a band.
 
 Exemplar rule: SemDeDup keeps a pseudo-random member per duplicate
 group; here the KEPT member is the lowest ``vec_id`` (deterministic,
@@ -30,11 +40,16 @@ engine-independent) — a documented deviation that changes WHICH
 exemplar survives, never HOW MANY.
 
 Scale shape (100 TB): centroids are a fixed-size broadcast (k x DIM
-rows, never corpus-proportional); assignment is one broadcast
-nested-loop + per-vector argmax window on slim rows; the candidate
-join is an equi-join on (cell, band, key) with fan-out bounded by
-bucket occupancy; the gate fold is one partial-agg shuffle keyed by
-vec_id.  No stage is all-pairs, no driver action beyond the bounded
+rows, never corpus-proportional); assignment is the shared Arrow
+matmul kernel over the corpus scan; the pairwise stage shuffles
+|corpus| x nsalt member rows grouped by (cell, salt) — queries are
+PARTITIONED across the salts (each vector's full answer is computed
+against the cluster's complete member list in its one group), so the
+result is exact at any salt width while no task ever holds more than
+occ members + occ/nsalt queries.  With #cells = sqrt_pow2(N) the
+total kernel work is Θ(N^1.5) — the same designed IVF balance point
+as ``knn_ivf_kmeans``.  No stage is all-pairs across clusters, no
+pair list is ever materialized, no driver action beyond the bounded
 Lloyd convergence counts inherited from the centroid builder
 (CONTRACTUALLY EAGER, see plans/queries.py QuerySpec).
 
@@ -46,44 +61,33 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hyperplane import (
-    DOT_D as _DOT_D,
-    DOT_S as _DOT_S,
-    int_band_keys,
-)
 from ..caching import persist_tracked
 from ..plans.queries import registered_query as _q
 from .dedup_fuzzy import _COSINE_TAU as SEMDEDUP_TAU  # one shared tau
 from .similarity import (
     assign_to_centroids,
+    corpus_count,
     ivf_assign_cte,
     ivf_quantizer,
-    lsh_nbuckets,
 )
 
 
 def _semdedup_oracle() -> str:
-    from ..functions.hyperplane import (
-        N_BAND_FAMILIES,
-        band_family_expr_duck,
-        pow2_grid_cte,
-    )
+    from ..functions.hyperplane import IDOT_D
 
-    dot_ab = _DOT_D.format(a="a.v", b="b.v")
-    dot_aa = _DOT_D.format(a="a.v", b="a.v")
-    dot_bb = _DOT_D.format(a="b.v", b="b.v")
     # ivf_assign_cte trains the corpus-scaled quantizer on the BASE
     # embeddings table and assigns whatever ``v`` is — here the planted
     # corpus — exactly mirroring the Spark side (ivf_quantizer +
-    # assign_to_centroids over the planted vectors).  Band keys are the
-    # corpus-scaled (b = log2 √N bits, L = 8 families) blocking of
-    # functions/hyperplane.py — each family's STATIC 16-bit bucket
-    # masked by the band_params grid point.
-    band_rows = "\n        UNION ALL\n".join(
-        f"""        SELECT vec_id, cell, {f} AS b,
-               ({band_family_expr_duck("vb.v", f)}) % p.nb AS k
-        FROM vb, band_params p"""
-        for f in range(N_BAND_FAMILIES)
+    # assign_to_centroids over the planted vectors).  Its ``v_u`` CTE
+    # (micro-unit BIGINT vectors) is reused for the pairwise stage, so
+    # the verify arithmetic is the family-wide exact-integer cosine
+    # contract: BIGINT dots, one CAST-to-DOUBLE each, one sqrt, one
+    # divide — the identical correctly-rounded IEEE op sequence the
+    # Arrow kernel computes via exact int64 matmul.
+    idot_ab = IDOT_D.format(a="a.uv", b="b.uv")
+    cos = (
+        f"CAST({idot_ab} AS DOUBLE)"
+        f" / sqrt(CAST(a.in2 AS DOUBLE) * CAST(b.in2 AS DOUBLE))"
     )
     return f"""
     WITH corpus AS (
@@ -94,39 +98,30 @@ def _semdedup_oracle() -> str:
     ),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
     {ivf_assign_cte()},
-    {pow2_grid_cte("band_params")},
-    vb AS (
-        SELECT v.vec_id, a.cell, v.v
-        FROM v JOIN assign a USING (vec_id)
+    u AS (
+        SELECT vu.vec_id, a.cell, vu.uv,
+               {IDOT_D.format(a="vu.uv", b="vu.uv")} AS in2
+        FROM v_u vu JOIN assign a ON a.vec_id = vu.vec_id
     ),
-    bands AS (
-{band_rows}
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
-          ON a.cell = b.cell AND a.b = b.b AND a.k = b.k
-         AND a.vec_id < b.vec_id
-    ),
-    dup AS (
-        SELECT vec_b FROM cand
-        JOIN vb a ON a.vec_id = vec_a
-        JOIN vb b ON b.vec_id = vec_b
-        WHERE {dot_ab} / sqrt({dot_aa} * {dot_bb}) >= {SEMDEDUP_TAU}
-    ),
-    hits AS (SELECT vec_b, count(*) AS n FROM dup GROUP BY vec_b)
-    SELECT vb.vec_id, vb.cell,
+    hits AS (
+        SELECT b.vec_id AS vec_id, count(*) AS n
+        FROM u a JOIN u b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {cos} >= {SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT u.vec_id, u.cell,
            CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_lower_dups,
-           CASE WHEN hits.vec_b IS NOT NULL THEN 'drop' ELSE 'keep' END
+           CASE WHEN hits.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END
                AS semdedup_gate
-    FROM vb LEFT JOIN hits ON hits.vec_b = vb.vec_id
+    FROM u LEFT JOIN hits ON hits.vec_id = u.vec_id
     """
 
 
 @_q(
     "corpus_semdedup",
     "north-star: SemDeDup — k-means-cluster-confined semantic near-dup "
-    "gate over embeddings (learned clusters, per-vector keep/drop)",
+    "gate over embeddings (learned clusters, per-cluster kernel scan)",
     _semdedup_oracle(),
 )
 def _semdedup(spark, t):
@@ -135,12 +130,14 @@ def _semdedup(spark, t):
     # planted duplicates below are copies of raw vectors, so training
     # on the raw side only cannot move any assignment they'd land in).
     # SemDeDup's own prescription is cluster count growing with the
-    # corpus — a fixed k left this gate's within-cluster candidate
-    # join quadratic (measured 15.6x for 10x data at a fixed k≈10
-    # before this change; ~N^1.5 after).  Served as a materialized
-    # session artifact (the PQ-codebook discipline), and shared with
-    # the IVF search paths so cluster geometry cannot drift between
-    # search and dedup.
+    # corpus — a fixed k left the within-cluster pairwise stage
+    # quadratic; #cells ∝ √N makes it Θ(N^1.5), the IVF balance
+    # point.  Served as a materialized session artifact (the
+    # PQ-codebook discipline), and shared with the IVF search paths so
+    # cluster geometry cannot drift between search and dedup.
+    from .pq import _ivfpq_nsalt
+    from .similarity import _ivf_ncells
+
     cvec = ivf_quantizer(spark, t)
     # Same planted near-dup corpus as dedup_embedding_cosine: every
     # 20th vector re-enters shifted by 1e6, so the gate has real
@@ -152,63 +149,94 @@ def _semdedup(spark, t):
     )
     vecs = corpus.select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    ).withColumn("n2", F.expr(_DOT_S.format(a="v", b="v")))
+    )
     # Stage 2 — assignment: the SHARED nearest-centroid kernel
     # (similarity.assign_to_centroids — broadcast centroid table,
-    # per-vector cosine argmax, lowest-cell tie-break), so this gate
-    # and the IVF search paths can never drift apart semantically.
-    assign = assign_to_centroids(vecs, cvec)
-    # Persisted: vb feeds FOUR consumers (band build, both verify
-    # sides, the final gate join) — unpersisted, each re-derives the
-    # N x #cells assignment from scratch (measured 74 s -> ~35 s at
-    # sf5).
-    vb = persist_tracked(vecs.join(assign, "vec_id"))
-    # Stage 3 — cluster-confined banded candidates with CORPUS-SCALED
-    # band keys (b = log2 √N bits per band, L = N_BAND_FAMILIES
-    # independent families, exact-integer sign bits at matmul speed —
-    # see functions/hyperplane.py int_band_keys): slim (vec_id, cell,
-    # band, key) rows only; the 64-double vectors never ride through
-    # the exploded self-join.  Constant-width 2-bit bands degenerated
-    # to Σocc² candidate pairs on hot cells (measured 12.3x for 5x
-    # data at sf5); √N-wide keys divide every block by the
-    # corpus-scaled key space.
-    nb = lsh_nbuckets(spark, t)
-    bands = vb.select("vec_id", "cell").join(int_band_keys(vb, nb), "vec_id")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+    # exact-integer matmul argmax, lowest-cell tie-break), so this
+    # gate and the IVF search paths can never drift apart
+    # semantically.  Persisted: the assigned corpus feeds both sides
+    # of the cogroup below.
+    vb = persist_tracked(vecs.join(assign_to_centroids(vecs, cvec), "vec_id"))
+    # Stage 3 — per-cluster kernel scan (the knn_ivfpq_adc playbook):
+    # QUERIES are salt-PARTITIONED (vec_id % nsalt), members replicated
+    # across the cell's salts, so each vector meets its cluster's FULL
+    # member list exactly once — per-vector results are exact at any
+    # salt width, and no task holds more than occ members +
+    # occ/nsalt query rows.  nsalt comes from the corpus-derived
+    # sizing shared with the other kernel scans (bounded group target,
+    # 16x skew allowance, no per-cell count job).
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
     )
-    # Stage 4 — exact verify + gate: a vector is DROPPED when any
-    # lower-vec_id member of its cluster sits at cosine >= tau (the
-    # lowest id of every duplicate group survives).
-    cos = F.expr(f"{_DOT_S.format(a='a.v', b='b.v')} / sqrt(a.n2 * b.n2)")
-    slim = vb.select("vec_id", "v", "n2")
-    dup = (
-        cand.join(slim.alias("a"), F.col("a.vec_id") == F.col("vec_a"))
-        .join(slim.alias("b"), F.col("b.vec_id") == F.col("vec_b"))
-        .filter(cos >= SEMDEDUP_TAU)
-        .select("vec_b")
+    members = vb.select("vec_id", "v", "cell").withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))
     )
-    hits = dup.groupBy("vec_b").agg(F.count("*").cast("bigint").alias("n"))
+    # query side renamed (q_id, qv, q_cell): fresh attribute ids, so the
+    # cogroup of two projections of the same persisted frame is not an
+    # ambiguous self-join (the _knn_lsh corpus/qs discipline).
+    qs = vb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("q_cell"),
+    ).withColumn("salt", (F.col("q_id") % nsalt).cast("int"))
+    tau = SEMDEDUP_TAU
+
+    def kernel(m_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "n_lower_dups": pd.Series(dtype="int64"),
+                "semdedup_gate": pd.Series(dtype="object"),
+            }
+        )
+        if len(q_pdf) == 0 or len(m_pdf) == 0:
+            return empty
+        Um = np.floor(
+            np.stack(m_pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        mid = m_pdf["vec_id"].to_numpy()
+        Uq = np.floor(
+            np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        qid = q_pdf["q_id"].to_numpy()
+        # int64 exactness contract: |dot| <= umax^2 * DIM must stay
+        # inside int64 (the oracle folds the same BIGINTs; DuckDB
+        # would error on wrap where numpy wraps silently).
+        umax = max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0))
+        if umax * umax * Um.shape[1] >= 2**62:
+            raise ValueError(
+                "semdedup kernel: |u|^2 * DIM exceeds int64 headroom;"
+                " the kernel would wrap where the BIGINT oracle errors"
+            )
+        nm2 = (Um * Um).sum(axis=1).astype(np.float64)
+        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
+        counts = np.zeros(len(qid), dtype=np.int64)
+        for lo in range(0, len(qid), 256):
+            hi = min(lo + 256, len(qid))
+            dots = Uq[lo:hi] @ Um.T  # exact int64 matmul
+            cos = dots.astype(np.float64) / np.sqrt(
+                nq2[lo:hi, None] * nm2[None, :]
+            )
+            hit = (cos >= tau) & (mid[None, :] < qid[lo:hi, None])
+            counts[lo:hi] = hit.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": qid,
+                "cell": q_pdf["q_cell"].to_numpy(),
+                "n_lower_dups": counts,
+                "semdedup_gate": np.where(counts > 0, "drop", "keep"),
+            }
+        )
+
     return (
-        vb.select("vec_id", "cell")
-        .join(hits, vb.vec_id == hits.vec_b, "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_lower_dups"),
-            F.when(F.col("vec_b").isNotNull(), "drop")
-            .otherwise("keep")
-            .alias("semdedup_gate"),
+        members.groupby("cell", "salt")
+        .cogroup(qs.groupby("q_cell", "salt"))
+        .applyInPandas(
+            kernel,
+            "vec_id long, cell int, n_lower_dups long, semdedup_gate string",
         )
     )
