@@ -864,6 +864,10 @@ def _embedding_neardup(spark, t):
         import numpy as np
         import pandas as pd
 
+        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
+            exact_idot_matmul,
+        )
+
         empty = pd.DataFrame(
             {
                 "vec_a": pd.Series(dtype="int64"),
@@ -881,22 +885,14 @@ def _embedding_neardup(spark, t):
             np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
         ).astype(np.int64)
         qid = q_pdf["q_id"].to_numpy()
-        umax = max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0))
-        if umax * umax * Um.shape[1] >= 2**62:
-            raise ValueError(
-                "embedding near-dup kernel: |u|^2 * DIM exceeds int64"
-                " headroom; the kernel would wrap where the BIGINT"
-                " oracle errors"
-            )
         nm2 = (Um * Um).sum(axis=1).astype(np.float64)
         nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
         out_a, out_b, out_c = [], [], []
         for lo in range(0, len(qid), 256):
             hi = min(lo + 256, len(qid))
-            dots = Uq[lo:hi] @ Um.T  # exact int64 matmul
-            cos = dots.astype(np.float64) / np.sqrt(
-                nq2[lo:hi, None] * nm2[None, :]
-            )
+            # exact integer dots (BLAS fast path + in-helper guard)
+            dots = exact_idot_matmul(Uq[lo:hi], Um)
+            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[None, :])
             hit = (cos >= tau) & (mid[None, :] < qid[lo:hi, None])
             r, c = np.nonzero(hit)
             if len(r):

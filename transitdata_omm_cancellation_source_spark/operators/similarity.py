@@ -252,6 +252,10 @@ def _bucket_cos_scored(corpus: DataFrame, qs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
+            exact_idot_matmul,
+        )
+
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int64"),
@@ -269,15 +273,6 @@ def _bucket_cos_scored(corpus: DataFrame, qs: DataFrame) -> DataFrame:
             np.stack(qs_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
         ).astype(np.int64)
         qid = qs_pdf["query_id"].to_numpy()
-        # int64 exactness contract: |dot| <= umax^2 * DIM must stay
-        # inside int64 (the oracle folds the same BIGINTs; DuckDB
-        # would error on wrap where numpy wraps silently).
-        umax = max(np.abs(Uc).max(initial=0), np.abs(Uq).max(initial=0))
-        if umax * umax * Uc.shape[1] >= 2**62:
-            raise ValueError(
-                "bucket cosine kernel: |u|^2 * DIM exceeds int64 headroom;"
-                " the kernel would wrap where the BIGINT oracle errors"
-            )
         nc2 = (Uc * Uc).sum(axis=1).astype(np.float64)
         nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
         nc = len(nid)
@@ -285,10 +280,9 @@ def _bucket_cos_scored(corpus: DataFrame, qs: DataFrame) -> DataFrame:
         kth = min(topk, nc - 1)
         for lo in range(0, len(qid), 256):
             hi = min(lo + 256, len(qid))
-            dots = Uq[lo:hi] @ Uc.T  # exact int64 matmul
-            cos = dots.astype(np.float64) / np.sqrt(
-                nq2[lo:hi, None] * nc2[None, :]
-            )
+            # exact integer dots (BLAS fast path + in-helper guard)
+            dots = exact_idot_matmul(Uq[lo:hi], Uc)
+            cos = dots / np.sqrt(nq2[lo:hi, None] * nc2[None, :])
             for qi in range(lo, hi):
                 s = -cos[qi - lo]
                 thresh = np.partition(s, kth)[kth]
