@@ -887,13 +887,23 @@ def _embedding_neardup(spark, t):
         qid = q_pdf["q_id"].to_numpy()
         nm2 = (Um * Um).sum(axis=1).astype(np.float64)
         nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
+        # only mid < qid pairs can ever emit: sort both sides by id
+        # and trim each query chunk's member matrix at its max qid —
+        # halves the matmul work on average, output set unchanged.
+        mo = np.argsort(mid)
+        mid, Um, nm2 = mid[mo], Um[mo], nm2[mo]
+        qo = np.argsort(qid)
+        qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
         out_a, out_b, out_c = [], [], []
         for lo in range(0, len(qid), 256):
             hi = min(lo + 256, len(qid))
+            mh = int(np.searchsorted(mid, qid[hi - 1], side="left"))
+            if mh == 0:
+                continue
             # exact integer dots (BLAS fast path + in-helper guard)
-            dots = exact_idot_matmul(Uq[lo:hi], Um)
-            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[None, :])
-            hit = (cos >= tau) & (mid[None, :] < qid[lo:hi, None])
+            dots = exact_idot_matmul(Uq[lo:hi], Um[:mh])
+            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[:mh][None, :])
+            hit = (cos >= tau) & (mid[:mh][None, :] < qid[lo:hi, None])
             r, c = np.nonzero(hit)
             if len(r):
                 out_a.extend(mid[c])

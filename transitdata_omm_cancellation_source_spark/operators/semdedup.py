@@ -209,18 +209,29 @@ def _semdedup(spark, t):
         qid = q_pdf["q_id"].to_numpy()
         nm2 = (Um * Um).sum(axis=1).astype(np.float64)
         nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
+        # only mid < qid pairs can ever count: sort both sides by id
+        # and trim each query chunk's member matrix at its max qid —
+        # halves the matmul work on average, output unchanged (row
+        # order is free; the gate joins by vec_id downstream).
+        mo = np.argsort(mid)
+        mid, Um, nm2 = mid[mo], Um[mo], nm2[mo]
+        qo = np.argsort(qid)
+        qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
         counts = np.zeros(len(qid), dtype=np.int64)
         for lo in range(0, len(qid), 256):
             hi = min(lo + 256, len(qid))
+            mh = int(np.searchsorted(mid, qid[hi - 1], side="left"))
+            if mh == 0:
+                continue
             # exact integer dots (BLAS fast path + in-helper guard)
-            dots = exact_idot_matmul(Uq[lo:hi], Um)
-            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[None, :])
-            hit = (cos >= tau) & (mid[None, :] < qid[lo:hi, None])
+            dots = exact_idot_matmul(Uq[lo:hi], Um[:mh])
+            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[:mh][None, :])
+            hit = (cos >= tau) & (mid[:mh][None, :] < qid[lo:hi, None])
             counts[lo:hi] = hit.sum(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": qid,
-                "cell": q_pdf["q_cell"].to_numpy(),
+                "cell": q_pdf["q_cell"].to_numpy()[qo],
                 "n_lower_dups": counts,
                 "semdedup_gate": np.where(counts > 0, "drop", "keep"),
             }
