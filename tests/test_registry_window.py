@@ -112,10 +112,17 @@ def test_rotation_cannot_freeze():
 
 def test_live_window_prefers_stale_over_fresh():
     """Against the REAL history: no query outside the window may be
-    staler than a non-flagship query inside it."""
+    staler than a non-flagship, non-recertify query inside it.  The
+    ``_RECERTIFY`` pins are the one sanctioned exception — a query
+    whose implementation was rewritten this round re-enters the window
+    regardless of how fresh its (pre-rewrite) evidence is."""
+    from transitdata_omm_cancellation_source_spark.plans.queries import (
+        _RECERTIFY,
+    )
+
     hist = _certification_history()
     window = certification_window()
-    inside = list(window[2:])  # non-flagship window entries
+    inside = [n for n in window[2:] if n not in _RECERTIFY]
     outside = [n for n in REGISTRY if n not in window]
 
     def last_green(name):
@@ -156,3 +163,17 @@ def test_history_counts_only_green_rows(tmp_path, monkeypatch):
     monkeypatch.setattr(q, "_REPO_ROOT", tmp_path)
     monkeypatch.setattr(q, "_HISTORY_CACHE", None)  # restored at teardown
     assert q._certification_history() == {"green": [1]}
+
+
+def test_recertify_pins_follow_flagships():
+    """Rewritten-this-round queries must re-enter the window right
+    after the flagships, so the driver certifies the NEW code path
+    even though their (pre-rewrite) evidence is fresh."""
+    from transitdata_omm_cancellation_source_spark.plans.queries import (
+        _RECERTIFY,
+    )
+
+    window = certification_window()
+    assert set(_RECERTIFY) <= set(REGISTRY)
+    expected = [n for n in _RECERTIFY if n not in window[:2]]
+    assert list(window[2 : 2 + len(expected)]) == expected

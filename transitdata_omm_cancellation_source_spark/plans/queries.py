@@ -252,13 +252,54 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
     return [name for _, name in sorted(enumerate(names), key=key)]
 
 
+#: Queries whose IMPLEMENTATION (or oracle) was rewritten since their
+#: last driver-green round.  Staleness alone cannot see a code change:
+#: a query green in round N-1 sorts to the back of the rotation even
+#: when round N replaced its execution path, leaving the rewrite
+#: oracle-uncertified by the driver (the r9 ADVICE #4 failure mode —
+#: PCA's rewrite shipped with only pre-rewrite parity evidence).
+#: Names here are pinned into the window right after the flagships.
+#: MAINTENANCE CONTRACT: add names in the round that rewrites them;
+#: clear the tuple in the next round once CORRECTNESS_r{N}.json has
+#: their green rows (the staleness order then resumes normally).
+_RECERTIFY: tuple[str, ...] = (
+    # round-10 rewrites: per-group kernel scans + exact-integer cosine
+    # contract (oracles rewritten) across the kNN family …
+    "knn_lsh_hyperplane",
+    "knn_lsh_multiprobe",
+    "knn_ivf_kmeans",
+    "knn_pq_adc",
+    "knn_pq_refine",
+    "knn_bruteforce_cosine",
+    "knn_ivf_label",
+    "knn_ivfpq_adc",
+    # … the two dedup paths rebuilt as per-block kernel scans …
+    "corpus_semdedup",
+    "dedup_embedding_cosine",
+    # … the DECIMAL(38) PCA rollup + map-side Lloyd argmax …
+    "embedding_pca_top_component",
+    "kmeans_lloyd_centroids",
+    # … and the shared-frame dedup family (map-side minhash/simhash
+    # kernels, corpus-tiered simhash blocking).
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_cluster_canonical",
+)
+
+
 def certification_window() -> tuple[str, ...]:
     """The first ``CERT_WINDOW`` names the driver will verify this round."""
     flagships = [n for n in _FLAGSHIPS if n in REGISTRY]
+    recert = [
+        n for n in _RECERTIFY if n in REGISTRY and n not in _FLAGSHIPS
+    ]
     rest = _rotation_order(
-        [n for n in REGISTRY if n not in _FLAGSHIPS], _certification_history()
+        [n for n in REGISTRY if n not in _FLAGSHIPS and n not in recert],
+        _certification_history(),
     )
-    return tuple((flagships + rest)[:CERT_WINDOW])
+    return tuple((flagships + recert + rest)[:CERT_WINDOW])
 
 
 # No import-time reorder of REGISTRY itself: under the operator-module
