@@ -66,22 +66,119 @@ def _flagship(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     return build
 
 
-REGISTRY: dict[str, QuerySpec] = {
-    "cancellation_pipeline_now": QuerySpec(
-        build=_flagship("NOW"),
-        oracle=cancellation_oracle_sql(QueryParams(mode="NOW")),
-        survey_ref="E1: J1-J10,F1-F2,F4-F7,P1-P13,S4-S5,A2",
-    ),
-    "cancellation_pipeline_past": QuerySpec(
-        build=_flagship("PAST"),
-        oracle=cancellation_oracle_sql(QueryParams(mode="PAST")),
-        survey_ref="E2/F3: incremental change capture",
-    ),
-}
+class _LazyRegistry(dict):
+    """Registry mapping that imports the operator modules on first READ.
+
+    The operator modules and this module import each other; when the
+    import block lived in this module's body, the FIRST import of any
+    operator module (root import) re-entered here and then tripped on
+    whichever sibling module was still partially initialized — e.g.
+    ``import operators.similarity`` as the first import of a fresh
+    process raised ImportError from ``dedup_fuzzy``'s oracle builder.
+    Deferring the block to first registry access makes this module's
+    body cheap (so ``registered_query`` is always importable) and every
+    operator module root-importable: registrations from the root module
+    land as its body executes, and the full sweep runs at the first
+    actual registry read.  Writes never trigger the sweep
+    (``register`` must work DURING it).
+    """
+
+    def __getitem__(self, key):
+        _ensure_registered()
+        return super().__getitem__(key)
+
+    def __iter__(self):
+        _ensure_registered()
+        return super().__iter__()
+
+    def __len__(self):
+        _ensure_registered()
+        return super().__len__()
+
+    def __contains__(self, key):
+        _ensure_registered()
+        return super().__contains__(key)
+
+    def get(self, key, default=None):
+        _ensure_registered()
+        return super().get(key, default)
+
+    def keys(self):
+        _ensure_registered()
+        return super().keys()
+
+    def values(self):
+        _ensure_registered()
+        return super().values()
+
+    def items(self):
+        _ensure_registered()
+        return super().items()
+
+
+REGISTRY: dict[str, QuerySpec] = _LazyRegistry(
+    {
+        "cancellation_pipeline_now": QuerySpec(
+            build=_flagship("NOW"),
+            oracle=cancellation_oracle_sql(QueryParams(mode="NOW")),
+            survey_ref="E1: J1-J10,F1-F2,F4-F7,P1-P13,S4-S5,A2",
+        ),
+        "cancellation_pipeline_past": QuerySpec(
+            build=_flagship("PAST"),
+            oracle=cancellation_oracle_sql(QueryParams(mode="PAST")),
+            survey_ref="E2/F3: incremental change capture",
+        ),
+    }
+)
+
+_REGISTERED = False
+
+
+def _ensure_registered() -> None:
+    """Import every operator module once (idempotent, re-entrant safe).
+
+    The flag is set BEFORE the imports so registrations that read the
+    registry mid-sweep (e.g. ``dedup_fuzzy``'s cluster oracle composing
+    the minhash oracle) do not recurse.  Import order is topological
+    over the modules' own cross-imports — see the inline notes.
+    """
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    _REGISTERED = True
+    from . import lifecycle_queries  # noqa: F401
+    from . import operator_queries  # noqa: F401
+    from ..operators import analytics  # noqa: F401
+    from ..operators import dedup_fuzzy  # noqa: F401
+    from ..operators import graph  # noqa: F401
+    from ..operators import multimodal  # noqa: F401
+    from ..operators import similarity  # noqa: F401
+    from ..operators import textops  # noqa: F401
+
+    # pipeline_prep composes textops' language-ID oracle, so it must
+    # import after textops.
+    from ..operators import behavior  # noqa: F401
+    from ..operators import pipeline_prep  # noqa: F401
+    from ..operators import retrieval  # noqa: F401
+    from ..operators import sampling  # noqa: F401
+    from ..operators import timeseries  # noqa: F401
+    from ..operators import tokenizer  # noqa: F401
+
+    # quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
+    # composes embedding_label_centroid's, so both import after
+    # similarity; pq reuses the same constants plus the hyperplane
+    # bucket primitives.
+    from ..operators import pca  # noqa: F401
+    from ..operators import pq  # noqa: F401
+    from ..operators import quantize  # noqa: F401
+
+    # semdedup composes similarity's ivf_assign_cte / ivf_quantizer and
+    # dedup_fuzzy's shared tau, so it imports after both.
+    from ..operators import semdedup  # noqa: F401
 
 
 def register(name: str, spec: QuerySpec) -> None:
-    REGISTRY[name] = spec
+    dict.__setitem__(REGISTRY, name, spec)
 
 
 def registered_query(name: str, survey_ref: str, oracle: str | None):
@@ -131,37 +228,6 @@ def oracle_sql() -> dict[str, str]:
         if REGISTRY[name].oracle is not None
     }
 
-
-# Populate the registry.  These imports run after the symbols above are
-# defined (they import back from this module), so the cycle is benign.
-from . import lifecycle_queries  # noqa: E402,F401
-from . import operator_queries  # noqa: E402,F401
-from ..operators import analytics  # noqa: E402,F401
-from ..operators import dedup_fuzzy  # noqa: E402,F401
-from ..operators import graph  # noqa: E402,F401
-from ..operators import multimodal  # noqa: E402,F401
-from ..operators import similarity  # noqa: E402,F401
-from ..operators import textops  # noqa: E402,F401
-
-# pipeline_prep composes textops' language-ID oracle, so it must import
-# after textops.
-from ..operators import behavior  # noqa: E402,F401
-from ..operators import pipeline_prep  # noqa: E402,F401
-from ..operators import retrieval  # noqa: E402,F401
-from ..operators import sampling  # noqa: E402,F401
-from ..operators import timeseries  # noqa: E402,F401
-from ..operators import tokenizer  # noqa: E402,F401
-
-# quantize reuses similarity's QUERY_MOD/TOP_K and the Lloyd oracle
-# composes embedding_label_centroid's, so both import after similarity;
-# pq reuses the same constants plus the hyperplane bucket primitives.
-from ..operators import pca  # noqa: E402,F401
-from ..operators import pq  # noqa: E402,F401
-from ..operators import quantize  # noqa: E402,F401
-
-# semdedup composes similarity's ivf_assign_cte / ivf_quantizer and
-# dedup_fuzzy's shared tau, so it imports after both.
-from ..operators import semdedup  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Certification-window ordering — COMPUTED, never hand-edited.
