@@ -31,6 +31,12 @@ from transitdata_omm_cancellation_source_spark.operators.pca import (
 from transitdata_omm_cancellation_source_spark.operators.quantize import (
     _standardize,
 )
+from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+    _embedding_neardup,
+)
+from transitdata_omm_cancellation_source_spark.operators.semdedup import (
+    _semdedup,
+)
 from transitdata_omm_cancellation_source_spark.operators.similarity import (
     _knn_ivf_kmeans,
 )
@@ -57,6 +63,8 @@ _CASES = [
     (_upsert_merge, ("orders",)),
     (_pca_top_component, ("embeddings",)),
     (_knn_ivf_kmeans, ("embeddings",)),
+    (_semdedup, ("embeddings",)),
+    (_embedding_neardup, ("embeddings",)),
 ]
 
 
