@@ -154,4 +154,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main() or 0
+    # The 32g-heap JVM can take minutes to wind down through the normal
+    # shutdown hooks after the results are already printed; flush and
+    # exit hard — nothing after the table matters.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(rc)
