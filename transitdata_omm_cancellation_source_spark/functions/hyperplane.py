@@ -36,6 +36,12 @@ MAX_PLANES = 16
 #: per-band collision p^b decays as N grows; L bands and the verify
 #: threshold keep the miss probability small for near-dup cosines
 #: (p ≥ 0.93/bit at tau = 0.98).
+#: Historical: the L-band near-dup blocking this constant sized is
+#: gone (r10 replaced the banded candidate joins with per-block kernel
+#: scans), but the plane table keeps its original 8-family extent so
+#: every plane index — and therefore every committed oracle hash —
+#: stays byte-identical; only the first MAX_PLANES planes are consumed
+#: (bucket keys for the LSH searches).
 N_BAND_FAMILIES = 8
 
 
@@ -158,92 +164,6 @@ def full_bucket_expr_duck(vec: str) -> str:
     the corpus-scaled bucket width."""
     bits = [
         f"(CASE WHEN {DOT_D.format(a=vec, b=_plane_lit_duck(j))} > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(MAX_PLANES)
-    ]
-    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
-
-
-# --- corpus-scaled band-family keys (near-dup blocking) ----------------------
-# Sign bits are computed over EXACT INTEGER micro-unit dots: the ±1
-# plane weights make each dot a sum of ±u_j (|sum| ≤ DIM·1e6·|v|max,
-# far below 2^53), so a float64 matmul computes literally the same
-# integers as the oracle's BIGINT fold — order-independent signs at
-# BLAS speed.  The per-row HOF fold this replaces evaluated
-# N_BAND_FAMILIES · log2(nb) interpreted 64-dim folds per vector
-# (measured as the 23 s stage of SemDeDup at sf5; the kernel does the
-# same arithmetic in under a second).
-
-
-def _plane_int_lit_duck(j: int) -> str:
-    return "[" + ", ".join(str(int(w)) for w in HYPERPLANES[j]) + "]"
-
-
-def int_band_keys(df: DataFrame, nb: int, id_col: str = "vec_id",
-                  vec_col: str = "v") -> DataFrame:
-    """(id, b, k): every band family's corpus-scaled key per row —
-    Arrow-batched exact-integer sign bits (see the section comment).
-    Callers join the slim result back on ``id_col``."""
-    import numpy as np
-
-    spark = df.sparkSession
-    p = nb.bit_length() - 1
-    bc = spark.sparkContext.broadcast(
-        np.array(HYPERPLANES, dtype=np.float64)
-    )
-    nfam = N_BAND_FAMILIES
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        P_ = bc.value
-        for pdf in batches:
-            U = np.floor(
-                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
-                + 0.5
-            )
-            # Exactness contract, enforced: the ±1 planes make each dot
-            # a DIM-term sum of ±u_j, which is exact in float64 only
-            # while |sum| < 2^53.  A corpus whose coordinates break the
-            # bound must fail loudly, not drift from the BIGINT oracle.
-            if np.abs(U).max(initial=0.0) * DIM >= 2.0**53:
-                raise ValueError(
-                    "int_band_keys: |u|*DIM exceeds the 2^53 exact-"
-                    "integer float64 headroom; band keys would diverge "
-                    "from the BIGINT oracle"
-                )
-            bits = (U @ P_.T) > 0.0  # exact integer dots -> exact signs
-            n = len(U)
-            ks = np.zeros((n, nfam), dtype=np.int64)
-            for f in range(nfam):
-                base = f * MAX_PLANES
-                for j in range(p):
-                    ks[:, f] += bits[:, base + j].astype(np.int64) << j
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), nfam),
-                    "b": np.tile(np.arange(nfam), n).astype("int32"),
-                    "k": ks.reshape(-1).astype("int32"),
-                }
-            )
-
-    par = spark.sparkContext.defaultParallelism
-    return (
-        df.select(id_col, vec_col)
-        .repartition(par, id_col)
-        .mapInPandas(kernel, f"{id_col} long, b int, k int")
-    )
-
-
-def band_family_expr_duck(vec: str, family: int) -> str:
-    """Family ``family``'s full 16-bit bucket over the INTEGER
-    micro-unit dots (the ``int_band_keys`` contract); callers mask
-    ``% nb``."""
-    base = family * MAX_PLANES
-    uv = MICRO_D.format(v=vec)
-    bits = [
-        f"(CASE WHEN {IDOT_D.format(a=uv, b=_plane_int_lit_duck(base + j))} > 0"
         f" THEN {1 << j} ELSE 0 END)"
         for j in range(MAX_PLANES)
     ]
