@@ -24,18 +24,6 @@ DIM = 64
 #: saturates there at N = 2^32 vectors — beyond that, widen).
 MAX_PLANES = 16
 
-#: Independent band FAMILIES for the banded near-dup blocking paths
-#: (SemDeDup, dedup_embedding_cosine).  Family ``f`` owns planes
-#: [f*MAX_PLANES, (f+1)*MAX_PLANES); its key is that family's bucket
-#: masked to the corpus-scaled width.  This is the classic (b, L) LSH
-#: parameterization with b = log2(sqrt_pow2(N)) bits and L = 8 bands:
-#: per-(block, family) occupancy divides by √N, so the verify-join
-#: cost is O(L · Σocc²/√N) instead of the Σocc² a constant-width band
-#: key degenerates to (measured 12.3x for 5x data on SemDeDup's hot
-#: cells before this change).  The recall trade is the standard one —
-#: per-band collision p^b decays as N grows; L bands and the verify
-#: threshold keep the miss probability small for near-dup cosines
-#: (p ≥ 0.93/bit at tau = 0.98).
 #: Historical: the L-band near-dup blocking this constant sized is
 #: gone (r10 replaced the banded candidate joins with per-block kernel
 #: scans), but the plane table keeps its original 8-family extent so
