@@ -99,3 +99,50 @@ def test_polyhash_model_bounds(s):
     for ch in s:
         acc = (acc * 31 + ord(ch)) % HASH_MOD
     assert 0 <= acc < HASH_MOD
+
+
+# --- exact integer matmul (the scan kernels' scoring contract) --------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32),
+)
+def test_exact_idot_matmul_blas_path_equals_int64_path(nq, nm, seed):
+    """The float64-BLAS fast path must return literally the same
+    integers as the int64 matmul for any micro-unit magnitudes inside
+    the 2^53 contract — summation order cannot matter because every
+    partial sum is exactly representable."""
+    import numpy as np
+
+    from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
+        DIM,
+        exact_idot_matmul,
+    )
+
+    rng = np.random.default_rng(seed)
+    # |u| <= 1.18e6 keeps umax^2 * DIM < 2^53 -> BLAS path taken
+    Uq = rng.integers(-1_180_000, 1_180_000, size=(nq, DIM), dtype=np.int64)
+    Um = rng.integers(-1_180_000, 1_180_000, size=(nm, DIM), dtype=np.int64)
+    fast = exact_idot_matmul(Uq, Um)
+    slow = (Uq @ Um.T).astype(np.float64)
+    assert fast.dtype == np.float64
+    assert (fast == slow).all()
+
+
+def test_exact_idot_matmul_guard_raises_beyond_int64_headroom():
+    import numpy as np
+    import pytest as _pytest
+
+    from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
+        DIM,
+        exact_idot_matmul,
+    )
+
+    # |u|^2 * DIM >= 2^62: the BIGINT oracle would error -> kernel must
+    # raise rather than wrap.
+    u = np.full((1, DIM), 2**29, dtype=np.int64)
+    with _pytest.raises(ValueError, match="int64 headroom"):
+        exact_idot_matmul(u, u)

@@ -189,7 +189,11 @@ def exact_idot_matmul(Uq, Um):
     import numpy as np
 
     dim = Um.shape[1]
-    umax = max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0))
+    # Python int, NOT an int64 scalar: umax^2 * dim itself can exceed
+    # 2^63 (e.g. |u| = 2^29 at DIM = 64 -> 2^64), and an int64 guard
+    # would wrap to a small number and silently take the fast path on
+    # exactly the inputs it exists to reject.
+    umax = int(max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0)))
     if umax * umax * dim < 2.0**53:
         return Uq.astype(np.float64) @ Um.astype(np.float64).T
     if umax * umax * dim >= 2**62:
