@@ -29,7 +29,13 @@ bounded by parts-per-order, never a cartesian); each PageRank round
 shuffles the EDGE list once on src (join) and once on dst
 (aggregate) — the textbook distributed PageRank cost, linear in
 |E| per round with map-side combine on the dst sum.  Ranks stay a
-slim (node, BIGINT) table.  At extreme node counts the micro-unit
+slim (node, BIGINT) table.  Join strategy is deliberately LEFT TO
+AQE: forcing SHUFFLE_HASH on the slim sides (rank / wu / contrib) to
+skip the edge-side sorts was measured WORSE at both sf5 (58.4 ->
+63.7 s) and sf25 (241 -> 365 s cold) — the hint also forbids AQE's
+runtime broadcast of the rank table and its skew handling, which
+beat the saved sorts at every scale tried.  Don't retry without new
+evidence.  At extreme node counts the micro-unit
 headroom (rank mass x max weight < 2^63) is the documented bound —
 the standard remedy is rescaling the mass convention per round.
 
