@@ -170,6 +170,44 @@ def shingles_from_word_hashes(
     )
 
 
+#: second 31-bit prime (2^31 - 19) and second fold multiplier for the
+#: 62-bit positional span keys below.
+HASH_MOD2 = 2_147_483_629
+GRAM_MULT, GRAM_MULT2 = 1_000_003, 1_000_033
+
+
+def gram_key_terms(element, n: int) -> str:
+    """SQL text for a ~62-bit n-word span key from per-word hashes.
+
+    ``element(j)`` returns the SQL expression for the j-th word hash of
+    the span (0-based offset) in the target dialect — the same template
+    serves Spark (``element_at(wh, i + j + 1)``) and DuckDB
+    (``wh[i + j + 1]``), so both engines compute identical keys.
+
+    Two INDEPENDENT polynomial folds (multipliers ``GRAM_MULT`` /
+    ``GRAM_MULT2``, moduli ``HASH_MOD`` / ``HASH_MOD2``) combine as
+    ``h1 * HASH_MOD2 + h2``: a single 31-bit fold collides constantly
+    at corpus scale (birthday bound ~N²/2^32 — hundreds of millions of
+    merged spans at 1e9 distinct grams), while the pair gives ~62 bits
+    (~0.1 expected collisions at 1e9 grams; ~1e-7 of spans merged even
+    at 1e12).  BIGINT-safe by construction: each fold keeps its
+    accumulator below 2^31, each step's product below 2^52, and the
+    final combine below 4.7e18 < 2^63 — identical overflow-free
+    arithmetic on both engines.
+
+    Contract note: operators keyed on this value define their span
+    semantics OVER THE KEY (the same contract as the shingle-hash
+    dedup family) — a key collision merges two distinct spans
+    identically on both engines, so oracles stay exact.
+    """
+    h1 = element(0)
+    h2 = element(0)
+    for j in range(1, n):
+        h1 = f"(({h1}) * {GRAM_MULT} + {element(j)}) % {HASH_MOD}"
+        h2 = f"(({h2}) * {GRAM_MULT2} + {element(j)}) % {HASH_MOD2}"
+    return f"(({h1}) * {HASH_MOD2} + ({h2}))"
+
+
 def minhash_signature(hashes_col: str, num_hashes: int = 64, mod: int = HASH_MOD) -> Column:
     """MinHash signature: sig[i] = min over shingles s of ((2i+1)*s + i²+1) mod P.
 

@@ -563,7 +563,9 @@ _SUBDUP_N = 8
 
 
 def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> str:
-    """Shared span-prune oracle skeleton: positional n-gram explode,
+    """Shared span-prune oracle skeleton: positional n-gram KEY explode
+    (62-bit two-fold span keys over per-word polyhashes — the exact
+    arithmetic of the Spark side, see ``functions.text.gram_key_terms``),
     a query-specific trigger CTE (``trig``), positional union cover,
     exact text rebuild.  The g-to-trig join is fixed as
     ``USING (gram)``; ``cov_where`` optionally restricts which
@@ -571,14 +573,20 @@ def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> s
     column.  One template serving both span-prune queries keeps the
     four former copies (two builders + two oracle strings) from
     drifting independently."""
-    gram = " || ' ' || ".join(f"ws[i + {j + 1}]" for j in range(n))
+    wh_list = (
+        f"list_transform(ws, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split(t, ''), x -> CAST(ascii(x) AS BIGINT))),"
+        f" (acc, x) -> (acc * 31 + x) % {P}))"
+    )
+    gram = X.gram_key_terms(lambda j: f"wh[i + {j + 1}]", n)
     return f"""
     WITH w AS (
         SELECT doc_id, {_WORDS_D} AS ws FROM documents
     ),
+    whs AS (SELECT doc_id, {wh_list} AS wh FROM w),
     g AS (
-        SELECT w.doc_id, i, {gram} AS gram
-        FROM w, LATERAL (SELECT unnest(range(0, len(ws) - {n - 1}))
+        SELECT whs.doc_id, i, {gram} AS gram
+        FROM whs, LATERAL (SELECT unnest(range(0, len(wh) - {n - 1}))
                          AS i)
     ),
     trig AS ({trig_cte}),
@@ -612,31 +620,50 @@ def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> s
 
 def _span_prune(docs: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
     """Shared span-prune builder skeleton (Spark mirror of
-    ``_span_prune_oracle``).  ``trigger`` maps the positional gram
+    ``_span_prune_oracle``).  ``trigger`` maps the positional gram-key
     table (doc_id, i, gram) to the COVERED occurrences (doc_id, i);
     everything else — the map-only positional explode, the fixed 1->n
     cover expansion, the length-bounded per-doc rebuild — is common.
 
-    Scale shape (100 TB): the positional 1->N explode is map-only;
-    the trigger's aggregation is keyed by the gram (vocabulary-
-    bounded, not corpus-proportional) and joins back by gram
-    equi-join (AQE broadcasts the trigger set when small); cover
-    expansion is a fixed 1->n explode; the rebuild folds per document
-    with task memory bounded by document length, the same bound every
-    per-doc ``collect_list`` in the repo rides on.
+    Spans are keyed by the 62-bit two-fold hash of their word hashes
+    (``functions.text.gram_key_terms``), NOT the concatenated string:
+    the positional explode emits ~len(corpus) rows, and shuffling
+    ~50-byte gram strings through the trigger aggregation and the
+    cover join measured ~6x the bytes of the 8-byte keys — at sf125
+    (6.25M docs) the string form exceeded this node's 53 GB of free
+    shuffle disk outright, while the keyed form completes.  Span
+    semantics are defined over the key (the shingle-hash dedup
+    family's contract; collision odds ~N²/2^63, identical on both
+    engines) and the rebuild still uses the real words, so output
+    text is exact.
+
+    Scale shape (100 TB): the positional 1->N explode is map-only
+    and carries (BIGINT, INT, BIGINT) rows; the trigger's aggregation
+    is keyed by the gram key (vocabulary-bounded, not corpus-
+    proportional) and joins back by key equi-join (AQE broadcasts the
+    trigger set when small); cover expansion is a fixed 1->n explode;
+    the rebuild folds per document with task memory bounded by
+    document length, the same bound every per-doc ``collect_list`` in
+    the repo rides on.
     """
     w = docs.select("doc_id", X.words("text").alias("ws"))
-    grams = w.filter(F.size("ws") >= n).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(ws) - {n}),"
-                " i -> struct(i AS i, concat_ws(' ', "
-                + ", ".join(f"ws[i + {j}]" for j in range(n))
-                + ") AS gram))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.i", "p.gram")
+    gram_key = X.gram_key_terms(
+        lambda j: f"element_at(wh, i + {j + 1})", n
+    )
+    grams = (
+        docs.select("doc_id", X.word_hashes("text").alias("wh"))
+        .filter(F.size("wh") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(wh) - {n}),"
+                    f" i -> struct(i AS i, {gram_key} AS gram))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.i", "p.gram")
+    )
     cov = (
         trigger(grams)
         .select(
@@ -694,6 +721,9 @@ def _boilerplate_prune(spark, t):
 
     All arithmetic is integer/string — no float enters until the final
     6-decimal ratio — so cross-engine parity is exact by construction.
+    Spans are keyed by the 62-bit word-hash fold (both engines compute
+    the identical key, see ``_span_prune``), so the hot-span trigger
+    aggregates and joins 8-byte BIGINTs, never gram strings.
     Shared skeleton: see ``_span_prune``.
     """
 
@@ -738,7 +768,11 @@ def _substring_dedup(spark, t):
     copy SURVIVES; boilerplate is removed everywhere).  At web scale
     the public method runs over a suffix array — the gram-keyed
     aggregation here is the shuffle-native equivalent for a fixed span
-    length.  Shared skeleton: see ``_span_prune``.
+    length.  Spans are keyed by the 62-bit word-hash fold — the same
+    substitution the public method itself makes at scale (Lee et al.
+    dedup hashed token windows, not raw bytes); both engines compute
+    the identical key, so the oracle stays exact (see ``_span_prune``).
+    Shared skeleton: see ``_span_prune``.
     """
 
     def noncanonical_occurrences(grams):

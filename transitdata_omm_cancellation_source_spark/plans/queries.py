@@ -352,6 +352,10 @@ _RECERTIFY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_edit_distance",
     "dedup_cluster_canonical",
+    # … and the span-prune pair re-keyed on 62-bit word-hash gram keys
+    # (string grams exceeded single-node shuffle disk at sf125).
+    "corpus_boilerplate_prune",
+    "corpus_substring_dedup",
 )
 
 
