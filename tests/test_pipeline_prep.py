@@ -179,6 +179,53 @@ def test_substring_dedup_keeps_canonical_copy_only(spark):
     assert out[2].n_removed == 0 and out[2].deduped_text == "short one"
 
 
+def test_gram_key_terms_cross_engine_and_headroom(spark):
+    # The 62-bit span keys are load-bearing values (trigger grouping
+    # and cover joins key on them): pin the Spark and DuckDB
+    # expression forms to IDENTICAL keys on a fixed doc, that distinct
+    # spans get distinct keys there, and the worst-case arithmetic to
+    # BIGINT headroom.
+    import duckdb
+
+    from transitdata_omm_cancellation_source_spark.functions import text as X
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    n = 4
+    s_expr = X.gram_key_terms(lambda j: f"element_at(wh, i + {j + 1})", n)
+    ks_spark = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(X.word_hashes("text").alias("wh"))
+        .select(
+            F.expr(f"transform(sequence(0, size(wh) - {n}), i -> {s_expr})").alias("ks")
+        )
+        .collect()[0]
+        .ks
+    )
+    d_expr = X.gram_key_terms(lambda j: f"wh[i + {j + 1}]", n)
+    wh_list = (
+        f"list_transform({X.WORDS_D}, t -> list_reduce(list_prepend("
+        f"CAST(0 AS BIGINT), list_transform(string_split(t, ''),"
+        f" x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc * 31 + x)"
+        f" % {X.HASH_MOD}))"
+    )
+    ks_duck = duckdb.connect().execute(
+        f"WITH d AS (SELECT ? AS text),"
+        f" whs AS (SELECT {wh_list} AS wh FROM d)"
+        f" SELECT list_transform(range(0, len(wh) - {n - 1}),"
+        f" i -> {d_expr}) FROM whs",
+        [text],
+    ).fetchone()[0]
+    assert ks_spark == ks_duck
+    # 12 words -> 9 positional 4-grams; the two repeated words alone
+    # don't repeat any 4-gram, so all keys are distinct here.
+    assert len(ks_spark) == 9 and len(set(ks_spark)) == 9
+    # worst-case BIGINT headroom of the fold and the combine, in exact
+    # Python integers: one fold step, then h1 * P2 + h2.
+    worst_step = (X.HASH_MOD - 1) * max(X.GRAM_MULT, X.GRAM_MULT2) + (X.HASH_MOD - 1)
+    assert worst_step < 2**63
+    assert (X.HASH_MOD - 1) * X.HASH_MOD2 + (X.HASH_MOD2 - 1) < 2**63
+
+
 def test_span_prune_invariants_hold_for_both_instantiations(spark):
     # shared-skeleton invariants on the real corpus: word accounting is
     # exact (n_removed + |rebuilt words| == n_words), the fraction is
