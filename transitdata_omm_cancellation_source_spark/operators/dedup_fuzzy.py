@@ -336,13 +336,26 @@ def _word_hash_frame(t) -> DataFrame:
 def _minhash_shingles(t) -> DataFrame:
     """Persisted sorted shingle sets of the planted corpus (shared
     session artifact; min/intersect are order-insensitive, but sorting
-    gives every consumer one canonical form)."""
+    gives every consumer one canonical form).
+
+    Stored as ARRAY<INT>: every shingle key is < HASH_MOD = 2^31 - 1
+    by construction, so the narrowing cast is exact, and it HALVES the
+    family's dominant bytes — this frame's cache blocks, the PPJoin
+    prefix explode, and the Jaccard verify joins that ship two full
+    shingle arrays per candidate pair (at sf125's dup density the
+    BIGINT form's spill exceeded a 53 GB single-node disk).  Every
+    consumer reads the values for equality/size/intersect or re-casts
+    to int64 inside an Arrow kernel before doing arithmetic; nothing
+    multiplies the INT column in Spark SQL, so no 32-bit wrap is
+    reachable."""
     return _family_frame(
         "shingle_sets",
         t,
         lambda: _word_hash_frame(t).select(
             "doc_id",
-            F.array_sort(X.shingles_from_word_hashes("wh")).alias("shingles"),
+            F.array_sort(X.shingles_from_word_hashes("wh"))
+            .cast("array<int>")
+            .alias("shingles"),
         ),
     )
 
