@@ -157,10 +157,20 @@ def shingles_from_word_hashes(
     """Distinct k-shingle keys composed from per-word hashes with flat
     arithmetic: fold(acc * 1000003 + wh[i+j]) mod P.  O(k) ops per
     shingle instead of O(k * word_len) char folds; every product stays
-    under 2^51."""
-    comb = f"element_at({wh_col}, i)"
+    under 2^51.
+
+    Each element is explicitly widened to BIGINT before the multiply:
+    callers may store the word-hash array as ARRAY<INT> (every value
+    is < 2^31 - 1, and the narrow form halves a cached frame's bytes —
+    see dedup_fuzzy._word_hash_frame), and an un-widened INT * 1000003
+    would wrap silently in non-ANSI mode.  On a BIGINT array the CAST
+    is a no-op."""
+    comb = f"CAST(element_at({wh_col}, i) AS BIGINT)"
     for j in range(1, k):
-        comb = f"(({comb}) * 1000003 + element_at({wh_col}, i + {j})) % {mod}"
+        comb = (
+            f"(({comb}) * 1000003"
+            f" + CAST(element_at({wh_col}, i + {j}) AS BIGINT)) % {mod}"
+        )
     # CASE guard, not greatest(..., 0): sequence(1, 0) descends through
     # index 0 and element_at(wh, 0) throws — a < k-word doc must yield [].
     return F.expr(

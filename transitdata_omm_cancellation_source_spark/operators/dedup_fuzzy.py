@@ -323,12 +323,18 @@ def _word_hash_frame(t) -> DataFrame:
     ONE tokenize-and-hash pass the whole fuzzy-dedup family derives
     from (shingle sets for jaccard/minhash/edit, the SimHash token
     stream); served as a shared session artifact so a workload running
-    several dedup variants hashes the corpus text exactly once."""
+    several dedup variants hashes the corpus text exactly once.
+
+    Stored ARRAY<INT> (values < HASH_MOD = 2^31 - 1, exact narrowing —
+    halves the cached frame like the shingle sets): the two consumers
+    are ``shingles_from_word_hashes`` (which widens each element to
+    BIGINT before its multiply) and the SimHash kernel (numpy int64
+    re-cast)."""
     return _family_frame(
         "word_hashes",
         t,
         lambda: planted_corpus(t["documents"]).select(
-            "doc_id", X.word_hashes("text").alias("wh")
+            "doc_id", X.word_hashes("text").cast("array<int>").alias("wh")
         ),
     )
 
