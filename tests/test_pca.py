@@ -135,17 +135,67 @@ def test_moment_rollup_exact_past_int64(spark):
     assert got == exact, (got, exact)
 
 
-def test_max_abs_u_guard_fails_loud(spark):
-    """Coordinates past the per-row product bound raise instead of
-    silently wrapping the BIGINT products (ADVICE r9 #2)."""
+def test_max_abs_u_selects_decimal_fallback(spark):
+    """Coordinates past the per-row BIGINT product bound now SELECT the
+    DECIMAL(19,0)-product path instead of refusing (r10 verdict #6).
+    The fallback's moments are pinned against Python's
+    arbitrary-precision integers, and the full query completes on an
+    extreme-|u| corpus with a unit-norm component."""
+    import math
+
+    import numpy as np
+
+    from transitdata_omm_cancellation_source_spark.operators import pca as _pca
+
+    # |u| ~ 4e9 > _U_PRODUCT_BOUND ~ 3.037e9: every per-row product
+    # (~1.6e19) exceeds int64 — the fast path would wrap on ROW ONE.
+    rng = np.random.default_rng(7)
+    vecs = [
+        [float(4000 + int(rng.integers(0, 500))) for _ in range(64)]
+        for _ in range(5)
+    ]
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id int, embedding array<double>"
+    )
+    max_u = _pca.corpus_max_abs_u(spark, emb)
+    assert max_u > _pca._U_PRODUCT_BOUND
+
+    # the wide path's exact integer moments == Python int arithmetic
+    us = [[math.floor(x * 1_000_000 + 0.5) for x in v] for v in vecs]
+    expect_c = {
+        (j, k): sum(row[j] * row[k] for row in us)
+        for j in range(64)
+        for k in range(j, 64)
+    }
+    expect_s = {j: sum(row[j] for row in us) for j in range(64)}
+    assert all(abs(v) > 2**63 for v in expect_c.values()), "fixture too small"
+    rows = _pca._moment_rows(spark, emb, wide_products=True)
+    got_c = {(r["j"], r["k"]): int(r["c"]) for r in rows if r["k"] >= 0}
+    got_s = {r["j"]: int(r["c"]) for r in rows if r["k"] == -1}
+    assert got_c == expect_c
+    assert got_s == expect_s
+
+    # the full query runs end-to-end on the extreme corpus
+    out = _pca._pca_top_component(spark, {"embeddings": emb}).collect()
+    assert len(out) == 64
+    nrm = sum(r["component"] ** 2 for r in out) ** 0.5
+    assert abs(nrm - 1.0) < 1e-6
+
+
+def test_quantize_ceiling_still_fails_loud(spark):
+    """The one remaining input-magnitude refusal: past |x·1e6| ~ 2^63
+    the micro-unit BIGINT cast itself saturates silently (ANSI off),
+    so the query raises BEFORE computing a single wrong moment.  The
+    max|u| probe must see the true (pre-cast) magnitude — a saturated
+    BIGINT probe would clamp below the bound and wave the corpus
+    through."""
     import pytest as _pytest
 
     from transitdata_omm_cancellation_source_spark.operators import pca as _pca
 
     emb = spark.createDataFrame(
-        [(0, [4000.0] * 64)], "vec_id int, embedding array<double>"
+        [(0, [2.0e13] * 64)], "vec_id int, embedding array<double>"
     )
-    assert _pca.corpus_max_abs_u(spark, emb) == 4_000_000_000_000 // 1_000
-    t = {"embeddings": emb}
-    with _pytest.raises(ValueError, match="wrap BIGINT"):
-        _pca._pca_top_component(spark, t)
+    assert _pca.corpus_max_abs_u(spark, emb) > _pca._U_QUANTIZE_BOUND
+    with _pytest.raises(ValueError, match="saturate"):
+        _pca._pca_top_component(spark, {"embeddings": emb})

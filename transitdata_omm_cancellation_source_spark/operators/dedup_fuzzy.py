@@ -252,6 +252,29 @@ def _ngram_jaccard(spark, t):
     # verification (array_intersect on the full sets) discards false
     # positives, so the result set is identical to the oracle's full
     # inverted-index join.
+    #
+    # BOUNDED-SCRATCH EXECUTION (the fourth-decade fix): every stage of
+    # the one-shot plan measured exactly linear at sf5/sf25, yet sf125
+    # died on shuffle disk — the SUM of linear spill footprints (the
+    # self-join's two sorts + exchanges, the candidate distinct, the
+    # verify joins shipping two shingle arrays per pair) exceeded one
+    # node's scratch.  When the estimated in-flight bytes exceed the
+    # configured budget, the candidate space is processed in K disjoint
+    # hash-range passes over the PREFIX shingle: pass k restricts the
+    # inverted index to shingles with shingle % K == k, runs the same
+    # candidate join + exact verification, and eagerly materializes its
+    # (output-sized, tiny) verified pairs via localCheckpoint so the
+    # pass's shuffle files become unreferenced — ContextCleaner frees
+    # them before pass k+1 runs.  EXACT by the same prefix lemma: a
+    # qualifying pair shares >= 1 prefix shingle s; s lands in exactly
+    # one hash range, so the pair surfaces in that pass (ranges where
+    # the pair shares no prefix shingle simply never see it); per-pass
+    # verification recomputes Jaccard from the FULL shingle sets, so
+    # duplicate discoveries across ranges are bit-identical rows and
+    # the final distinct restores exact one-pass semantics.  Peak
+    # in-flight bytes drop ~K-fold; wall time pays K job waves — the
+    # bytes-per-row discipline of the span-prune rewrite applied to
+    # bytes-IN-FLIGHT.
     sh = _minhash_shingles(t)
     hot = _hot_shingles(sh)
     if hot:
@@ -270,12 +293,36 @@ def _ngram_jaccard(spark, t):
         F.size("shingles").alias("n_sh"),
         F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
     )
-    # PPJoin length filter: Jaccard >= tau forces
-    # min(|A|,|B|) >= tau * max(|A|,|B|)  (|A∩B| <= min and
-    # |A∩B| >= tau*|A∪B| >= tau*max), so size-incompatible candidate
-    # pairs are cut AT the join, before the distinct shuffle and the
-    # exact array_intersect verify.  Recall is exactly preserved.
-    cand = (
+    passes = _ngram_pass_count(spark, sh)
+    if passes == 1:  # plan identical to the pre-K-pass form
+        return _ngram_verify(_ngram_candidates(inv), sh)
+    get_json_logger().info(
+        "ngram_jaccard bounded-scratch mode",
+        extra={"fields": {"event": "ngram_bounded_scratch", "passes": passes}},
+    )
+    parts = []
+    for k in range(passes):
+        part = _ngram_verify(
+            _ngram_candidates(inv.filter(F.col("shingle") % passes == k)), sh
+        ).localCheckpoint(eager=True)
+        parts.append(part)
+        _release_pass_scratch(spark)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out.distinct()
+
+
+def _ngram_candidates(inv: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from an inverted prefix index.
+
+    PPJoin length filter: Jaccard >= tau forces
+    min(|A|,|B|) >= tau * max(|A|,|B|)  (|A∩B| <= min and
+    |A∩B| >= tau*|A∪B| >= tau*max), so size-incompatible candidate
+    pairs are cut AT the join, before the distinct shuffle and the
+    exact array_intersect verify.  Recall is exactly preserved.
+    """
+    return (
         inv.alias("a")
         .join(
             inv.alias("b"),
@@ -289,6 +336,10 @@ def _ngram_jaccard(spark, t):
         )
         .distinct()
     )
+
+
+def _ngram_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs on full sets."""
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     jac = inter / (
         F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
@@ -299,6 +350,80 @@ def _ngram_jaccard(spark, t):
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+#: forced pass count for the bounded-scratch ngram join; 0 = size from
+#: the scratch budget.  Runtime-settable (``spark.conf.set``).
+_NGRAM_PASSES_CONF = "spark.graft.ngram.passes"
+
+#: shuffle-scratch budget (GiB) one ngram-join pass may keep in flight.
+#: Default 24 GiB sits under the measured 27 GB peak of the heaviest
+#: completer at sf125 (``corpus_substring_dedup``) with headroom for
+#: the family's persisted frames.
+_NGRAM_SCRATCH_GB_CONF = "spark.graft.ngram.scratchBudgetGb"
+_NGRAM_SCRATCH_GB_DEFAULT = 24.0
+
+#: calibrated in-flight bytes per prefix-index row.  Measured at sf5
+#: and sf25 (SURVEY §8): candidate fan-out Σdf² tracks prefix rows at a
+#: stable ~4.7x (34.7M/7.38M and 172.8M/36.9M), and the pass's spill is
+#: the self-join's two sorts + exchanges (~3 x 20 B/row) plus the
+#: candidate distinct + verify joins shipping two INT shingle arrays
+#: per surviving pair (~4.7 x ~90 B) — ~480 B/prefix row, rounded to
+#: 512 for headroom.  Extrapolated sf125 (~185M prefix rows) -> ~95 GB
+#: one-shot, consistent with the observed >59 GB disk DNF.
+_NGRAM_SPILL_BYTES_PER_PREFIX_ROW = 512
+
+
+def _ngram_pass_count(spark, sh: DataFrame) -> int:
+    """Number of disjoint hash-range passes for the candidate join.
+
+    ``ceil(estimated_in_flight_bytes / budget)`` with the estimate one
+    cheap aggregate over the CACHED shingle frame (Σ per-doc prefix
+    length x the calibrated bytes/row constant).  Below heavy-hitter
+    scale this returns 1 and the plan is byte-identical to the
+    single-pass form, so the sf0.01 oracle gate exercises the same
+    physical plan it always certified.
+    """
+    forced = int(spark.conf.get(_NGRAM_PASSES_CONF, "0"))
+    if forced > 0:
+        return forced
+    budget_bytes = (
+        float(spark.conf.get(_NGRAM_SCRATCH_GB_CONF, str(_NGRAM_SCRATCH_GB_DEFAULT)))
+        * 2**30
+    )
+    prefix_rows = (
+        sh.agg(
+            F.sum(
+                (
+                    F.size("shingles")
+                    - F.ceil(F.size("shingles") * F.lit(_JACCARD_TAU))
+                    + 1
+                ).cast("long")
+            )
+        ).first()[0]
+        or 0
+    )
+    est = prefix_rows * _NGRAM_SPILL_BYTES_PER_PREFIX_ROW
+    return max(1, -(-int(est) // int(budget_bytes)))
+
+
+def _release_pass_scratch(spark) -> None:
+    """Free a finished pass's shuffle files before the next pass runs.
+
+    ``localCheckpoint(eager=True)`` truncated the pass result's lineage,
+    so its upstream ShuffleDependencies become unreachable once the
+    Python-side plan objects drop; a JVM GC is what actually triggers
+    ContextCleaner to delete the shuffle files (same discipline as
+    scripts/scale_check.py — a 32g heap GCs too rarely on its own and
+    the temp dir fills).
+    """
+    import gc
+
+    gc.collect()  # release py4j refs to the pass's plan objects first
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # non-py4j session (e.g. Spark Connect): best effort
+        pass
 
 
 # --- MinHash + LSH ----------------------------------------------------------

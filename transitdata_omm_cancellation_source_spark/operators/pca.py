@@ -15,8 +15,10 @@ repo's determinism discipline:
    cov_jk = (C/N - (S_j/N)(S_k/N)) / 1e12 is then ONE fixed IEEE
    expression over identical integers, quantized ``round(.., 9)``
    before anything downstream reads it.  HEADROOM: per-row products
-   stay BIGINT (guarded — see ``corpus_max_abs_u``), but the moment
-   SUMS roll up in DECIMAL(38,0) on the Spark side (internally the
+   run in BIGINT below max|u| ~ 3e9 and in DECIMAL(19,0) above it
+   (path-selected by ``corpus_max_abs_u``; only the quantize cast's
+   own saturation still refuses — see ``_U_QUANTIZE_BOUND``), and
+   the moment SUMS roll up in DECIMAL(38,0) on the Spark side (internally the
    compact-long fast path until a partial sum actually exceeds int64,
    then promotion — the two-level rollup, inside the engine) and in
    DuckDB's native HUGEINT on the oracle side, so the arithmetic is
@@ -65,6 +67,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM
+from ..observability import get_json_logger
 from ..plans.queries import registered_query as _q
 
 #: fixed squaring levels (unrollable in SQL, the LLOYD_ROUNDS
@@ -181,11 +184,24 @@ def _pca_oracle() -> str:
 
 #: largest |u| whose per-row product u_j·u_k still fits BIGINT on both
 #: engines — floor(sqrt(2^63 - 1)).  The SUMS have DECIMAL(38)/HUGEINT
-#: headroom; the per-row product is the one term both dialects compute
+#: headroom; the per-row product is the one term the fast path computes
 #: in BIGINT (Spark would wrap silently with ANSI off, DuckDB would
-#: error), so it gets the fail-loud guard.  |u| = 3e9 means a raw
-#: coordinate of ~3000 — unit-ish embeddings sit near 1e6.
+#: error).  |u| = 3e9 means a raw coordinate of ~3000 — unit-ish
+#: embeddings sit near 1e6.  Above this bound the engine now SELECTS
+#: the DECIMAL per-row-product path (slower, exact) instead of
+#: refusing — see ``_moment_rows``.
 _U_PRODUCT_BOUND = 3_037_000_499
+
+#: ceiling of the quantization itself: DECIMAL(19,0) holds every
+#: BIGINT, so the wide-product fallback covers the FULL range the
+#: micro-unit cast can produce — but past |x·1e6| ~ 2^63 the
+#: ``CAST(double AS BIGINT)`` SATURATES silently with ANSI off where
+#: DuckDB errors, i.e. the quantized coordinate itself is already
+#: wrong before any moment math.  That is the engine's only remaining
+#: input-magnitude refusal (raw coordinate ~9e12), made fail-loud by
+#: computing max|u| in DOUBLE (pre-cast, monotone past 2^53) and
+#: raising below the true edge with a 2^12 double-ULP margin.
+_U_QUANTIZE_BOUND = 2**63 - 2**12
 
 #: cached per-(session, corpus-plan) max|u| — one cheap aggregate,
 #: the corpus_count caching discipline (similarity._COUNT_CACHE).
@@ -193,8 +209,14 @@ _MAXU_CACHE: dict[tuple, int] = {}
 
 
 def corpus_max_abs_u(spark, emb) -> int:
-    """Exact max micro-unit coordinate magnitude over the corpus
-    (cached per session/plan) — bounds the per-row BIGINT products."""
+    """Max micro-unit coordinate magnitude over the corpus (cached per
+    session/plan) — selects the moment-product path and guards the
+    quantization ceiling.  Computed in DOUBLE *without* the BIGINT
+    cast: the cast saturates silently past 2^63 with ANSI off, which
+    would hide exactly the overflow this aggregate exists to catch.
+    Exact to 2^53 and monotone beyond — more than enough to compare
+    against the 3e9 path-selection bound and the ~9.2e18 quantize
+    ceiling."""
     from ..caching import artifact_cache_key, replace_plan_artifact
 
     key = artifact_cache_key(spark, emb)
@@ -204,13 +226,94 @@ def corpus_max_abs_u(spark, emb) -> int:
             F.max(
                 F.expr(
                     "array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-                    f" x -> abs(CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT))))"
+                    f" x -> abs(floor(x * {_SCALE}.0 + 0.5))))"
                 )
             )
         ).collect()[0][0]
         m = int(m) if m is not None else 0
         replace_plan_artifact(_MAXU_CACHE, key, m)
     return m
+
+
+def _moment_rows(spark, emb, wide_products: bool):
+    """Collected exact integer moment rows (j, k, c) of the corpus.
+
+    ONE fused scan-aggregation produces BOTH exact integer moment
+    families: the upper-triangle pair sums C_jk AND (via sentinel rows
+    keyed k = -1) the coordinate sums S_j — 2080 pair structs plus 64
+    sentinel structs per vector into a map-side-combinable sum.
+    Integer sums are associative, so fusing changes nothing about the
+    values; it halves the corpus scans.
+
+    Per-row product arithmetic is path-selected by ``wide_products``:
+
+    - fast (max|u| <= _U_PRODUCT_BOUND): BIGINT products — int64 never
+      wraps by the bound.
+    - wide (any BIGINT-representable |u|): each coordinate cast to
+      DECIMAL(19,0) so the product lands in DECIMAL(38,0) exactly —
+      slower (no compact-long multiply) but exact; same SQL shape.
+
+    Either way the SUM accumulates in DECIMAL(38,0): Spark's Decimal
+    stays on its compact-long fast path until a partial sum actually
+    exceeds int64, then promotes — the two-level BIGINT→wide rollup
+    happens inside the engine.  DuckDB's oracle side is its native
+    HUGEINT sum.  A sum that would exceed 1e38 comes back NULL with
+    ANSI off, so the helper fail-louds on NULL rather than ever
+    returning a silently-saturated moment.
+    """
+    par = spark.sparkContext.defaultParallelism
+    u = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                f" x -> CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT))"
+            ).alias("u"),
+        )
+        # scan-partition-starvation remedy (see assign_to_centroids):
+        # the DIM²/2 pair explode pipelines on the embeddings scan.
+        .repartition(par, "vec_id")
+    )
+    if wide_products:
+        prod = (
+            "CAST(CAST(element_at(u, j + 1) AS DECIMAL(19,0))"
+            " * CAST(element_at(u, k + 1) AS DECIMAL(19,0))"
+            " AS DECIMAL(38,0))"
+        )
+        sent = "CAST(element_at(u, j + 1) AS DECIMAL(38,0))"
+    else:
+        prod = "element_at(u, j + 1) * element_at(u, k + 1)"
+        sent = "element_at(u, j + 1)"
+    mom = (
+        u.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    f"flatten(transform(sequence(0, {DIM - 1}), j ->"
+                    f" transform(sequence(j, {DIM - 1}), k ->"
+                    f" named_struct('j', j, 'k', k, 'p', {prod})))),"
+                    f" transform(sequence(0, {DIM - 1}), j ->"
+                    f" named_struct('j', j, 'k', -1, 'p', {sent})))"
+                )
+            ).alias("e")
+        )
+        .select(
+            F.col("e.j").cast("int").alias("j"),
+            F.col("e.k").cast("int").alias("k"),
+            F.col("e.p").alias("p"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("c"))
+    )
+    rows = mom.collect()
+    for r in rows:
+        if r["c"] is None:
+            raise ValueError(
+                "embedding_pca_top_component: a moment sum overflowed "
+                "DECIMAL(38,0) — corpus mass exceeds the exact-arithmetic "
+                "contract; rescale the corpus or lower the micro-unit scale"
+            )
+    return rows
 
 
 def _ordered_fold(pair_struct, init=0.0):
@@ -235,69 +338,30 @@ def _pca_top_component(spark, t):
     from .similarity import corpus_count
 
     # The moment SUMS are exact to 1e38 (DECIMAL(38,0) rollup below);
-    # the one remaining BIGINT term is the per-row product u_j·u_k,
-    # which Spark would wrap silently with ANSI off where DuckDB
-    # errors.  Guard it on the corpus' actual max coordinate (one
+    # the per-row product u_j·u_k is the one term the fast path
+    # computes in BIGINT, which Spark would wrap silently with ANSI
+    # off where DuckDB errors.  The corpus' actual max coordinate (one
     # cheap cached aggregate — ADVICE r9: a count-only guard misses
-    # large-|v| corpora entirely).
+    # large-|v| corpora entirely) now SELECTS the path: below the
+    # BIGINT bound the products stay int64 (fast); above it they run
+    # in DECIMAL(19,0)x(19,0) (slower, exact to 1e38) instead of
+    # refusing.  The only remaining raise is the quantization ceiling.
     n_corpus = corpus_count(spark, t["embeddings"])
     max_u = corpus_max_abs_u(spark, t["embeddings"])
-    if max_u > _U_PRODUCT_BOUND:
+    if max_u > _U_QUANTIZE_BOUND:
         raise ValueError(
             f"embedding_pca_top_component: max |u| = {max_u} exceeds "
-            f"{_U_PRODUCT_BOUND} — a per-row moment product would wrap "
-            "BIGINT; rescale the corpus or lower the micro-unit scale"
+            f"{_U_QUANTIZE_BOUND} — the micro-unit BIGINT cast itself "
+            "would saturate; rescale the corpus or lower the micro-unit "
+            "scale"
         )
-    par = spark.sparkContext.defaultParallelism
-    u = (
-        t["embeddings"]
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-                f" x -> CAST(floor(x * {_SCALE}.0 + 0.5) AS BIGINT))"
-            ).alias("u"),
+    wide_products = max_u > _U_PRODUCT_BOUND
+    if wide_products:
+        get_json_logger().info(
+            "pca wide-product DECIMAL fallback engaged",
+            extra={"fields": {"event": "pca_wide_products", "max_u": max_u}},
         )
-        # scan-partition-starvation remedy (see assign_to_centroids):
-        # the DIM²/2 pair explode pipelines on the embeddings scan.
-        .repartition(par, "vec_id")
-    )
-    # ONE fused scan-aggregation produces BOTH exact integer moment
-    # families: the upper-triangle pair sums C_jk AND (via sentinel
-    # rows keyed k = -1) the coordinate sums S_j — 2080 pair structs
-    # plus 64 sentinel structs per vector into a map-side-combinable
-    # BIGINT sum.  Integer sums are associative, so fusing changes
-    # nothing about the values; it halves the corpus scans.
-    mom = (
-        u.select(
-            F.explode(
-                F.expr(
-                    "concat("
-                    f"flatten(transform(sequence(0, {DIM - 1}), j ->"
-                    f" transform(sequence(j, {DIM - 1}), k ->"
-                    " named_struct('j', j, 'k', k,"
-                    " 'p', element_at(u, j + 1) * element_at(u, k + 1))))),"
-                    f" transform(sequence(0, {DIM - 1}), j ->"
-                    " named_struct('j', j, 'k', -1,"
-                    " 'p', element_at(u, j + 1))))"
-                )
-            ).alias("e")
-        )
-        .select(
-            F.col("e.j").cast("int").alias("j"),
-            F.col("e.k").cast("int").alias("k"),
-            F.col("e.p").alias("p"),
-        )
-        .groupBy("j", "k")
-        # DECIMAL(38,0) rollup: the per-row product is BIGINT (guarded
-        # above), the SUM accumulates in decimal — Spark's Decimal
-        # stays on its compact-long fast path until a partial sum
-        # actually exceeds int64, then promotes, i.e. the two-level
-        # BIGINT→wide rollup happens inside the engine.  DuckDB's
-        # side is its native HUGEINT sum.  Exact to ~1e38.
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("c"))
-    )
-    mom_rows = mom.collect()
+    mom_rows = _moment_rows(spark, t["embeddings"], wide_products)
     s_vals = {r["j"]: r["c"] for r in mom_rows if r["k"] == -1}
     c_ut = {(r["j"], r["k"]): r["c"] for r in mom_rows if r["k"] >= 0}
     if not c_ut:  # empty corpus: no moments, no component

@@ -329,33 +329,15 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
 #: clear the tuple in the next round once CORRECTNESS_r{N}.json has
 #: their green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # round-10 rewrites: per-group kernel scans + exact-integer cosine
-    # contract (oracles rewritten) across the kNN family …
-    "knn_lsh_hyperplane",
-    "knn_lsh_multiprobe",
-    "knn_ivf_kmeans",
-    "knn_pq_adc",
-    "knn_pq_refine",
-    "knn_bruteforce_cosine",
-    "knn_ivf_label",
-    "knn_ivfpq_adc",
-    # … the two dedup paths rebuilt as per-block kernel scans …
-    "corpus_semdedup",
-    "dedup_embedding_cosine",
-    # … the DECIMAL(38) PCA rollup + map-side Lloyd argmax …
-    "embedding_pca_top_component",
-    "kmeans_lloyd_centroids",
-    # … and the shared-frame dedup family (map-side minhash/simhash
-    # kernels, corpus-tiered simhash blocking).
+    # (r10 tuple cleared per the contract: all 19 r10 rewrites got
+    # green rows in CORRECTNESS_r10.json.)
+    # round-11 rewrites:
+    # bounded-scratch K-pass candidate execution (the sf0.01-scale plan
+    # is unchanged — K=1 — but the query function was restructured):
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "dedup_cluster_canonical",
-    # … and the span-prune pair re-keyed on 62-bit word-hash gram keys
-    # (string grams exceeded single-node shuffle disk at sf125).
-    "corpus_boilerplate_prune",
-    "corpus_substring_dedup",
+    # max|u| hard-raise became a BIGINT/DECIMAL(19,0) product path
+    # selector (fast path identical; function restructured):
+    "embedding_pca_top_component",
 )
 
 
