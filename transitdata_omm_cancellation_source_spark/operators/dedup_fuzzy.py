@@ -357,11 +357,17 @@ def _ngram_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
 _NGRAM_PASSES_CONF = "spark.graft.ngram.passes"
 
 #: shuffle-scratch budget (GiB) one ngram-join pass may keep in flight.
-#: Default 24 GiB sits under the measured 27 GB peak of the heaviest
-#: completer at sf125 (``corpus_substring_dedup``) with headroom for
-#: the family's persisted frames.
+#: Measured at sf125 (6.25M-doc corpus, the decade the one-shot plan
+#: could not finish): budget 24 -> K=4, 563 s, ~39 GB peak node
+#: scratch (pass spill + persisted frames + async-cleanup lag);
+#: budget 12 -> K=8, 443 s, ~20 GB peak — MORE passes were FASTER
+#: because each pass's sort-merge sorts fit memory instead of
+#: spilling.  12 GiB is the default: it keeps the engine's heaviest
+#: operator under the ~27 GB peak of the next-heaviest
+#: (``corpus_substring_dedup``) and costs nothing at lower decades
+#: (sf25: K=2 at 49 s vs K=1 at 53 s; sf<=1: K=1, plan unchanged).
 _NGRAM_SCRATCH_GB_CONF = "spark.graft.ngram.scratchBudgetGb"
-_NGRAM_SCRATCH_GB_DEFAULT = 24.0
+_NGRAM_SCRATCH_GB_DEFAULT = 12.0
 
 #: calibrated in-flight bytes per prefix-index row.  Measured at sf5
 #: and sf25 (SURVEY §8): candidate fan-out Σdf² tracks prefix rows at a
