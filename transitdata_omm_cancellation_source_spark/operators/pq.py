@@ -789,10 +789,41 @@ IVFPQ_SKEW_ALLOWANCE = 16
 
 def _ivfpq_nsalt(n_corpus: int, ncells: int) -> int:
     hot = max(1, n_corpus // max(1, ncells)) * IVFPQ_SKEW_ALLOWANCE
+    return _nsalt_for_occupancy(hot)
+
+
+def _nsalt_for_occupancy(hot: int) -> int:
+    """Salt width for a hottest-group occupancy of ``hot`` members."""
     nsalt = 1
     while hot / nsalt > IVFPQ_GROUP_TARGET and nsalt < IVFPQ_MAX_SALT:
         nsalt *= 2
     return nsalt
+
+
+def measured_nsalt(assigned: DataFrame, cell_col: str = "cell") -> int:
+    """Salt width from the MEASURED max cell occupancy of an (ideally
+    persisted) assignment frame — one map-side-combinable count per
+    cell plus a max, output #cells rows.
+
+    The assumption-based ``_ivfpq_nsalt`` sizes for a hottest cell of
+    IVFPQ_SKEW_ALLOWANCE (16x) the mean; measured at sf125 the
+    semdedup corpus' dup clusters concentrate >100x the mean into one
+    cell, and the resulting under-split group ran ~90 minutes on ONE
+    core while 31 idled (5504 s total vs the ~25x dup-mass
+    prediction).  Where the grouped frame is already materialized, the
+    real occupancy costs one cheap aggregate and removes the
+    assumption entirely; the scan result is provably identical at any
+    salt width (tests/test_salt_invariance.py), so this only moves
+    wall-clock, never values.
+    """
+    row = (
+        assigned.groupBy(cell_col)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+    )
+    hot = int(row["m"]) if row and row["m"] is not None else 1
+    return _nsalt_for_occupancy(hot)
 
 
 def _pq_group_scan(
