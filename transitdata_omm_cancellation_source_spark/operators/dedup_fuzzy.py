@@ -975,8 +975,13 @@ def _embedding_neardup(spark, t):
     both engines; display rounding via Spark round(6) == DuckDB
     round(6) (both half-away-from-zero on these positive cosines).
     """
-    from .pq import measured_nsalt
-    from .similarity import assign_to_centroids, ivf_quantizer
+    from .pq import _ivfpq_nsalt
+    from .similarity import (
+        _ivf_ncells,
+        assign_to_centroids,
+        corpus_count,
+        ivf_quantizer,
+    )
 
     corpus = t["embeddings"].unionAll(
         t["embeddings"]
@@ -991,13 +996,14 @@ def _embedding_neardup(spark, t):
     vb = persist_tracked(
         vecs.join(assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id")
     )
-    # nsalt from the MEASURED max (label, cell) occupancy of the
-    # persisted assignment — same rationale as semdedup's: the
-    # 16x-mean skew assumption under-splits the scale-derivation's
-    # dup-cluster cells by >6x at sf125 and strands the scan on one
-    # core (see SURVEY §8 round-11 deltas).
-    nsalt = measured_nsalt(
-        vb.select(F.concat_ws("|", "label", "cell").alias("grp")), "grp"
+    # Corpus-derived salt width shared with the other kernel scans.
+    # Same measured limit as corpus_semdedup (see the recorded
+    # round-11 negative result there): occupancy-sized salts fix the
+    # skew arithmetic but OOM this all-vectors-are-queries shape by
+    # replicating the full member side x nsalt; the structural fix is
+    # the bucket-pair triangle cogroup, a next-round rewrite.
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
     )
     members = vb.select("vec_id", "v", "label", "cell").withColumn(
         "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))

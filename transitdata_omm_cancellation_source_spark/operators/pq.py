@@ -810,11 +810,18 @@ def measured_nsalt(assigned: DataFrame, cell_col: str = "cell") -> int:
     semdedup corpus' dup clusters concentrate >100x the mean into one
     cell, and the resulting under-split group ran ~90 minutes on ONE
     core while 31 idled (5504 s total vs the ~25x dup-mass
-    prediction).  Where the grouped frame is already materialized, the
-    real occupancy costs one cheap aggregate and removes the
-    assumption entirely; the scan result is provably identical at any
-    salt width (tests/test_salt_invariance.py), so this only moves
-    wall-clock, never values.
+    prediction).  Salt width provably never changes values
+    (tests/test_salt_invariance.py), only wall-clock.
+
+    APPLICABILITY (recorded round-11 negative result): use this ONLY
+    for scans whose REPLICATED side is sparse — the search paths
+    replicate the 1/QUERY_MOD query subset, so a wider salt is cheap.
+    The all-vectors-are-queries pair-dedup scans (corpus_semdedup,
+    dedup_embedding_cosine) replicate the FULL member side x nsalt:
+    sizing them from measured occupancy (64 at sf125) put ~170M wide
+    rows in flight and the OS OOM-killed the 32g JVM.  Their fix is
+    structural (bucket-pair triangle cogroup bounding BOTH sides by
+    occ/nsalt), not a wider salt.
     """
     row = (
         assigned.groupBy(cell_col)

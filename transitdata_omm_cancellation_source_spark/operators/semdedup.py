@@ -66,6 +66,7 @@ from ..plans.queries import registered_query as _q
 from .dedup_fuzzy import _COSINE_TAU as SEMDEDUP_TAU  # one shared tau
 from .similarity import (
     assign_to_centroids,
+    corpus_count,
     ivf_assign_cte,
     ivf_quantizer,
 )
@@ -134,7 +135,8 @@ def _semdedup(spark, t):
     # point.  Served as a materialized session artifact (the
     # PQ-codebook discipline), and shared with the IVF search paths so
     # cluster geometry cannot drift between search and dedup.
-    from .pq import measured_nsalt
+    from .pq import _ivfpq_nsalt
+    from .similarity import _ivf_ncells
 
     cvec = ivf_quantizer(spark, t)
     # Same planted near-dup corpus as dedup_embedding_cosine: every
@@ -160,14 +162,27 @@ def _semdedup(spark, t):
     # across the cell's salts, so each vector meets its cluster's FULL
     # member list exactly once — per-vector results are exact at any
     # salt width, and no task holds more than occ members +
-    # occ/nsalt query rows.  nsalt is sized from the MEASURED max cell
-    # occupancy of the persisted assignment (one cheap count-per-cell
-    # aggregate), not the 16x-mean skew assumption: at sf125 the
-    # scale-derivation's dup clusters concentrate >100x the mean into
-    # one cell, and the assumption-based width left that cell's group
-    # on ONE core for ~90 minutes (5504 s total — see SURVEY §8
-    # round-11 deltas for the re-measure).
-    nsalt = measured_nsalt(vb)
+    # occ/nsalt query rows.  nsalt comes from the corpus-derived
+    # sizing shared with the other kernel scans (bounded group target,
+    # 16x skew allowance, no per-cell count job).
+    #
+    # MEASURED LIMIT of this shape (sf125, recorded round-11 negative
+    # result — do not retry occupancy-sized salts here): the scale
+    # derivation concentrates >100x the mean occupancy into single
+    # cells, the 16x allowance under-splits them, and one group ground
+    # ~90 min on ONE core (5504 s total).  Sizing nsalt from the
+    # measured max occupancy (64 here) fixes the skew arithmetic but
+    # OOM-kills the node: in this scan EVERY vector is a query, so the
+    # full member side is replicated x nsalt — x64 multiplies the
+    # whole corpus, ~170M wide rows in flight.  The search-path scans
+    # are immune (they replicate only the sparse 1/QUERY_MOD query
+    # side).  The structural fix is a bucket-PAIR (triangle) cogroup —
+    # split each cell into nsalt id-buckets and cogroup the (i<=j)
+    # bucket pairs, bounding BOTH sides by occ/nsalt with the same
+    # x nsalt replication — a next-round rewrite, not a sizing tweak.
+    nsalt = _ivfpq_nsalt(
+        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
+    )
     members = vb.select("vec_id", "v", "cell").withColumn(
         "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))
     )
