@@ -117,3 +117,28 @@ def test_pass_count_estimator(spark, _clean_conf):
     # forced override wins over the estimator
     spark.conf.set(_NGRAM_PASSES_CONF, "5")
     assert _ngram_pass_count(spark, sh) == 5
+
+
+def test_pass_count_conf_validation(spark, _clean_conf):
+    """Bad runtime confs must be clear config errors (r11 ADVICE): a
+    zero/negative budget raised ZeroDivisionError, a non-numeric one
+    a bare ValueError from float()/int()."""
+    rows = _corpus_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _minhash_shingles({"documents": docs})
+
+    for bad in ("0", "-1", "nope"):
+        spark.conf.set(_NGRAM_SCRATCH_GB_CONF, bad)
+        with pytest.raises(ValueError, match=_NGRAM_SCRATCH_GB_CONF):
+            _ngram_pass_count(spark, sh)
+    spark.conf.unset(_NGRAM_SCRATCH_GB_CONF)
+
+    spark.conf.set(_NGRAM_PASSES_CONF, "many")
+    with pytest.raises(ValueError, match=_NGRAM_PASSES_CONF):
+        _ngram_pass_count(spark, sh)
+
+    # a tiny-but-positive budget degrades to a large finite pass count,
+    # never a divide-by-zero
+    spark.conf.unset(_NGRAM_PASSES_CONF)
+    spark.conf.set(_NGRAM_SCRATCH_GB_CONF, "1e-12")
+    assert _ngram_pass_count(spark, sh) >= 1

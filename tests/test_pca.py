@@ -182,6 +182,60 @@ def test_max_abs_u_selects_decimal_fallback(spark):
     assert abs(nrm - 1.0) < 1e-6
 
 
+def test_wide_product_path_is_oracle_certifiable(spark, tmp_path):
+    """The DECIMAL(19,0) wide-product path must be certifiable by the
+    SAME DuckDB gate as the fast path (r11 ADVICE, medium): the
+    oracle's per-row products now cast to HUGEINT, because a BIGINT
+    product overflows DuckDB past |u| ~ 3.037e9 — exactly the corpora
+    that select the engine's wide path — which previously made the
+    oracle ERROR where the engine succeeds (parity uncertifiable)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transitdata_omm_cancellation_source_spark.catalog import TABLE_NAMES
+    from transitdata_omm_cancellation_source_spark.operators import pca as _pca
+    from transitdata_omm_cancellation_source_spark.plans.queries import (
+        REGISTRY,
+    )
+    from transitdata_omm_cancellation_source_spark.testing import (
+        assert_oracle_parity,
+    )
+
+    from conftest import SF_SMOKE
+
+    # a full sf_dir: the wide corpus as embeddings, every other table
+    # symlinked from the smoke fixture (the harness registers all of
+    # them as views up front).
+    for name in TABLE_NAMES:
+        if name != "embeddings":
+            os.symlink(
+                f"{SF_SMOKE}/{name}.parquet", tmp_path / f"{name}.parquet"
+            )
+    rng = np.random.default_rng(11)
+    vecs = [
+        [float(4000 + int(rng.integers(0, 500))) for _ in range(64)]
+        for _ in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    spec = REGISTRY["embedding_pca_top_component"]
+    df = spec.build(spark, str(tmp_path))
+    # this corpus must actually select the wide path, or the test
+    # certifies nothing
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    assert _pca.corpus_max_abs_u(spark, emb) > _pca._U_PRODUCT_BOUND
+    assert_oracle_parity(df, spec.oracle, str(tmp_path))
+
+
 def test_quantize_ceiling_still_fails_loud(spark):
     """The one remaining input-magnitude refusal: past |x·1e6| ~ 2^63
     the micro-unit BIGINT cast itself saturates silently (ANSI off),

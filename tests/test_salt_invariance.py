@@ -1,18 +1,25 @@
-"""Salt-width invariance for the cogrouped dedup scan kernels.
+"""Bucket-count invariance for the bucket-pair (triangle) pair scans.
 
-The per-block kernel scans (``corpus_semdedup``,
-``dedup_embedding_cosine``) salt-partition the QUERY side and
-replicate members per salt, claiming the result is exact at ANY salt
-width — each vector meets its block's full member list exactly once
-regardless of how the salt splits the queries.  These tests force
-pathological widths (1 = no split, and a prime wider than any group)
-through the shared ``_ivfpq_nsalt`` sizing hook and require
-BIT-IDENTICAL results.
+The pair-dedup scans (``corpus_semdedup``, ``dedup_embedding_cosine``)
+run the bucket-PAIR cogroup (operators/pairscan.py): per block the ids
+split into ``nb`` buckets and the (lo <= hi) bucket pairs cogroup, with
+the claim that every unordered pair lands in exactly one task — so the
+result is exact at ANY bucket count.  These tests force pathological
+widths through the sizing hook and require BIT-IDENTICAL results:
+
+- ``nb = 1`` IS the classic single-triangle-per-block scan (one task
+  per block, no member side at all), so the 1-vs-adaptive pin is the
+  bucket-pair-vs-single-scan EQUIVALENCE proof the r11 verdict asked
+  to land next to these pins;
+- ``nb = 5`` (not a power of two, wider than the adaptive sizing would
+  ever pick at this scale) exercises diagonal + off-diagonal tasks and
+  the id-orientation path.
 """
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
 from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
@@ -29,16 +36,54 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+def _force_nb(monkeypatch, width):
+    import transitdata_omm_cancellation_source_spark.operators.pairscan as ps
+
+    if width is None:
+        return  # adaptive: the module's own occupancy-sized CASE chain
+    monkeypatch.setattr(
+        ps,
+        "_nb_for_occupancy_col",
+        lambda occ, _w=width: F.lit(_w).cast("int"),
+    )
+
+
 @pytest.mark.parametrize(
     "fn", [_semdedup, _embedding_neardup], ids=lambda f: f.__name__
 )
-def test_scan_result_is_salt_width_invariant(spark, fn, monkeypatch):
-    import transitdata_omm_cancellation_source_spark.operators.pq as pq
-
+def test_scan_result_is_bucket_count_invariant(spark, fn, monkeypatch):
     t = load_tables(spark, SF_SMOKE)
     results = []
-    for width in (1, 5):
-        monkeypatch.setattr(pq, "_ivfpq_nsalt", lambda n, k, _w=width: _w)
-        results.append(_rows(fn(spark, t)))
-    assert results[0] == results[1]
+    for width in (1, 5, None):
+        with monkeypatch.context() as m:
+            _force_nb(m, width)
+            results.append(_rows(fn(spark, t)))
+    assert results[0] == results[1] == results[2]
     assert results[0]  # non-vacuous: the planted duplicates must appear
+
+
+def test_nb_sizing_column_mirrors_python_loop(spark):
+    """The columnar CASE chain must equal pq._nsalt_for_occupancy for
+    every occupancy regime (shared constants, boundary-exact)."""
+    from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
+    from transitdata_omm_cancellation_source_spark.operators.pq import (
+        _nsalt_for_occupancy,
+    )
+
+    occs = [
+        1,
+        ps.PAIR_GROUP_TARGET - 1,
+        ps.PAIR_GROUP_TARGET,
+        ps.PAIR_GROUP_TARGET + 1,
+        2 * ps.PAIR_GROUP_TARGET,
+        2 * ps.PAIR_GROUP_TARGET + 1,
+        17 * ps.PAIR_GROUP_TARGET,
+        ps.PAIR_MAX_BUCKETS * ps.PAIR_GROUP_TARGET,
+        ps.PAIR_MAX_BUCKETS * ps.PAIR_GROUP_TARGET + 1,
+        10**9,
+    ]
+    df = spark.createDataFrame([(o,) for o in occs], "occ long").select(
+        "occ", ps._nb_for_occupancy_col(F.col("occ")).alias("nb")
+    )
+    got = {r["occ"]: r["nb"] for r in df.collect()}
+    assert got == {o: _nsalt_for_occupancy(o) for o in occs}

@@ -390,13 +390,31 @@ def _ngram_pass_count(spark, sh: DataFrame) -> int:
     single-pass form, so the sf0.01 oracle gate exercises the same
     physical plan it always certified.
     """
-    forced = int(spark.conf.get(_NGRAM_PASSES_CONF, "0"))
+    # validate both confs up front: a typo'd or zero/negative runtime
+    # value must be a clear config error, not a ZeroDivisionError out
+    # of the ceil below (r11 ADVICE).
+    try:
+        forced = int(spark.conf.get(_NGRAM_PASSES_CONF, "0"))
+    except ValueError as e:
+        raise ValueError(
+            f"{_NGRAM_PASSES_CONF} must be an integer pass count"
+        ) from e
     if forced > 0:
         return forced
-    budget_bytes = (
-        float(spark.conf.get(_NGRAM_SCRATCH_GB_CONF, str(_NGRAM_SCRATCH_GB_DEFAULT)))
-        * 2**30
-    )
+    raw = spark.conf.get(_NGRAM_SCRATCH_GB_CONF, str(_NGRAM_SCRATCH_GB_DEFAULT))
+    try:
+        budget_gb = float(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{_NGRAM_SCRATCH_GB_CONF} must be a number of GiB, got {raw!r}"
+        ) from e
+    if budget_gb <= 0:
+        raise ValueError(
+            f"{_NGRAM_SCRATCH_GB_CONF} must be positive, got {raw!r}"
+        )
+    # floor at one byte so a sub-1e-9 GiB budget degrades to
+    # max-passes, never a divide-by-zero.
+    budget_bytes = max(1, int(budget_gb * 2**30))
     prefix_rows = (
         sh.agg(
             F.sum(
@@ -410,7 +428,7 @@ def _ngram_pass_count(spark, sh: DataFrame) -> int:
         or 0
     )
     est = prefix_rows * _NGRAM_SPILL_BYTES_PER_PREFIX_ROW
-    return max(1, -(-int(est) // int(budget_bytes)))
+    return max(1, -(-int(est) // budget_bytes))
 
 
 def _release_pass_scratch(spark) -> None:
@@ -959,15 +977,18 @@ def _embedding_neardup(spark, t):
     which filled the disk at sf25 on the duplicate-heavy scaled
     corpus -- is never materialized).
 
-    Kernel shape (the knn_ivfpq_adc playbook): queries are
-    salt-PARTITIONED (vec_id % nsalt, corpus-derived sizing shared
-    with the other kernel scans), members replicated across the
-    block's salts; each vector meets its block's FULL member list
-    exactly once, so the pair list is exact at any salt width.  Per
-    group one exact int64 matmul scores the block; only verified
-    pairs (cos >= tau, member_id < query_id) leave the kernel --
-    the emitted row count is the true duplicate-pair mass, the
-    query's actual output.
+    Kernel shape: the bucket-PAIR (triangle) cogroup
+    (``operators/pairscan.py`` — the structural fix for the pair-dedup
+    family's r11 sf125 skew wall; see the module docstring for the
+    two recorded negatives that force this shape).  Per (label, cell)
+    block the ids split into an occupancy-sized number of buckets and
+    the (lo <= hi) bucket pairs cogroup, bounding BOTH task sides by
+    occ/nb; every unordered pair lands in exactly one task, so the
+    pair list is exact at any bucket count
+    (tests/test_salt_invariance.py).  Per task one exact int64 matmul
+    scores the bucket pair; only verified pairs (cos >= tau, oriented
+    vec_a < vec_b) leave the kernel -- the emitted row count is the
+    true duplicate-pair mass, the query's actual output.
 
     Determinism: micro-unit quantization once, exact integer dots
     (in-kernel int64-headroom guard), cosine = CAST-to-double /
@@ -975,13 +996,8 @@ def _embedding_neardup(spark, t):
     both engines; display rounding via Spark round(6) == DuckDB
     round(6) (both half-away-from-zero on these positive cosines).
     """
-    from .pq import _ivfpq_nsalt
-    from .similarity import (
-        _ivf_ncells,
-        assign_to_centroids,
-        corpus_count,
-        ivf_quantizer,
-    )
+    from .pairscan import emit_pairs, pair_scan
+    from .similarity import assign_to_centroids, ivf_quantizer
 
     corpus = t["embeddings"].unionAll(
         t["embeddings"]
@@ -996,89 +1012,17 @@ def _embedding_neardup(spark, t):
     vb = persist_tracked(
         vecs.join(assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id")
     )
-    # Corpus-derived salt width shared with the other kernel scans.
-    # Same measured limit as corpus_semdedup (see the recorded
-    # round-11 negative result there): occupancy-sized salts fix the
-    # skew arithmetic but OOM this all-vectors-are-queries shape by
-    # replicating the full member side x nsalt; the structural fix is
-    # the bucket-pair triangle cogroup, a next-round rewrite.
-    nsalt = _ivfpq_nsalt(
-        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
-    )
-    members = vb.select("vec_id", "v", "label", "cell").withColumn(
-        "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))
-    )
-    qs = vb.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("q_label"),
-        F.col("cell").alias("q_cell"),
-    ).withColumn("salt", (F.col("q_id") % nsalt).cast("int"))
-    tau = _COSINE_TAU
-
-    def kernel(m_pdf, q_pdf):
-        import numpy as np
-        import pandas as pd
-
-        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
-            exact_idot_matmul,
-        )
-
-        empty = pd.DataFrame(
-            {
-                "vec_a": pd.Series(dtype="int64"),
-                "vec_b": pd.Series(dtype="int64"),
-                "cos": pd.Series(dtype="float64"),
-            }
-        )
-        if len(q_pdf) == 0 or len(m_pdf) == 0:
-            return empty
-        Um = np.floor(
-            np.stack(m_pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
-        mid = m_pdf["vec_id"].to_numpy()
-        Uq = np.floor(
-            np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
-        qid = q_pdf["q_id"].to_numpy()
-        nm2 = (Um * Um).sum(axis=1).astype(np.float64)
-        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
-        # only mid < qid pairs can ever emit: sort both sides by id
-        # and trim each query chunk's member matrix at its max qid —
-        # halves the matmul work on average, output set unchanged.
-        mo = np.argsort(mid)
-        mid, Um, nm2 = mid[mo], Um[mo], nm2[mo]
-        qo = np.argsort(qid)
-        qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
-        out_a, out_b, out_c = [], [], []
-        for lo in range(0, len(qid), 256):
-            hi = min(lo + 256, len(qid))
-            mh = int(np.searchsorted(mid, qid[hi - 1], side="left"))
-            if mh == 0:
-                continue
-            # exact integer dots (BLAS fast path + in-helper guard)
-            dots = exact_idot_matmul(Uq[lo:hi], Um[:mh])
-            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[:mh][None, :])
-            hit = (cos >= tau) & (mid[:mh][None, :] < qid[lo:hi, None])
-            r, c = np.nonzero(hit)
-            if len(r):
-                out_a.extend(mid[c])
-                out_b.extend(qid[lo + r])
-                out_c.extend(cos[r, c])
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_a": np.asarray(out_a, dtype=np.int64),
-                "vec_b": np.asarray(out_b, dtype=np.int64),
-                "cos": np.asarray(out_c, dtype=np.float64),
-            }
-        )
-
-    scan = (
-        members.groupby("label", "cell", "salt")
-        .cogroup(qs.groupby("q_label", "q_cell", "salt"))
-        .applyInPandas(kernel, "vec_a long, vec_b long, cos double")
+    # Bucket-pair cogroup over (label, cell) blocks: per-block
+    # occupancy-sized bucket counts (cold blocks pay zero replication,
+    # hot blocks fan out into nb²/2 bounded tasks) — the shape that
+    # replaces the salted single scan whose sf125 straggler/OOM pair
+    # of negatives is recorded in pairscan's module docstring.
+    scan = pair_scan(
+        vb,
+        ["label", "cell"],
+        _COSINE_TAU,
+        emit_pairs,
+        "vec_a long, vec_b long, cos double",
     )
     return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 

@@ -114,7 +114,14 @@ def _pca_oracle() -> str:
     ),
     s AS MATERIALIZED (SELECT j, CAST(sum(uj) AS HUGEINT) AS s FROM comp GROUP BY j),
     pairs AS MATERIALIZED (
-        SELECT a.j AS j, b.j AS k, CAST(sum(a.uj * b.uj) AS HUGEINT) AS c
+        -- per-row product operands cast to HUGEINT: a BIGINT*BIGINT
+        -- product overflows DuckDB past |u| ~ 3.037e9 — exactly the
+        -- corpora the engine's wide DECIMAL(19,0) path exists for —
+        -- so without the cast the oracle errors where the engine
+        -- succeeds and the wide path is uncertifiable (r11 ADVICE).
+        -- HUGEINT covers the full BIGINT-representable range exactly.
+        SELECT a.j AS j, b.j AS k,
+               CAST(sum(CAST(a.uj AS HUGEINT) * b.uj) AS HUGEINT) AS c
         FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.j <= b.j
         GROUP BY a.j, b.j
     ),

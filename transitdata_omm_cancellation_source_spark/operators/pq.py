@@ -800,37 +800,16 @@ def _nsalt_for_occupancy(hot: int) -> int:
     return nsalt
 
 
-def measured_nsalt(assigned: DataFrame, cell_col: str = "cell") -> int:
-    """Salt width from the MEASURED max cell occupancy of an (ideally
-    persisted) assignment frame — one map-side-combinable count per
-    cell plus a max, output #cells rows.
-
-    The assumption-based ``_ivfpq_nsalt`` sizes for a hottest cell of
-    IVFPQ_SKEW_ALLOWANCE (16x) the mean; measured at sf125 the
-    semdedup corpus' dup clusters concentrate >100x the mean into one
-    cell, and the resulting under-split group ran ~90 minutes on ONE
-    core while 31 idled (5504 s total vs the ~25x dup-mass
-    prediction).  Salt width provably never changes values
-    (tests/test_salt_invariance.py), only wall-clock.
-
-    APPLICABILITY (recorded round-11 negative result): use this ONLY
-    for scans whose REPLICATED side is sparse — the search paths
-    replicate the 1/QUERY_MOD query subset, so a wider salt is cheap.
-    The all-vectors-are-queries pair-dedup scans (corpus_semdedup,
-    dedup_embedding_cosine) replicate the FULL member side x nsalt:
-    sizing them from measured occupancy (64 at sf125) put ~170M wide
-    rows in flight and the OS OOM-killed the 32g JVM.  Their fix is
-    structural (bucket-pair triangle cogroup bounding BOTH sides by
-    occ/nsalt), not a wider salt.
-    """
-    row = (
-        assigned.groupBy(cell_col)
-        .count()
-        .agg(F.max("count").alias("m"))
-        .first()
-    )
-    hot = int(row["m"]) if row and row["m"] is not None else 1
-    return _nsalt_for_occupancy(hot)
+# (A global ``measured_nsalt`` helper — salt width from the measured
+# max cell occupancy — lived here between bdb52ad and the r12
+# bucket-pair rewrite.  The pair-dedup scans it was written for now
+# size buckets PER BLOCK inside operators/pairscan.py, which both
+# fixes the skew arithmetic and avoids the corpus-wide x nsalt
+# replication that OOM'd the global form — recorded negative af151b3.
+# The search-path scans keep the assumption-based ``_ivfpq_nsalt``:
+# they replicate only the sparse 1/QUERY_MOD query side, and their
+# fourth-decade ratios match the Θ(N^1.5) candidate-count predictions
+# without a measured width.)
 
 
 def _pq_group_scan(

@@ -41,17 +41,21 @@ exemplar survives, never HOW MANY.
 
 Scale shape (100 TB): centroids are a fixed-size broadcast (k x DIM
 rows, never corpus-proportional); assignment is the shared Arrow
-matmul kernel over the corpus scan; the pairwise stage shuffles
-|corpus| x nsalt member rows grouped by (cell, salt) — queries are
-PARTITIONED across the salts (each vector's full answer is computed
-against the cluster's complete member list in its one group), so the
-result is exact at any salt width while no task ever holds more than
-occ members + occ/nsalt queries.  With #cells = sqrt_pow2(N) the
-total kernel work is Θ(N^1.5) — the same designed IVF balance point
-as ``knn_ivf_kmeans``.  No stage is all-pairs across clusters, no
-pair list is ever materialized, no driver action beyond the bounded
-Lloyd convergence counts inherited from the centroid builder
-(CONTRACTUALLY EAGER, see plans/queries.py QuerySpec).
+matmul kernel over the corpus scan; the pairwise stage is the
+bucket-PAIR (triangle) cogroup (``operators/pairscan.py`` — built
+after the r11 sf125 measurement showed the salted single-scan shape
+grinding one 90-minute task on a >100x-mean hot cell): per cell the
+ids split into an occupancy-sized number of buckets and the (lo <=
+hi) bucket pairs cogroup, so BOTH task sides are bounded by occ/nb
+and every unordered pair lands in exactly one task — exact by
+coverage at any nb.  With #cells = sqrt_pow2(N) the total kernel
+work is Θ(N^1.5) — the same designed IVF balance point as
+``knn_ivf_kmeans``.  No stage is all-pairs across clusters, no pair
+list is ever materialized (the kernel emits task-local partial
+COUNTS; one slim-row sum assembles the gate), no driver action
+beyond the bounded Lloyd convergence counts inherited from the
+centroid builder (CONTRACTUALLY EAGER, see plans/queries.py
+QuerySpec).
 
 The reference (a cancellation ETL) has no embedding surface; this is
 north-star scope per BASELINE.json.
@@ -64,9 +68,9 @@ from pyspark.sql import functions as F
 from ..caching import persist_tracked
 from ..plans.queries import registered_query as _q
 from .dedup_fuzzy import _COSINE_TAU as SEMDEDUP_TAU  # one shared tau
+from .pairscan import emit_lower_dup_counts, pair_scan
 from .similarity import (
     assign_to_centroids,
-    corpus_count,
     ivf_assign_cte,
     ivf_quantizer,
 )
@@ -135,9 +139,6 @@ def _semdedup(spark, t):
     # point.  Served as a materialized session artifact (the
     # PQ-codebook discipline), and shared with the IVF search paths so
     # cluster geometry cannot drift between search and dedup.
-    from .pq import _ivfpq_nsalt
-    from .similarity import _ivf_ncells
-
     cvec = ivf_quantizer(spark, t)
     # Same planted near-dup corpus as dedup_embedding_cosine: every
     # 20th vector re-enters shifted by 1e6, so the gate has real
@@ -157,106 +158,40 @@ def _semdedup(spark, t):
     # semantically.  Persisted: the assigned corpus feeds both sides
     # of the cogroup below.
     vb = persist_tracked(vecs.join(assign_to_centroids(vecs, cvec), "vec_id"))
-    # Stage 3 — per-cluster kernel scan (the knn_ivfpq_adc playbook):
-    # QUERIES are salt-PARTITIONED (vec_id % nsalt), members replicated
-    # across the cell's salts, so each vector meets its cluster's FULL
-    # member list exactly once — per-vector results are exact at any
-    # salt width, and no task holds more than occ members +
-    # occ/nsalt query rows.  nsalt comes from the corpus-derived
-    # sizing shared with the other kernel scans (bounded group target,
-    # 16x skew allowance, no per-cell count job).
-    #
-    # MEASURED LIMIT of this shape (sf125, recorded round-11 negative
-    # result — do not retry occupancy-sized salts here): the scale
-    # derivation concentrates >100x the mean occupancy into single
-    # cells, the 16x allowance under-splits them, and one group ground
-    # ~90 min on ONE core (5504 s total).  Sizing nsalt from the
-    # measured max occupancy (64 here) fixes the skew arithmetic but
-    # OOM-kills the node: in this scan EVERY vector is a query, so the
-    # full member side is replicated x nsalt — x64 multiplies the
-    # whole corpus, ~170M wide rows in flight.  The search-path scans
-    # are immune (they replicate only the sparse 1/QUERY_MOD query
-    # side).  The structural fix is a bucket-PAIR (triangle) cogroup —
-    # split each cell into nsalt id-buckets and cogroup the (i<=j)
-    # bucket pairs, bounding BOTH sides by occ/nsalt with the same
-    # x nsalt replication — a next-round rewrite, not a sizing tweak.
-    nsalt = _ivfpq_nsalt(
-        corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
+    # Stage 3 — per-cluster bucket-PAIR (triangle) cogroup scan
+    # (operators/pairscan.py; the structural fix for the r11 sf125
+    # skew wall — a >100x-mean hot cell ground one 90-minute
+    # (cell, salt) task under the salted single-scan shape, and the
+    # occupancy-sized-salt fix OOM'd because this scan replicates the
+    # FULL member side, recorded negative af151b3).  Per cell the ids
+    # split into an occupancy-sized number of buckets (per-BLOCK
+    # sizing: cold cells pay zero replication) and the (lo <= hi)
+    # bucket pairs cogroup, bounding BOTH task sides by occ/nb; every
+    # unordered pair lands in exactly one task, so the gate is exact
+    # at any bucket count (tests/test_salt_invariance.py pins 1 vs 5
+    # vs adaptive bit-identity).  The kernel emits task-local partial
+    # lower-dup COUNTS — <= bucket-size slim rows per task, never the
+    # pair list — and one sum + left join against the assigned corpus
+    # assembles the per-vector gate.
+    partial = pair_scan(
+        vb,
+        ["cell"],
+        SEMDEDUP_TAU,
+        emit_lower_dup_counts,
+        "vec_id long, n long",
     )
-    members = vb.select("vec_id", "v", "cell").withColumn(
-        "salt", F.explode(F.expr(f"sequence(0, {nsalt - 1})"))
-    )
-    # query side renamed (q_id, qv, q_cell): fresh attribute ids, so the
-    # cogroup of two projections of the same persisted frame is not an
-    # ambiguous self-join (the _knn_lsh corpus/qs discipline).
-    qs = vb.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("cell").alias("q_cell"),
-    ).withColumn("salt", (F.col("q_id") % nsalt).cast("int"))
-    tau = SEMDEDUP_TAU
-
-    def kernel(m_pdf, q_pdf):
-        import numpy as np
-        import pandas as pd
-
-        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
-            exact_idot_matmul,
-        )
-
-        empty = pd.DataFrame(
-            {
-                "vec_id": pd.Series(dtype="int64"),
-                "cell": pd.Series(dtype="int32"),
-                "n_lower_dups": pd.Series(dtype="int64"),
-                "semdedup_gate": pd.Series(dtype="object"),
-            }
-        )
-        if len(q_pdf) == 0 or len(m_pdf) == 0:
-            return empty
-        Um = np.floor(
-            np.stack(m_pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
-        mid = m_pdf["vec_id"].to_numpy()
-        Uq = np.floor(
-            np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
-        qid = q_pdf["q_id"].to_numpy()
-        nm2 = (Um * Um).sum(axis=1).astype(np.float64)
-        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
-        # only mid < qid pairs can ever count: sort both sides by id
-        # and trim each query chunk's member matrix at its max qid —
-        # halves the matmul work on average, output unchanged (row
-        # order is free; the gate joins by vec_id downstream).
-        mo = np.argsort(mid)
-        mid, Um, nm2 = mid[mo], Um[mo], nm2[mo]
-        qo = np.argsort(qid)
-        qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
-        counts = np.zeros(len(qid), dtype=np.int64)
-        for lo in range(0, len(qid), 256):
-            hi = min(lo + 256, len(qid))
-            mh = int(np.searchsorted(mid, qid[hi - 1], side="left"))
-            if mh == 0:
-                continue
-            # exact integer dots (BLAS fast path + in-helper guard)
-            dots = exact_idot_matmul(Uq[lo:hi], Um[:mh])
-            cos = dots / np.sqrt(nq2[lo:hi, None] * nm2[:mh][None, :])
-            hit = (cos >= tau) & (mid[:mh][None, :] < qid[lo:hi, None])
-            counts[lo:hi] = hit.sum(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": qid,
-                "cell": q_pdf["q_cell"].to_numpy()[qo],
-                "n_lower_dups": counts,
-                "semdedup_gate": np.where(counts > 0, "drop", "keep"),
-            }
-        )
-
+    counts = partial.groupBy("vec_id").agg(F.sum("n").alias("nld"))
     return (
-        members.groupby("cell", "salt")
-        .cogroup(qs.groupby("q_cell", "salt"))
-        .applyInPandas(
-            kernel,
-            "vec_id long, cell int, n_lower_dups long, semdedup_gate string",
+        vb.select("vec_id", "cell")
+        .join(counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("nld"), F.lit(0))
+            .cast("long")
+            .alias("n_lower_dups"),
+            F.when(F.coalesce(F.col("nld"), F.lit(0)) > 0, F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("semdedup_gate"),
         )
     )

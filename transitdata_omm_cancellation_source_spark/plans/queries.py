@@ -318,25 +318,36 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
     return [name for _, name in sorted(enumerate(names), key=key)]
 
 
-#: Queries whose IMPLEMENTATION (or oracle) was rewritten since their
-#: last driver-green round.  Staleness alone cannot see a code change:
-#: a query green in round N-1 sorts to the back of the rotation even
-#: when round N replaced its execution path, leaving the rewrite
-#: oracle-uncertified by the driver (the r9 ADVICE #4 failure mode —
-#: PCA's rewrite shipped with only pre-rewrite parity evidence).
-#: Names here are pinned into the window right after the flagships.
-#: MAINTENANCE CONTRACT: add names in the round that rewrites them;
-#: clear the tuple in the next round once CORRECTNESS_r{N}.json has
-#: their green rows (the staleness order then resumes normally).
+#: Queries whose EXECUTED PLAN changed since their last driver-green
+#: round — a function rewrite, a changed oracle, OR a plan-affecting
+#: tweak inside a helper they call (a new stage boundary, different
+#: salt/bucket sizing, a join-strategy hint).  Staleness alone cannot
+#: see a code change: a query green in round N-1 sorts to the back of
+#: the rotation even when round N replaced its execution path, leaving
+#: the change oracle-uncertified by the driver (the r9 ADVICE #4
+#: failure mode — PCA's rewrite shipped with only pre-rewrite parity
+#: evidence; the r11 repeat — corpus_boilerplate_prune's repartition
+#: boundary landed outside the window because "restructured" was read
+#: as function-level only).  Names here are pinned into the window
+#: right after the flagships.
+#: MAINTENANCE CONTRACT: add a name in the round that changes ANY part
+#: of its executed plan, however the change is spelled in code; clear
+#: the tuple in the next round once CORRECTNESS_r{N}.json has their
+#: green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # (r10 tuple cleared per the contract: all 19 r10 rewrites got
-    # green rows in CORRECTNESS_r10.json.)
-    # round-11 rewrites:
-    # bounded-scratch K-pass candidate execution (the sf0.01-scale plan
-    # is unchanged — K=1 — but the query function was restructured):
-    "dedup_ngram_jaccard",
-    # max|u| hard-raise became a BIGINT/DECIMAL(19,0) product path
-    # selector (fast path identical; function restructured):
+    # (r11 tuple cleared per the contract: dedup_ngram_jaccard and
+    # embedding_pca_top_component got green rows in CORRECTNESS_r11.)
+    # round-12 plan changes:
+    # bucket-pair (triangle) cogroup replaced the salted single scan
+    # (operators/pairscan.py) in both pair-dedup queries:
+    "corpus_semdedup",
+    "dedup_embedding_cosine",
+    # r11 gave this query a new repartition("gram") stage boundary
+    # (commit 58968e4) but the r11 tuple missed it — the contract gap
+    # this wording change closes; certify the changed plan now:
+    "corpus_boilerplate_prune",
+    # oracle changed r12: HUGEINT product casts so the wide-path PCA
+    # corpus is oracle-certifiable (r11 ADVICE medium):
     "embedding_pca_top_component",
 )
 
