@@ -110,6 +110,29 @@ def main() -> None:
             tables[name].count()
         # warm-up: one flagship run so codegen/broadcast machinery is hot
         _materialize(specs["cancellation_pipeline_now"].build(spark, sf_dir))
+        # Trained artifacts (IVF quantizer, PQ codebook) are
+        # train-once/serve-many (artifacts.load_or_train): build them
+        # BEFORE the per-query timing and report the cost separately,
+        # so decade ratios measure the OPERATOR — r11's 17.7x
+        # knn_pq_refine row was one session's training bill charged to
+        # whichever kernel-scan query ran first.  A repeated harness
+        # run on unchanged data loads from disk and reports ~0.
+        t0 = time.perf_counter()
+        from transitdata_omm_cancellation_source_spark.operators import (
+            pq as _pq,
+        )
+        from transitdata_omm_cancellation_source_spark.operators import (
+            similarity as _sim,
+        )
+
+        _sim.ivf_quantizer(spark, tables)
+        _pq._shared_codebook(spark, _pq._vectors(tables))
+        print(
+            f"  [{sf_dir}] artifact_train_or_load_sec:"
+            f" {time.perf_counter() - t0:.2f}",
+            file=sys.stderr,
+            flush=True,
+        )
         for pass_no in range(passes):
             if pass_no:
                 release_tracked()

@@ -1,0 +1,146 @@
+"""Disk-persisted trained artifacts (artifacts.load_or_train).
+
+The r11 verdict's production gap: the IVF quantizer and PQ codebook
+were session-memory-only and retrained per session (the 17.7x
+knn_pq_refine decade row was one session's training bill).  These
+tests pin the r12 disk layer's contract:
+
+- a MISS trains, writes under the artifact root, and serves the rows;
+- a HIT serves bit-identical rows WITHOUT the trainer running — proved
+  both in-session (trainer monkeypatched to raise) and from a genuinely
+  COLD SparkSession (separate JVM, different application id), which
+  also proves the disk key is session-independent;
+- rewriting the source parquet changes the key (no stale artifact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from transitdata_omm_cancellation_source_spark import artifacts
+from transitdata_omm_cancellation_source_spark.catalog import load_tables
+from transitdata_omm_cancellation_source_spark.operators import pq
+from transitdata_omm_cancellation_source_spark.operators import similarity as sim
+
+from conftest import SF_SMOKE
+
+
+def _quantizer_rows(spark, t):
+    return [
+        (r["c_key"], list(r["cv"]), r["cn2"])
+        for r in sim.ivf_quantizer(spark, t).collect()
+    ]
+
+
+def _codebook_rows(spark, t):
+    return [
+        (r["sub"], r["code"], list(r["c"]))
+        for r in pq._shared_codebook(spark, pq._vectors(t)).collect()
+    ]
+
+
+@pytest.fixture()
+def artifact_dir(spark, tmp_path, monkeypatch):
+    spark.conf.set(artifacts.ARTIFACT_DIR_CONF, str(tmp_path))
+    monkeypatch.setattr(sim, "_CENTROID_ARTIFACT_CACHE", {})
+    monkeypatch.setattr(pq, "_CODEBOOK_CACHE", {})
+    yield tmp_path
+    spark.conf.unset(artifacts.ARTIFACT_DIR_CONF)
+
+
+def _forbid_training(monkeypatch):
+    def boom(*a, **k):
+        raise AssertionError("artifact hit must not retrain")
+
+    monkeypatch.setattr(sim, "_fold_centroids", boom)
+    monkeypatch.setattr(pq, "_train_codebook", boom)
+
+
+def test_load_without_train_bit_identity_in_session(
+    spark, artifact_dir, monkeypatch
+):
+    t = load_tables(spark, SF_SMOKE)
+    cv1, cb1 = _quantizer_rows(spark, t), _codebook_rows(spark, t)
+    # artifacts landed on disk, atomically published
+    names = {p.name for p in artifact_dir.iterdir()}
+    assert names == {"ivf_quantizer", "pq_codebook"}
+    for name in names:
+        (digest_dir,) = (artifact_dir / name).iterdir()
+        assert (digest_dir / "_SUCCESS").is_file()
+
+    # second "session": memory caches cleared, trainers forbidden
+    monkeypatch.setattr(sim, "_CENTROID_ARTIFACT_CACHE", {})
+    monkeypatch.setattr(pq, "_CODEBOOK_CACHE", {})
+    _forbid_training(monkeypatch)
+    assert _quantizer_rows(spark, t) == cv1
+    assert _codebook_rows(spark, t) == cb1
+
+
+_COLD_SCRIPT = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.graft.artifacts.dir", sys.argv[1]).getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import transitdata_omm_cancellation_source_spark.operators.similarity as sim
+import transitdata_omm_cancellation_source_spark.operators.pq as pq
+def boom(*a, **k):
+    raise AssertionError("cold session must not retrain")
+sim._fold_centroids = boom
+pq._train_codebook = boom
+from transitdata_omm_cancellation_source_spark.catalog import load_tables
+t = load_tables(spark, sys.argv[2])
+cv = [[r["c_key"], list(r["cv"]), r["cn2"]]
+      for r in sim.ivf_quantizer(spark, t).collect()]
+cb = [[r["sub"], r["code"], list(r["c"])]
+      for r in pq._shared_codebook(spark, pq._vectors(t)).collect()]
+print("COLD_RESULT " + json.dumps({"cv": cv, "cb": cb}))
+"""
+
+
+def test_cold_session_loads_bit_identical(spark, artifact_dir):
+    """A separate JVM (fresh application id) must LOAD both artifacts
+    without training — proving the disk key carries no session state
+    and the parquet round-trip is exact (json float repr is
+    shortest-roundtrip, so string equality == bit equality)."""
+    t = load_tables(spark, SF_SMOKE)
+    warm = {
+        "cv": [list(r) for r in _quantizer_rows(spark, t)],
+        "cb": [list(r) for r in _codebook_rows(spark, t)],
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c", _COLD_SCRIPT, str(artifact_dir), SF_SMOKE],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("COLD_RESULT ")]
+    assert line, proc.stdout[-2000:]
+    cold = json.loads(line[-1][len("COLD_RESULT "):])
+    assert json.dumps(cold, sort_keys=True) == json.dumps(warm, sort_keys=True)
+
+
+def test_rewritten_source_is_a_key_miss(spark, artifact_dir, tmp_path):
+    """Rewriting the parquet bytes behind the same logical table must
+    change the disk key — a stale trained artifact can never serve a
+    regenerated corpus."""
+    t = load_tables(spark, SF_SMOKE)
+    k1 = artifacts.artifact_disk_key("ivf_quantizer", t["embeddings"])
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    shutil.copy(f"{SF_SMOKE}/embeddings.parquet", alt / "embeddings.parquet")
+    os.utime(alt / "embeddings.parquet", (1, 1))
+    emb2 = spark.read.parquet(str(alt / "embeddings.parquet"))
+    k2 = artifacts.artifact_disk_key("ivf_quantizer", emb2)
+    assert k1 != k2
+    # and the name participates too: two artifacts from one source
+    # cannot collide
+    assert artifacts.artifact_disk_key("pq_codebook", t["embeddings"]) != k1

@@ -14,12 +14,18 @@ session (and every executor fleet) loads it.
 
 This module adds the disk layer UNDER the session-memory dicts:
 
-- key: ``artifact_disk_key`` — sha256 over the source plan's
-  ``semanticHash`` plus each input file's (uri, size, mtime_ns)
-  fingerprint, i.e. ``caching.artifact_cache_key`` MINUS the
-  application id, so the key is stable across sessions while any
-  rewrite of the underlying parquet is still a miss (worst case of an
-  unstable plan hash is a retrain, never a stale artifact).
+- key: ``artifact_disk_key`` — sha256 over (format version, artifact
+  name, the source frame's input-file (uri, size, mtime_ns)
+  fingerprints, its schema).  Deliberately NOT the plan's
+  ``semanticHash``: that hash bakes in session confs (measured — the
+  engine session and a plain session hash the same parquet scan
+  differently), so a plan-keyed disk key would never hit across
+  sessions.  CONTRACT this trades on: one artifact NAME = one training
+  recipe over its source files — a semantic change to a trainer must
+  bump ``_FORMAT_VERSION`` (or the name), because the key cannot see
+  code.  Every trainer today qualifies: ``ivf_quantizer`` is always
+  trained on the raw embeddings scan, ``pq_codebook`` always on
+  ``pq._vectors(t)``.
 - layout: ``<artifact root>/<name>/<digest>/`` parquet, written to a
   temp dir and atomically renamed (a concurrent trainer loses the
   rename and discards its copy — both trained the same content).  The
@@ -54,14 +60,18 @@ _FORMAT_VERSION = "v1"
 
 def artifact_disk_key(name: str, source_df: DataFrame) -> str:
     """Cross-session content digest for artifacts trained from
-    ``source_df`` (module docstring)."""
-    from .caching import artifact_cache_key
+    ``source_df`` (module docstring — includes the one-recipe-per-name
+    contract this key trades on)."""
+    from .caching import input_fingerprints
 
-    spark = source_df.sparkSession
-    # artifact_cache_key = (applicationId, semanticHash, file prints);
-    # drop the session-scoped first element.
-    _, plan_hash, files = artifact_cache_key(spark, source_df)
-    payload = repr((_FORMAT_VERSION, name, plan_hash, files))
+    payload = repr(
+        (
+            _FORMAT_VERSION,
+            name,
+            input_fingerprints(source_df),
+            source_df.schema.simpleString(),
+        )
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 

@@ -78,6 +78,17 @@ def artifact_cache_key(spark, df: DataFrame) -> tuple:
     EVICTS the superseded entry instead of accumulating one dead
     trained artifact per rewrite.
     """
+    return (
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        input_fingerprints(df),
+    )
+
+
+def input_fingerprints(df: DataFrame) -> tuple:
+    """(uri, size, mtime_ns) per input file — the data half of the
+    artifact keys, shared by the session cache above and the disk key
+    in ``artifacts.py``."""
     import os
     from urllib.parse import unquote, urlparse
 
@@ -99,7 +110,7 @@ def artifact_cache_key(spark, df: DataFrame) -> tuple:
                 except OSError:
                     continue
         files.append(entry)
-    return (spark.sparkContext.applicationId, df.semanticHash(), tuple(files))
+    return tuple(files)
 
 
 def replace_plan_artifact(cache: dict, key: tuple, value) -> None:

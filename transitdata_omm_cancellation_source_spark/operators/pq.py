@@ -370,9 +370,18 @@ def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:
     key = artifact_cache_key(spark, vecs)
     codebook = _CODEBOOK_CACHE.get(key)
     if codebook is None:
-        rows = _train_codebook(vecs).collect()
-        codebook = spark.createDataFrame(
-            rows, "sub int, code int, c array<bigint>"
+        from ..artifacts import load_or_train
+
+        # disk layer under the session dict (r12): a fresh session
+        # LOADS the trained codebook instead of retraining it — the
+        # train-once/serve-many production shape.
+        codebook = load_or_train(
+            spark,
+            "pq_codebook",
+            vecs,
+            "sub int, code int, c array<bigint>",
+            lambda: _train_codebook(vecs),
+            ["sub", "code"],
         )
         replace_plan_artifact(_CODEBOOK_CACHE, key, codebook)
     return codebook

@@ -710,20 +710,37 @@ def ivf_quantizer(spark, t) -> DataFrame:
     follows the PQ-codebook artifact discipline: first use per
     (session, corpus plan) trains and collects; later uses replay the
     local relation (CONTRACTUALLY EAGER, see plans/queries.py
-    QuerySpec).
+    QuerySpec).  Since r12 the artifact also persists to disk under
+    the warehouse dir (``artifacts.load_or_train``): a fresh session
+    LOADS instead of retraining — the production train-once/serve-many
+    shape, and the fix for the r11 decade table charging one session's
+    first kernel-scan query the whole training bill.
     """
     emb = t["embeddings"]
     key = artifact_cache_key(spark, emb)
     cached = _CENTROID_ARTIFACT_CACHE.get(key)
     if cached is None:
-        k = _ivf_ncells(spark, t)
-        seeded = emb.select(
-            "vec_id",
-            "embedding",
-            (F.col("vec_id") % k).cast("int").alias("scell"),
+        from ..artifacts import load_or_train
+
+        def train():
+            k = _ivf_ncells(spark, t)
+            seeded = emb.select(
+                "vec_id",
+                "embedding",
+                (F.col("vec_id") % k).cast("int").alias("scell"),
+            )
+            return centroid_vectors(
+                _fold_centroids(seeded, key="scell"), "scell"
+            )
+
+        cached = load_or_train(
+            spark,
+            "ivf_quantizer",
+            emb,
+            "c_key int, cv array<double>, cn2 double",
+            train,
+            ["c_key"],
         )
-        cvec = centroid_vectors(_fold_centroids(seeded, key="scell"), "scell")
-        cached = spark.createDataFrame(cvec.collect(), cvec.schema)
         replace_plan_artifact(_CENTROID_ARTIFACT_CACHE, key, cached)
     return cached
 
