@@ -52,6 +52,29 @@ def test_flagships_always_inside_window():
     assert window[1] == "cancellation_pipeline_past"
 
 
+def test_recertify_entries_pin_directly_after_flagships():
+    """The _RECERTIFY maintenance contract (plans/queries.py): any
+    query whose EXECUTED PLAN changed this round must hold a window
+    slot right after the flagships — the driver's record is the gate,
+    staleness rotation cannot see code changes.  Mechanical half of
+    the contract pinned here: every listed name resolves and occupies
+    the post-flagship slots in order.  (The judgment half — "the tuple
+    is non-empty whenever a round rewrote a plan" — is enforced by the
+    round's verdict diff review; r11 showed why the wording must say
+    PLAN, not function: corpus_boilerplate_prune's repartition
+    boundary shipped outside the window.)"""
+    from transitdata_omm_cancellation_source_spark.plans.queries import (
+        _FLAGSHIPS,
+        _RECERTIFY,
+    )
+
+    window = certification_window()
+    expected = [n for n in _RECERTIFY if n in REGISTRY and n not in _FLAGSHIPS]
+    n_flag = len([n for n in _FLAGSHIPS if n in REGISTRY])
+    assert list(window[n_flag : n_flag + len(expected)]) == expected
+    assert all(n in REGISTRY for n in _RECERTIFY)
+
+
 def test_every_query_has_build_and_oracle_is_subset():
     q = queries()
     o = oracle_sql()
