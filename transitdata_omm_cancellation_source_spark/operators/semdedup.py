@@ -18,21 +18,21 @@ and emits the per-vector keep/drop GATE — the artifact a
 training-data pipeline actually consumes.
 
 Within a cluster the search is the paper's OWN prescription: the
-exact pairwise cosine matrix, computed by a per-(cell, salt)
-cogrouped Arrow kernel as ONE exact int64 matmul (the r9/r10
-kernel-scan playbook — ``pq._ivfpq_scan``, ``similarity.
-_bucket_cos_scored``).  The previous implementation generated
-candidates through an LSH-band self-join and materialized every
-colliding pair through a DISTINCT and two vector joins; on a
-duplicate-heavy corpus the per-bucket pair mass is Σocc² and the
-shuffled pair list exploded (measured: filled >70 GB of shuffle and
-did not finish at sf25, where the scaled corpus packs ~250 mutual
-near-duplicates per bucket).  The kernel scan shuffles only
-|corpus| x nsalt slim member rows, emits one row per vector, and
-needs no band machinery at all — the in-kernel BLAS matmul scores a
-cluster's full occ² matrix faster than the join could shuffle its
-pair list.  Exactness improves: a cos >= tau pair inside a cluster
-is now found ALWAYS, not only when it also collided in a band.
+exact pairwise cosine matrix, computed by cogrouped Arrow kernels as
+exact int64 matmuls — since r12 over bucket PAIRS
+(``operators/pairscan.py``), the third shape this stage has worn,
+each driven by a measurement: (1) the original LSH-band self-join
+materialized every colliding pair through a DISTINCT and two vector
+joins; on a duplicate-heavy corpus the per-bucket pair mass is Σocc²
+and the shuffled pair list exploded (filled >70 GB of shuffle, DNF at
+sf25).  (2) The r10 salted single scan (members replicated per salt,
+queries salt-partitioned) fixed that but left the member side at the
+cell's whole occupancy — at sf125 one >100x-mean hot cell ground a
+~90-minute single-core task (5504 s total), and occupancy-sized salts
+OOM'd (recorded negative af151b3).  (3) The bucket-pair cogroup
+bounds BOTH task sides by occ/nb.  Exactness vs the banded form is
+also better: a cos >= tau pair inside a cluster is found ALWAYS, not
+only when it collided in a band.
 
 Exemplar rule: SemDeDup keeps a pseudo-random member per duplicate
 group; here the KEPT member is the lowest ``vec_id`` (deterministic,
