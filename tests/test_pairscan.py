@@ -1,4 +1,4 @@
-"""Unit pins for the bucket-pair (triangle) cogroup kernel
+"""Unit pins for the bucket-pair (triangle) cogroup kernels
 (operators/pairscan.py) against a numpy brute-force reference —
 complementing the query-level invariance pins in
 test_salt_invariance.py with direct coverage of:
@@ -7,7 +7,10 @@ test_salt_invariance.py with direct coverage of:
   (diagonal triangle + off-diagonal cross tasks, no double count);
 - ORIENTATION: emitted pairs always have vec_a < vec_b regardless of
   which bucket each id landed in;
-- the count emitter's lower-id semantics.
+- the counts kernel's lower-id semantics and its pairs-kernel
+  agreement (the running-count reduction must equal counting the
+  materialized pair list);
+- the int32 micro-unit payload's fail-loud range guard.
 """
 
 from __future__ import annotations
@@ -54,52 +57,74 @@ def corpus():
     return rows, vecs
 
 
-@pytest.mark.parametrize("nb", [1, 2, 3, 7])
-def test_pair_scan_matches_brute_force(spark, corpus, monkeypatch, nb):
-    rows, vecs = corpus
-    monkeypatch.setattr(
-        ps, "_nb_for_occupancy_col", lambda occ, _w=nb: F.lit(_w).cast("int")
-    )
-    vb = spark.createDataFrame(
+def _vb(spark, rows):
+    return spark.createDataFrame(
         rows, "vec_id long, v array<double>, blk int"
-    )
-    tau = 0.999
-    got = {
-        (r["vec_a"], r["vec_b"]): r["cos"]
-        for r in ps.pair_scan(
-            vb, ["blk"], tau, ps.emit_pairs, "vec_a long, vec_b long, cos double"
-        ).collect()
-    }
-    # brute force per block (the scan only pairs within a block)
+    ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk")
+
+
+def _want(vecs, tau):
     want = {}
     for blk in (0, 1, 2):
         want.update(
             _brute_pairs({i: v for i, v in vecs.items() if i % 3 == blk}, tau)
         )
+    return want
+
+
+@pytest.mark.parametrize("nb", [1, 2, 3, 7])
+def test_pairs_mode_matches_brute_force(spark, corpus, monkeypatch, nb):
+    rows, vecs = corpus
+    monkeypatch.setattr(
+        ps,
+        "_nb_for_occupancy_col",
+        lambda occ, mode, _w=nb: F.lit(_w).cast("int"),
+    )
+    tau = 0.999
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in ps.pair_scan(_vb(spark, rows), ["blk"], tau, "pairs").collect()
+    }
+    want = _want(vecs, tau)
     assert set(got) == set(want)
     assert all(a < b for a, b in got)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=0)  # identical IEEE ops
 
 
-def test_count_emitter_lower_id_semantics(spark, corpus, monkeypatch):
+@pytest.mark.parametrize("nb", [1, 4])
+def test_counts_mode_lower_id_semantics(spark, corpus, monkeypatch, nb):
     rows, vecs = corpus
     monkeypatch.setattr(
-        ps, "_nb_for_occupancy_col", lambda occ: F.lit(4).cast("int")
+        ps,
+        "_nb_for_occupancy_col",
+        lambda occ, mode, _w=nb: F.lit(_w).cast("int"),
     )
-    vb = spark.createDataFrame(rows, "vec_id long, v array<double>, blk int")
     tau = 0.999
-    partial = ps.pair_scan(
-        vb, ["blk"], tau, ps.emit_lower_dup_counts, "vec_id long, n long"
-    )
+    partial = ps.pair_scan(_vb(spark, rows), ["blk"], tau, "counts")
     got = {
         r["vec_id"]: r["n"]
         for r in partial.groupBy("vec_id").agg(F.sum("n").alias("n")).collect()
     }
     want: dict[int, int] = {}
-    for blk in (0, 1, 2):
-        for _, b in _brute_pairs(
-            {i: v for i, v in vecs.items() if i % 3 == blk}, tau
-        ):
-            want[b] = want.get(b, 0) + 1
+    for _, b in _want(vecs, tau):
+        want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_micro_unit_guard_fails_loud(spark):
+    ok = spark.createDataFrame(
+        [(0, [2145.9, -2146.0])], "vec_id long, v array<double>"
+    ).select(ps.micro_unit_col("v").alias("uv"))
+    assert ok.first()["uv"] == [2145900000, -2146000000]
+    bad = spark.createDataFrame(
+        [(0, [2147.0, 0.0])], "vec_id long, v array<double>"
+    ).select(ps.micro_unit_col("v").alias("uv"))
+    with pytest.raises(Exception, match="micro-unit range"):
+        bad.collect()
+
+
+def test_unknown_mode_rejected(spark, corpus):
+    rows, _ = corpus
+    with pytest.raises(ValueError, match="unknown mode"):
+        ps.pair_scan(_vb(spark, rows), ["blk"], 0.9, "topk")

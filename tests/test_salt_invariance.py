@@ -44,7 +44,7 @@ def _force_nb(monkeypatch, width):
     monkeypatch.setattr(
         ps,
         "_nb_for_occupancy_col",
-        lambda occ, _w=width: F.lit(_w).cast("int"),
+        lambda occ, mode, _w=width: F.lit(_w).cast("int"),
     )
 
 
@@ -62,13 +62,25 @@ def test_scan_result_is_bucket_count_invariant(spark, fn, monkeypatch):
     assert results[0]  # non-vacuous: the planted duplicates must appear
 
 
-def test_nb_sizing_column_mirrors_python_loop(spark):
-    """The columnar CASE chain must equal pq._nsalt_for_occupancy for
-    every occupancy regime (shared constants, boundary-exact)."""
+def test_nb_sizing_column_mirrors_python_reference(spark):
+    """Both sizing regimes, boundary-exact against a Python mirror:
+    pairs mode == pq._nsalt_for_occupancy (shared constants); counts
+    mode holds at the NB_PAR parallelism floor until occupancy
+    outgrows NB_PAR buckets of COUNT_BUCKET_ROWS (the measured
+    mega-cell shuffle-bytes fix), then grows to the cap."""
     from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
     from transitdata_omm_cancellation_source_spark.operators.pq import (
         _nsalt_for_occupancy,
     )
+
+    def counts_ref(occ: int) -> int:
+        small = min(ps.NB_PAR, _nsalt_for_occupancy(occ))
+        big = 1
+        while (
+            occ / big > ps.COUNT_BUCKET_ROWS and big < ps.PAIR_MAX_BUCKETS
+        ):
+            big *= 2
+        return max(small, big)
 
     occs = [
         1,
@@ -78,12 +90,26 @@ def test_nb_sizing_column_mirrors_python_loop(spark):
         2 * ps.PAIR_GROUP_TARGET,
         2 * ps.PAIR_GROUP_TARGET + 1,
         17 * ps.PAIR_GROUP_TARGET,
+        ps.NB_PAR * ps.PAIR_GROUP_TARGET + 1,
+        ps.COUNT_BUCKET_ROWS,
+        ps.COUNT_BUCKET_ROWS + 1,
+        481_760,  # the measured sf125 hottest cell
+        ps.NB_PAR * ps.COUNT_BUCKET_ROWS,
+        ps.NB_PAR * ps.COUNT_BUCKET_ROWS + 1,
         ps.PAIR_MAX_BUCKETS * ps.PAIR_GROUP_TARGET,
         ps.PAIR_MAX_BUCKETS * ps.PAIR_GROUP_TARGET + 1,
+        ps.PAIR_MAX_BUCKETS * ps.COUNT_BUCKET_ROWS + 1,
         10**9,
     ]
     df = spark.createDataFrame([(o,) for o in occs], "occ long").select(
-        "occ", ps._nb_for_occupancy_col(F.col("occ")).alias("nb")
+        "occ",
+        ps._nb_for_occupancy_col(F.col("occ"), "pairs").alias("nb_pairs"),
+        ps._nb_for_occupancy_col(F.col("occ"), "counts").alias("nb_counts"),
     )
-    got = {r["occ"]: r["nb"] for r in df.collect()}
-    assert got == {o: _nsalt_for_occupancy(o) for o in occs}
+    rows = {r["occ"]: (r["nb_pairs"], r["nb_counts"]) for r in df.collect()}
+    for o in occs:
+        assert rows[o][0] == _nsalt_for_occupancy(o), o
+        assert rows[o][1] == counts_ref(o), o
+    # the fix itself: the measured hottest sf125 cell must sit at the
+    # parallelism floor, not the cap
+    assert rows[481_760][1] == ps.NB_PAR

@@ -996,7 +996,7 @@ def _embedding_neardup(spark, t):
     both engines; display rounding via Spark round(6) == DuckDB
     round(6) (both half-away-from-zero on these positive cosines).
     """
-    from .pairscan import emit_pairs, pair_scan
+    from .pairscan import micro_unit_col, pair_scan
     from .similarity import assign_to_centroids, ivf_quantizer
 
     corpus = t["embeddings"].unionAll(
@@ -1009,21 +1009,22 @@ def _embedding_neardup(spark, t):
     vecs = corpus.select(
         "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
     )
+    # persisted WITH the int32 micro-unit payload (quantized once,
+    # before the persist barrier — the pipeline_prep explode/HOF
+    # lesson), feeding the occupancy count and both cogroup sides.
     vb = persist_tracked(
-        vecs.join(assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id")
+        vecs.join(
+            assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
+        ).select("vec_id", micro_unit_col("v").alias("uv"), "label", "cell")
     )
-    # Bucket-pair cogroup over (label, cell) blocks: per-block
-    # occupancy-sized bucket counts (cold blocks pay zero replication,
-    # hot blocks fan out into nb²/2 bounded tasks) — the shape that
-    # replaces the salted single scan whose sf125 straggler/OOM pair
-    # of negatives is recorded in pairscan's module docstring.
-    scan = pair_scan(
-        vb,
-        ["label", "cell"],
-        _COSINE_TAU,
-        emit_pairs,
-        "vec_a long, vec_b long, cos double",
-    )
+    # Bucket-pair cogroup over (label, cell) blocks in pairs mode:
+    # per-block occupancy-sized bucket counts (cold blocks pay zero
+    # replication, hot blocks fan out into nb²/2 bounded tasks; the
+    # 4096-row pairs-mode bucket bounds the worst-case per-task hit
+    # list) — the shape that replaces the salted single scan whose
+    # sf125 straggler/OOM negatives are recorded in pairscan's module
+    # docstring.
+    scan = pair_scan(vb, ["label", "cell"], _COSINE_TAU, mode="pairs")
     return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 

@@ -5,22 +5,28 @@ pairwise cosine within a blocking key (the learned IVF cell, or
 label x cell).  The r9-r11 shape salt-partitioned the QUERY side and
 replicated the FULL member list across the salts; that bounded the
 query side of every task but left the member side at the block's whole
-occupancy — and the fourth-decade measurement showed why that is the
-wrong half to leave unbounded:
+occupancy — and the fourth-decade measurements show why every half of
+this design is forced:
 
 - sf125, corpus-derived salts (16x-mean allowance): the scale corpus
-  concentrates >100x the mean occupancy into single cells, the
-  allowance under-split them, and ONE (cell, salt) task ground ~90
-  minutes on one core while 31 idled (5504 s total vs ~2100 s Σ-work).
-- sf125, occupancy-sized salts (recorded negative, commit af151b3):
+  concentrates occupancy into mega-cells (measured: 6 cells hold 83%
+  of the 2.6M-vector corpus, the hottest 481k), the allowance
+  under-split them, and ONE (cell, salt) task ground ~90 minutes on
+  one core while 31 idled (5504 s total vs ~2100 s Σ-work).
+- sf125, occupancy-sized GLOBAL salts (recorded negative, af151b3):
   in these scans EVERY vector is a query, so the full member side
   replicates x nsalt — x64 put ~170M wide rows in flight and the OS
-  OOM-killed the 32g JVM.  (The search-path scans are immune: they
-  replicate only the sparse 1/QUERY_MOD query side.)
+  OOM-killed the 32g JVM.
+- sf125, bucket pairs at a flat 4096-row bucket target (recorded
+  negative, r12): the mega-cells sit at the nb = 64 cap, so 83% of
+  the corpus replicated x64 — >50 GB of cogroup shuffle, disk-full.
+  Parallelism needs no such width: nb = 16 already yields
+  nb(nb+1)/2 = 136 tasks per hot cell (4+ waves on 32 cores), and
+  every doubling past that doubles shuffled bytes for nothing.
 
-The structural fix here bounds BOTH task sides.  Per block, ids are
-split into ``nb`` hash buckets and the cogroup key becomes the bucket
-PAIR ``(lo, hi)`` with ``lo <= hi``:
+The structural shape (bounds BOTH task sides).  Per block, ids are
+split into ``nb`` buckets and the cogroup key becomes the bucket PAIR
+``(lo, hi)`` with ``lo <= hi``:
 
 - a vector in bucket ``b`` enters the MEMBER side of pairs ``(b, j)``
   for every ``j > b`` and the QUERY side of pairs ``(i, b)`` for every
@@ -35,20 +41,34 @@ PAIR ``(lo, hi)`` with ``lo <= hi``:
   tasks score the full cross product of two DISJOINT buckets and
   orient each hit by id.
 
-Both task sides are now bounded by ``occ / nb``: the straggler's
-occ x occ/nsalt single-task matmul becomes ~nb²/2 parallel tasks of
-(occ/nb)² — same Σ-work, spread over the cluster.  Each vector is
-replicated into exactly ``nb`` tasks, the same x nsalt factor as the
-salted shape — but ``nb`` is PER-BLOCK occupancy-sized (one
-map-side-combinable count per block, #blocks output rows, a cost the
-r11 skew measurement justifies): a cold block with occ <= the group
-target gets ``nb = 1`` and pays ZERO replication, while only the hot
-blocks fan out.  Total in-flight rows are Σ_block occ·nb(occ) — the
-corpus-wide x nsalt blow-up that OOM'd the measured-salt attempt
-cannot recur, because a global width no longer exists.  (This
-supersedes the global ``pq.measured_nsalt`` helper the af151b3 revert
-left dead; the per-block ``_nb_for_occupancy_col`` below is its
-columnar replacement.)
+Each vector is replicated into exactly ``nb`` tasks, and ``nb`` is
+PER-BLOCK occupancy-sized (one map-side-combinable count per block,
+#blocks output rows): a cold block pays ZERO replication (nb = 1, no
+member side at all), so total in-flight rows are Σ_block occ·nb(occ)
+and a global width no longer exists.  Two sizing regimes per the
+measured negatives above:
+
+- ``mode="pairs"`` (the pair-LIST emitters): nb = pow2ceil(occ /
+  4096), capped at 64.  The 4096-row bucket bounds the worst-case
+  per-task HIT LIST (a fully-duplicate bucket pair emits
+  bucket_lo x bucket_hi rows — that list is the query's actual
+  output, but it buffers in the kernel before Arrow hands it back).
+- ``mode="counts"`` (per-vector lower-dup counts): the kernel keeps
+  RUNNING COUNT ARRAYS — a chunk's boolean hit matrix is reduced with
+  sum(axis), NEVER np.nonzero'd into index lists, so a 100%-duplicate
+  mega-cell costs zero extra memory.  Buckets can therefore be
+  65536 rows (task payload ~2 x 17 MB of int32 vectors), and nb stays
+  at the 16-task-parallelism floor until occ outgrows 16 such
+  buckets: nb = min(64, max(pow2ceil(occ/65536),
+  min(16, pow2ceil(occ/4096)))).  At the measured sf125 distribution
+  this cuts the mega-cells' replication x4 vs the flat rule.
+
+Payload: vectors ride the shuffle as int32 MICRO-UNITS (``array<int>``
+— ``micro_unit_col`` quantizes once, Spark-side, with a fail-loud
+range guard), half the bytes of the double vectors and no per-task
+requantization.  floor(x*1e6 + 0.5) in Spark float64 arithmetic is the
+identical IEEE op sequence the kernels used to run in numpy, so the
+integers are bit-identical.
 
 Arithmetic contract (family-wide): micro-unit int64 quantization once,
 exact integer dot matrices (``hyperplane.exact_idot_matmul`` — float64
@@ -60,86 +80,86 @@ so engine == oracle stays integer-exact at every scale and any nb.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Per-task bucket-side bound (rows) and per-vector replication ceiling
-#: — same constants as the search-path scans (pq.IVFPQ_GROUP_TARGET /
-#: IVFPQ_MAX_SALT) so the two families keep one sizing discipline; a
-#: hot block past nb_max * target degrades gracefully (bigger buckets,
-#: still nb²/2-way parallel).
+#: pairs-mode bucket target (bounds the worst-case per-task hit list)
+#: and counts-mode bucket bound (task payload memory only).
 PAIR_GROUP_TARGET = 4096
+COUNT_BUCKET_ROWS = 65536
+#: parallelism floor: nb = 16 -> 136 tasks per hot block, 4+ waves on
+#: a 32-core node — wider only costs shuffle bytes (occ x nb).
+NB_PAR = 16
+#: replication ceiling per vector.
 PAIR_MAX_BUCKETS = 64
 
+#: |x| bound for the int32 micro-unit payload: floor(2146 * 1e6 + 0.5)
+#: = 2.146e9 < 2^31 - 1.  Any normalized-embedding corpus sits far
+#: below it; past it the cast would wrap silently, so we raise.
+_MICRO_UNIT_XMAX = 2146.0
 
-def _nb_for_occupancy_col(occ: F.Column) -> F.Column:
-    """Columnar mirror of ``pq._nsalt_for_occupancy``: the smallest
-    power of two ``nb`` with ``occ / nb <= PAIR_GROUP_TARGET``, capped
-    at ``PAIR_MAX_BUCKETS`` — as a pure CASE chain (integer-exact, no
-    log2 float edge at the power-of-two boundaries)."""
-    expr = F.lit(PAIR_MAX_BUCKETS)
-    nb = PAIR_MAX_BUCKETS // 2
-    while nb >= 1:
-        expr = F.when(occ <= nb * PAIR_GROUP_TARGET, F.lit(nb)).otherwise(expr)
+
+def micro_unit_col(vec_col: str) -> F.Column:
+    """int32 micro-units of a double vector, with a fail-loud range
+    guard (a silent int32 wrap must never reach the kernels)."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(IF(abs(x) <= {_MICRO_UNIT_XMAX},"
+        f" floor(x * 1000000.0 + 0.5),"
+        f" raise_error('pairscan: |x| exceeds the int32 micro-unit range'))"
+        f" AS INT))"
+    )
+
+
+def _pow2_case(occ: F.Column, target: int, lo: int, hi: int) -> F.Column:
+    """Smallest power of two nb in [lo, hi] with occ/nb <= target, as a
+    pure integer CASE chain (no log2 float edges)."""
+    expr = F.lit(hi)
+    nb = hi // 2
+    while nb >= lo:
+        expr = F.when(occ <= nb * target, F.lit(nb)).otherwise(expr)
         nb //= 2
-    return expr.cast("int")
+    return expr
 
 
-def emit_pairs(a, b, cosv):
-    """Kernel emitter: the oriented hit PAIR list (vec_a < vec_b) —
-    ``dedup_embedding_cosine``'s actual output, so emitting it is not a
-    materialized intermediate."""
-    import pandas as pd
-
-    return pd.DataFrame(
-        {
-            "vec_a": pd.Series(a, dtype="int64"),
-            "vec_b": pd.Series(b, dtype="int64"),
-            "cos": pd.Series(cosv, dtype="float64"),
-        }
-    )
-
-
-def emit_lower_dup_counts(a, b, cosv):
-    """Kernel emitter: per-task partial counts of LOWER-id duplicates
-    per vector (task-local np.unique, <= bucket-size slim rows out) —
-    the ``corpus_semdedup`` gate aggregates these across tasks, so the
-    pair list itself never leaves the kernel."""
-    import numpy as np
-    import pandas as pd
-
-    ids, cnt = np.unique(np.asarray(b, dtype=np.int64), return_counts=True)
-    return pd.DataFrame(
-        {
-            "vec_id": pd.Series(ids, dtype="int64"),
-            "n": pd.Series(cnt, dtype="int64"),
-        }
-    )
+def _nb_for_occupancy_col(occ: F.Column, mode: str) -> F.Column:
+    """Per-block bucket count (module docstring: the two regimes)."""
+    if mode == "pairs":
+        return _pow2_case(occ, PAIR_GROUP_TARGET, 1, PAIR_MAX_BUCKETS).cast(
+            "int"
+        )
+    # counts: 4096-row sizing up to the NB_PAR parallelism floor, then
+    # hold until occ outgrows NB_PAR buckets of 65536 rows.
+    small = _pow2_case(occ, PAIR_GROUP_TARGET, 1, NB_PAR)
+    big = _pow2_case(occ, COUNT_BUCKET_ROWS, 1, PAIR_MAX_BUCKETS)
+    return F.greatest(small, big).cast("int")
 
 
 def pair_scan(
     vb: DataFrame,
     block_cols: Sequence[str],
     tau: float,
-    emit: Callable,
-    out_schema: str,
+    mode: str,
     id_col: str = "vec_id",
-    vec_col: str = "v",
+    vec_col: str = "uv",
 ) -> DataFrame:
     """The bucket-pair cogrouped exact pair scan (module docstring).
 
-    ``vb``: (id_col, vec_col double[], *block_cols), ideally persisted
-    — three consumers read it (the occupancy count and both cogroup
-    sides).  ``emit(a_ids, b_ids, cos) -> pd.DataFrame`` shapes the
-    kernel output (``emit_pairs`` / ``emit_lower_dup_counts``);
-    ``out_schema`` is its Spark schema string.
+    ``vb``: (id_col, vec_col int32 micro-units — ``micro_unit_col``,
+    computed BEFORE the caller's persist so the interpreted HOF never
+    re-evaluates per replicated row, *block_cols); ideally persisted —
+    three consumers read it (the occupancy count and both cogroup
+    sides).  ``mode="pairs"`` returns (vec_a, vec_b, cos) with
+    vec_a < vec_b; ``mode="counts"`` returns per-task PARTIAL
+    (vec_id, n) lower-id duplicate counts — callers sum across tasks.
     """
+    if mode not in ("pairs", "counts"):
+        raise ValueError(f"pair_scan: unknown mode {mode!r}")
     blocks = list(block_cols)
     occ = vb.groupBy(*blocks).agg(F.count(F.lit(1)).alias("occ"))
     nb = occ.select(
-        *blocks, _nb_for_occupancy_col(F.col("occ")).alias("nb")
+        *blocks, _nb_for_occupancy_col(F.col("occ"), mode).alias("nb")
     )
     # broadcast: #blocks rows (<= #cells, bounded by IVF_MAX_BITS).
     vbb = (
@@ -167,28 +187,59 @@ def pair_scan(
         F.explode(F.expr("sequence(0, bkt)")).alias("q_lo"),
         F.col("bkt").alias("q_hi"),
     )
+    kernel = (_pairs_kernel if mode == "pairs" else _counts_kernel)(tau)
+    schema = (
+        "vec_a long, vec_b long, cos double"
+        if mode == "pairs"
+        else "vec_id long, n long"
+    )
+    return (
+        members.groupby(*blocks, "lo", "hi")
+        .cogroup(qs.groupby(*[f"q_{c}" for c in blocks], "q_lo", "q_hi"))
+        .applyInPandas(kernel, schema)
+    )
+
+
+def _stack_units(pdf, col):
+    """int64 micro-unit matrix + ids + float64 squared norms."""
+    import numpy as np
+
+    U = np.stack(pdf[col].to_numpy()).astype(np.int64)
+    n2 = (U * U).sum(axis=1).astype(np.float64)
+    return U, n2
+
+
+def _pairs_kernel(tau: float):
+    """Emit the oriented hit PAIR list (vec_a < vec_b) — the pair-list
+    query's actual output, so buffering it in the kernel is bounded by
+    the pairs-mode bucket target (worst case target² on a
+    fully-duplicate bucket pair)."""
 
     def kernel(key, m_pdf, q_pdf):
         import numpy as np
+        import pandas as pd
 
         from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
             exact_idot_matmul,
         )
 
+        def out(a, b, c):
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(a, dtype="int64"),
+                    "vec_b": pd.Series(b, dtype="int64"),
+                    "cos": pd.Series(c, dtype="float64"),
+                }
+            )
+
         nil = np.empty(0, dtype=np.int64)
         lo, hi = int(key[-2]), int(key[-1])
-        if len(q_pdf) == 0:
-            return emit(nil, nil, nil)
-        Uq = np.floor(
-            np.stack(q_pdf["qv"].to_numpy()).astype(np.float64) * 1e6 + 0.5
-        ).astype(np.int64)
+        if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
+            return out(nil, nil, nil)
+        Uq, nq2 = _stack_units(q_pdf, "qv")
         qid = q_pdf["q_id"].to_numpy()
-        nq2 = (Uq * Uq).sum(axis=1).astype(np.float64)
         out_a, out_b, out_c = [], [], []
         if lo == hi:
-            # within-bucket triangle: sort by id, trim each query
-            # chunk's candidate matrix at its max id — strict id_a <
-            # id_b, every unordered pair scored once.
             qo = np.argsort(qid)
             qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
             for clo in range(0, len(qid), 256):
@@ -205,35 +256,88 @@ def pair_scan(
                     out_b.extend(qid[clo + r])
                     out_c.extend(cos[r, c])
         else:
-            if len(m_pdf) == 0:
-                return emit(nil, nil, nil)
-            Um = np.floor(
-                np.stack(m_pdf["mv"].to_numpy()).astype(np.float64) * 1e6
-                + 0.5
-            ).astype(np.int64)
+            Um, nm2 = _stack_units(m_pdf, "mv")
             mid = m_pdf["m_id"].to_numpy()
-            nm2 = (Um * Um).sum(axis=1).astype(np.float64)
             for clo in range(0, len(qid), 256):
                 chi = min(clo + 256, len(qid))
                 dots = exact_idot_matmul(Uq[clo:chi], Um)
                 cos = dots / np.sqrt(nq2[clo:chi, None] * nm2[None, :])
                 r, c = np.nonzero(cos >= tau)
                 if len(r):
-                    # disjoint buckets: orient each hit by id
                     qi, mi = qid[clo + r], mid[c]
                     out_a.extend(np.minimum(qi, mi))
                     out_b.extend(np.maximum(qi, mi))
                     out_c.extend(cos[r, c])
         if not out_a:
-            return emit(nil, nil, nil)
-        return emit(
+            return out(nil, nil, nil)
+        return out(
             np.asarray(out_a, dtype=np.int64),
             np.asarray(out_b, dtype=np.int64),
             np.asarray(out_c, dtype=np.float64),
         )
 
-    return (
-        members.groupby(*blocks, "lo", "hi")
-        .cogroup(qs.groupby(*[f"q_{c}" for c in blocks], "q_lo", "q_hi"))
-        .applyInPandas(kernel, out_schema)
-    )
+    return kernel
+
+
+def _counts_kernel(tau: float):
+    """Emit per-task PARTIAL lower-id duplicate counts via RUNNING
+    COUNT ARRAYS — a chunk's boolean hit matrix is reduced with
+    sum(axis=...), never np.nonzero'd into index lists, so per-task
+    memory is independent of hit density (a 100%-duplicate mega-cell
+    emits <= 2 x bucket rows).  Off-diagonal tasks count BOTH
+    directions: a hit (m, q) increments whichever side has the HIGHER
+    id — summed across tasks by the caller, this is exactly each
+    vector's n_lower_dups."""
+
+    def kernel(key, m_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
+            exact_idot_matmul,
+        )
+
+        def out(ids, counts):
+            keep = counts > 0
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids[keep], dtype="int64"),
+                    "n": pd.Series(counts[keep], dtype="int64"),
+                }
+            )
+
+        nil = np.empty(0, dtype=np.int64)
+        lo, hi = int(key[-2]), int(key[-1])
+        if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
+            return out(nil, nil)
+        Uq, nq2 = _stack_units(q_pdf, "qv")
+        qid = q_pdf["q_id"].to_numpy()
+        if lo == hi:
+            qo = np.argsort(qid)
+            qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
+            counts = np.zeros(len(qid), dtype=np.int64)
+            for clo in range(0, len(qid), 256):
+                chi = min(clo + 256, len(qid))
+                mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
+                if mh == 0:
+                    continue
+                dots = exact_idot_matmul(Uq[clo:chi], Uq[:mh])
+                cos = dots / np.sqrt(nq2[clo:chi, None] * nq2[:mh][None, :])
+                hit = (cos >= tau) & (qid[:mh][None, :] < qid[clo:chi, None])
+                counts[clo:chi] += hit.sum(axis=1)
+            return out(qid, counts)
+        Um, nm2 = _stack_units(m_pdf, "mv")
+        mid = m_pdf["m_id"].to_numpy()
+        q_counts = np.zeros(len(qid), dtype=np.int64)
+        m_counts = np.zeros(len(mid), dtype=np.int64)
+        for clo in range(0, len(qid), 256):
+            chi = min(clo + 256, len(qid))
+            dots = exact_idot_matmul(Uq[clo:chi], Um)
+            cos = dots / np.sqrt(nq2[clo:chi, None] * nm2[None, :])
+            hit = cos >= tau
+            lower_m = mid[None, :] < qid[clo:chi, None]
+            q_counts[clo:chi] += (hit & lower_m).sum(axis=1)
+            m_counts += (hit & ~lower_m).sum(axis=0)
+        return pd.concat([out(qid, q_counts), out(mid, m_counts)])
+
+    return kernel

@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 from ..caching import persist_tracked
 from ..plans.queries import registered_query as _q
 from .dedup_fuzzy import _COSINE_TAU as SEMDEDUP_TAU  # one shared tau
-from .pairscan import emit_lower_dup_counts, pair_scan
+from .pairscan import micro_unit_col, pair_scan
 from .similarity import (
     assign_to_centroids,
     ivf_assign_cte,
@@ -155,31 +155,31 @@ def _semdedup(spark, t):
     # (similarity.assign_to_centroids — broadcast centroid table,
     # exact-integer matmul argmax, lowest-cell tie-break), so this
     # gate and the IVF search paths can never drift apart
-    # semantically.  Persisted: the assigned corpus feeds both sides
-    # of the cogroup below.
-    vb = persist_tracked(vecs.join(assign_to_centroids(vecs, cvec), "vec_id"))
-    # Stage 3 — per-cluster bucket-PAIR (triangle) cogroup scan
-    # (operators/pairscan.py; the structural fix for the r11 sf125
-    # skew wall — a >100x-mean hot cell ground one 90-minute
-    # (cell, salt) task under the salted single-scan shape, and the
-    # occupancy-sized-salt fix OOM'd because this scan replicates the
-    # FULL member side, recorded negative af151b3).  Per cell the ids
-    # split into an occupancy-sized number of buckets (per-BLOCK
-    # sizing: cold cells pay zero replication) and the (lo <= hi)
-    # bucket pairs cogroup, bounding BOTH task sides by occ/nb; every
-    # unordered pair lands in exactly one task, so the gate is exact
-    # at any bucket count (tests/test_salt_invariance.py pins 1 vs 5
-    # vs adaptive bit-identity).  The kernel emits task-local partial
-    # lower-dup COUNTS — <= bucket-size slim rows per task, never the
-    # pair list — and one sum + left join against the assigned corpus
-    # assembles the per-vector gate.
-    partial = pair_scan(
-        vb,
-        ["cell"],
-        SEMDEDUP_TAU,
-        emit_lower_dup_counts,
-        "vec_id long, n long",
+    # semantically.  Persisted WITH the int32 micro-unit payload
+    # (quantized once here, before the persist barrier, so the
+    # interpreted HOF never re-evaluates per replicated row — the
+    # pipeline_prep lesson): the assigned corpus feeds the occupancy
+    # count and both cogroup sides.
+    vb = persist_tracked(
+        vecs.join(assign_to_centroids(vecs, cvec), "vec_id").select(
+            "vec_id", micro_unit_col("v").alias("uv"), "cell"
+        )
     )
+    # Stage 3 — per-cluster bucket-PAIR (triangle) cogroup scan in
+    # counts mode (operators/pairscan.py — the module docstring
+    # carries the three measured negatives that force this exact
+    # shape).  Per cell the ids split into an occupancy-sized number
+    # of buckets (cold cells pay zero replication; mega-cells hold at
+    # the 16-bucket parallelism floor instead of ballooning shuffle
+    # bytes) and the (lo <= hi) bucket pairs cogroup, bounding BOTH
+    # task sides; every unordered pair lands in exactly one task, so
+    # the gate is exact at any bucket count
+    # (tests/test_salt_invariance.py pins 1 vs 5 vs adaptive
+    # bit-identity).  The kernel keeps running count arrays — <=
+    # 2 x bucket slim rows per task, never a pair list, whatever the
+    # hit density — and one sum + left join against the assigned
+    # corpus assembles the per-vector gate.
+    partial = pair_scan(vb, ["cell"], SEMDEDUP_TAU, mode="counts")
     counts = partial.groupBy("vec_id").agg(F.sum("n").alias("nld"))
     return (
         vb.select("vec_id", "cell")
