@@ -906,13 +906,19 @@ def _lloyd_oracle() -> str:
     oracle.  Parity holds round-over-round because every centroid is
     rounded to 6 decimals before the next assignment — both engines
     enter round r+1 with bit-identical inputs.
+
+    Assignment scoring is the family's exact-integer micro-unit
+    contract (mirrors ``assign_to_centroids`` / ``ivf_assign_cte``):
+    score = idot(u_v, u_c) / sqrt(idot(u_c, u_c)), the per-vector norm
+    a positive constant omitted from the argmax.  Integer folds are
+    summation-order-independent, so the engines cannot disagree
+    however either one parallelizes.
     """
     from ..plans.queries import REGISTRY
 
     cent0 = REGISTRY["embedding_label_centroid"].oracle
-    dot_vc = _DOT_D.format(a="v.v", b="ct.cv")
-    dot_vv = _DOT_D.format(a="v.v", b="v.v")
-    dot_cc = _DOT_D.format(a="ct.cv", b="ct.cv")
+    dot_vc = _IDOT_D.format(a="v.uv", b="ct.ucv")
+    dot_cc = _IDOT_D.format(a="ct.ucv", b="ct.ucv")
     parts = [
         f"cent0 AS (SELECT label AS cell, dim, centroid, n_vecs FROM ({cent0}))",
         _VEC_CTE.strip(),
@@ -920,12 +926,13 @@ def _lloyd_oracle() -> str:
     for r in range(LLOYD_ROUNDS):
         parts.append(f"""
     cvec{r} AS (
-        SELECT cell, list(centroid ORDER BY dim) AS cv
+        SELECT cell, {_MICRO_D.format(v="list(centroid ORDER BY dim)")} AS ucv
         FROM cent{r} GROUP BY cell
     ),
     pairs{r} AS (
         SELECT v.vec_id, ct.cell,
-               {dot_vc} / sqrt({dot_vv} * {dot_cc}) AS cos_c
+               CAST({dot_vc} AS DOUBLE)
+                   / sqrt(CAST({dot_cc} AS DOUBLE)) AS cos_c
         FROM v CROSS JOIN cvec{r} ct
     ),
     assign{r} AS (
@@ -968,23 +975,22 @@ def _lloyd_oracle() -> str:
 def _kmeans_lloyd(spark, t):
     # The full distributed k-means training loop, each round two
     # scale-correct phases:
-    #   assign: N x #cells slim rows (vec_id, cell, score) via a
-    #           broadcast of the FIXED-size centroid table (never
-    #           corpus-proportional), argmax per vector on one window;
+    #   assign: the shared exact-integer matmul kernel
+    #           (assign_to_centroids) against the FIXED-size centroid
+    #           table — the same micro-unit contract the IVF paths
+    #           certify, so the interpreted per-(vector, cell) HOF
+    #           fold the r12-prior form paid per round is gone;
     #   refold: the two-phase chunked deterministic centroid fold,
     #           keyed by the new cell — task memory bounded by
     #           CENTROID_CHUNK regardless of how hot a cell gets.
-    # The driver-side for loop only STACKS plan operators (no action,
-    # no collect) — Catalyst sees one DAG; each round's slim
-    # assignment is persisted because round r+1's fold and assignment
-    # both consume it.  Centroids are rounded to 6 decimals each round
-    # (part of the contract, see _lloyd_oracle), so FP summation
-    # differences cannot compound across rounds.
-    # same scan-partition-starvation remedy as assign_to_centroids:
-    # the N x #cells assignment work of every round pipelines on the
-    # embeddings scan, so spread it across the session's parallelism.
-    par = spark.sparkContext.defaultParallelism
-    vecs = _vectors(t).repartition(par, "vec_id")
+    # Each round materializes the BOUNDED centroid table on the driver
+    # (assign_to_centroids broadcasts it task-local), so the loop runs
+    # one slim job per round instead of stacking an N x #cells
+    # interpreted-expression mega-DAG.  Centroids are rounded to 6
+    # decimals each round (part of the contract, see _lloyd_oracle),
+    # so both engines enter round r+1 with bit-identical inputs and
+    # the integer dots cannot disagree.
+    vecs = _vectors(t)  # assign_to_centroids repartitions internally
     emb = t["embeddings"].select("vec_id", "embedding")
     cent = _label_centroid(spark, t).withColumnRenamed("label", "cell")
     for _ in range(LLOYD_ROUNDS):
@@ -992,39 +998,11 @@ def _kmeans_lloyd(spark, t):
             cent.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("dc"))
             .select(
-                F.col("cell").alias("c_cell"),
+                F.col("cell").alias("c_key"),
                 F.expr("transform(dc, x -> x.centroid)").alias("cv"),
             )
-            .withColumn("cn2", F.expr(_DOT_S.format(a="cv", b="cv")))
         )
-        pairs = vecs.alias("x").crossJoin(F.broadcast(cvec.alias("ct"))).select(
-            F.col("x.vec_id").alias("vec_id"),
-            F.col("ct.c_cell").alias("c_cell"),
-            F.expr(
-                f"{_DOT_S.format(a='x.v', b='ct.cv')} / sqrt(x.n2 * ct.cn2)"
-            ).alias("cos_c"),
-        )
-        # argmax via a map-side-combinable max(struct(cos, -cell)) —
-        # the same (cos DESC, cell ASC) order the oracle's row_number
-        # window ranks by, but partial aggregation collapses the
-        # N x #cells pair stream per partition instead of sorting it
-        # through a full window shuffle.  max (not min-of-negation):
-        # both engines' DESC ordering ranks NaN FIRST, and Spark's
-        # struct max also puts NaN first, whereas a negated min key
-        # would rank NaN last — so a 0/0 score (zero-norm centroid)
-        # keeps identical assignment semantics on both engines.  The
-        # negated SECOND field gives the cell-ASC tie-break (cells are
-        # integers; negation is exact).
-        assign = persist_tracked(
-            pairs.groupBy("vec_id").agg(
-                (-F.max(
-                    F.struct(
-                        F.col("cos_c").alias("cos"),
-                        (-F.col("c_cell")).alias("nc"),
-                    )
-                ).getField("nc")).alias("cell")
-            )
-        )
+        assign = persist_tracked(assign_to_centroids(vecs, cvec))
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
     return cent
 

@@ -349,6 +349,11 @@ _RECERTIFY: tuple[str, ...] = (
     # oracle changed r12: HUGEINT product casts so the wide-path PCA
     # corpus is oracle-certifiable (r11 ADVICE medium):
     "embedding_pca_top_component",
+    # r12 executed-plan change: the per-round Lloyd assignment moved
+    # from the interpreted N x #cells HOF crossJoin to the shared
+    # exact-integer matmul kernel (assign_to_centroids), and the
+    # oracle's pairs{r} moved to the same micro-unit contract:
+    "kmeans_lloyd_centroids",
 )
 
 
