@@ -209,6 +209,84 @@ def _stack_units(pdf, col):
     return U, n2
 
 
+#: kernel chunk height: bounds every scratch matrix at CHUNK x bucket.
+_CHUNK = 256
+
+
+class _ChunkCos:
+    """Buffer-reusing exact-cosine chunk scorer (one per kernel task).
+
+    The first triangle-cogroup form allocated every chunk's
+    temporaries fresh — the float64 cast of the FULL member matrix,
+    the dot / norm-product / cos / hit matrices — ~250 MB of mmap
+    churn per 256-row chunk.  At sf125 that put 32 workers at ~10k
+    minor page faults/s EACH with ~90% of machine CPU in the OS
+    kernel zeroing freshly faulted pages (measured on the first
+    triangle run: >25 min of wall on Σ-work worth ~2 min of BLAS,
+    the page-zeroing bandwidth the actual bottleneck).  This scorer
+    hoists the casts to once per task and reuses flat scratch
+    buffers across chunks via reshape views, so steady-state task
+    memory is a few CHUNK x bucket matrices faulted exactly once.
+
+    Arithmetic is bit-identical to the per-call
+    ``exact_idot_matmul`` form it replaces: the float64-BLAS fast
+    path is taken iff umax^2 * DIM < 2^53 with umax over BOTH WHOLE
+    matrices (any per-chunk max is <= that, so the branch is at
+    least as conservative), the 2^62 wrap guard raises identically,
+    and cos = dots / sqrt(nq2 * nm2) is the same IEEE op sequence
+    with ``out=`` destinations.
+    """
+
+    def __init__(self, Uq, nq2, Um, nm2):
+        import numpy as np
+
+        self._np = np
+        dim = Um.shape[1]
+        # Python int guard arithmetic — an int64 umax^2*dim can wrap
+        # (same rationale as hyperplane.exact_idot_matmul).
+        umax = int(max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0)))
+        if umax * umax * dim >= 2**62:
+            raise ValueError(
+                "pairscan: |u|^2 * DIM exceeds int64 headroom;"
+                " the kernel would wrap where the BIGINT oracle errors"
+            )
+        self.fast = umax * umax * dim < 2.0**53
+        if self.fast:
+            self.Uq = Uq.astype(np.float64)
+            self.Um = self.Uq if Um is Uq else Um.astype(np.float64)
+        else:  # exact int64 matmul (wide corpora; alloc-churny but rare)
+            self.Uq, self.Um = Uq, Um
+        self.nq2, self.nm2 = nq2, nm2
+        m = Um.shape[0]
+        self._d = np.empty(_CHUNK * m)
+        self._p = np.empty(_CHUNK * m)
+        self._b1 = np.empty(_CHUNK * m, dtype=bool)
+        self._b2 = np.empty(_CHUNK * m, dtype=bool)
+
+    def cos(self, clo, chi, mh):
+        """cos matrix view [(chi-clo) x mh] for query rows [clo:chi)
+        against member rows [:mh); valid until the next call."""
+        np = self._np
+        n = chi - clo
+        d = self._d[: n * mh].reshape(n, mh)
+        if self.fast:
+            np.matmul(self.Uq[clo:chi], self.Um[:mh].T, out=d)
+        else:
+            d[...] = self.Uq[clo:chi] @ self.Um[:mh].T
+        p = self._p[: n * mh].reshape(n, mh)
+        np.multiply(self.nq2[clo:chi, None], self.nm2[None, :mh], out=p)
+        np.sqrt(p, out=p)
+        np.divide(d, p, out=d)
+        return d
+
+    def bools(self, n, mh):
+        """Two reusable bool scratch views shaped [n x mh]."""
+        return (
+            self._b1[: n * mh].reshape(n, mh),
+            self._b2[: n * mh].reshape(n, mh),
+        )
+
+
 def _pairs_kernel(tau: float):
     """Emit the oriented hit PAIR list (vec_a < vec_b) — the pair-list
     query's actual output, so buffering it in the kernel is bounded by
@@ -218,10 +296,6 @@ def _pairs_kernel(tau: float):
     def kernel(key, m_pdf, q_pdf):
         import numpy as np
         import pandas as pd
-
-        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
-            exact_idot_matmul,
-        )
 
         def out(a, b, c):
             return pd.DataFrame(
@@ -242,14 +316,17 @@ def _pairs_kernel(tau: float):
         if lo == hi:
             qo = np.argsort(qid)
             qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
-            for clo in range(0, len(qid), 256):
-                chi = min(clo + 256, len(qid))
+            sc = _ChunkCos(Uq, nq2, Uq, nq2)
+            for clo in range(0, len(qid), _CHUNK):
+                chi = min(clo + _CHUNK, len(qid))
                 mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
                 if mh == 0:
                     continue
-                dots = exact_idot_matmul(Uq[clo:chi], Uq[:mh])
-                cos = dots / np.sqrt(nq2[clo:chi, None] * nq2[:mh][None, :])
-                hit = (cos >= tau) & (qid[:mh][None, :] < qid[clo:chi, None])
+                cos = sc.cos(clo, chi, mh)
+                hit, low = sc.bools(chi - clo, mh)
+                np.greater_equal(cos, tau, out=hit)
+                np.less(qid[None, :mh], qid[clo:chi, None], out=low)
+                np.logical_and(hit, low, out=hit)
                 r, c = np.nonzero(hit)
                 if len(r):
                     out_a.extend(qid[c])
@@ -258,11 +335,13 @@ def _pairs_kernel(tau: float):
         else:
             Um, nm2 = _stack_units(m_pdf, "mv")
             mid = m_pdf["m_id"].to_numpy()
-            for clo in range(0, len(qid), 256):
-                chi = min(clo + 256, len(qid))
-                dots = exact_idot_matmul(Uq[clo:chi], Um)
-                cos = dots / np.sqrt(nq2[clo:chi, None] * nm2[None, :])
-                r, c = np.nonzero(cos >= tau)
+            sc = _ChunkCos(Uq, nq2, Um, nm2)
+            for clo in range(0, len(qid), _CHUNK):
+                chi = min(clo + _CHUNK, len(qid))
+                cos = sc.cos(clo, chi, len(mid))
+                hit, _ = sc.bools(chi - clo, len(mid))
+                np.greater_equal(cos, tau, out=hit)
+                r, c = np.nonzero(hit)
                 if len(r):
                     qi, mi = qid[clo + r], mid[c]
                     out_a.extend(np.minimum(qi, mi))
@@ -293,10 +372,6 @@ def _counts_kernel(tau: float):
         import numpy as np
         import pandas as pd
 
-        from transitdata_omm_cancellation_source_spark.functions.hyperplane import (
-            exact_idot_matmul,
-        )
-
         def out(ids, counts):
             keep = counts > 0
             return pd.DataFrame(
@@ -315,29 +390,37 @@ def _counts_kernel(tau: float):
         if lo == hi:
             qo = np.argsort(qid)
             qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
+            sc = _ChunkCos(Uq, nq2, Uq, nq2)
             counts = np.zeros(len(qid), dtype=np.int64)
-            for clo in range(0, len(qid), 256):
-                chi = min(clo + 256, len(qid))
+            for clo in range(0, len(qid), _CHUNK):
+                chi = min(clo + _CHUNK, len(qid))
                 mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
                 if mh == 0:
                     continue
-                dots = exact_idot_matmul(Uq[clo:chi], Uq[:mh])
-                cos = dots / np.sqrt(nq2[clo:chi, None] * nq2[:mh][None, :])
-                hit = (cos >= tau) & (qid[:mh][None, :] < qid[clo:chi, None])
+                cos = sc.cos(clo, chi, mh)
+                hit, low = sc.bools(chi - clo, mh)
+                np.greater_equal(cos, tau, out=hit)
+                np.less(qid[None, :mh], qid[clo:chi, None], out=low)
+                np.logical_and(hit, low, out=hit)
                 counts[clo:chi] += hit.sum(axis=1)
             return out(qid, counts)
         Um, nm2 = _stack_units(m_pdf, "mv")
         mid = m_pdf["m_id"].to_numpy()
+        sc = _ChunkCos(Uq, nq2, Um, nm2)
         q_counts = np.zeros(len(qid), dtype=np.int64)
         m_counts = np.zeros(len(mid), dtype=np.int64)
-        for clo in range(0, len(qid), 256):
-            chi = min(clo + 256, len(qid))
-            dots = exact_idot_matmul(Uq[clo:chi], Um)
-            cos = dots / np.sqrt(nq2[clo:chi, None] * nm2[None, :])
-            hit = cos >= tau
-            lower_m = mid[None, :] < qid[clo:chi, None]
-            q_counts[clo:chi] += (hit & lower_m).sum(axis=1)
-            m_counts += (hit & ~lower_m).sum(axis=0)
+        for clo in range(0, len(qid), _CHUNK):
+            chi = min(clo + _CHUNK, len(qid))
+            cos = sc.cos(clo, chi, len(mid))
+            hit, low = sc.bools(chi - clo, len(mid))
+            np.greater_equal(cos, tau, out=hit)
+            np.less(mid[None, :], qid[clo:chi, None], out=low)
+            # low := hit & lower, then hit := hit & ~lower (hit XOR
+            # its own subset) — the two directional masks, no temps.
+            np.logical_and(hit, low, out=low)
+            q_counts[clo:chi] += low.sum(axis=1)
+            np.logical_xor(hit, low, out=hit)
+            m_counts += hit.sum(axis=0)
         return pd.concat([out(qid, q_counts), out(mid, m_counts)])
 
     return kernel
