@@ -200,68 +200,99 @@ def pair_scan(
     )
 
 
-def _stack_units(pdf, col):
-    """int64 micro-unit matrix + ids + float64 squared norms."""
-    import numpy as np
-
-    U = np.stack(pdf[col].to_numpy()).astype(np.int64)
-    n2 = (U * U).sum(axis=1).astype(np.float64)
-    return U, n2
-
-
 #: kernel chunk height: bounds every scratch matrix at CHUNK x bucket.
 _CHUNK = 256
 
+#: Worker-global scratch pool, keyed by buffer role.  applyInPandas
+#: cogroup invokes the kernel ONCE PER GROUP; a hot block fans out
+#: into nb(nb+1)/2 groups and a corpus has tens of thousands more, so
+#: per-GROUP allocation is the dominant cost at scale: the first
+#: triangle sf125 runs spent up to ~90% of machine CPU in the OS
+#: kernel (measured: ~10k minor faults/s per worker, worker stime 8x
+#: utime) zeroing freshly mmap'd numpy buffers that lived for one
+#: group.  Workers are long-lived single-threaded processes
+#: (spark.python.worker.reuse), so pooled buffers are faulted once
+#: per worker and reused across groups, tasks and queries.  Pool
+#: footprint is bounded by the mode constants: the largest resident
+#: set (counts mode, 65536-row buckets) is ~400 MB/worker — budget it
+#: in executor overhead when sizing a real cluster.
+_SCRATCH: dict = {}
+
+
+def _scratch(np, key, n, dtype):
+    """A length-n view of the pooled flat buffer for ``key``."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        cap = 1 << max(n - 1, 1).bit_length()  # geometric growth
+        _SCRATCH[key] = buf = np.empty(cap, dtype=dtype)
+    return buf[:n]
+
+
+def _stack_units(pdf, col, slot):
+    """Micro-unit matrix (float64 view into the ``slot`` pool) + EXACT
+    squared norms.  Values are int32 micro-units, so the float64 cast
+    is exact and every u² term (<= ~1.4e12) and 64-term norm sum
+    (<= ~9.2e13) stays far below 2^53 — n2 is an exact integer in
+    float64 regardless of summation order (einsum may reorder)."""
+    import numpy as np
+
+    rows = pdf[col].to_numpy()
+    n, dim = len(rows), len(rows[0])
+    U32 = np.stack(rows, out=_scratch(np, slot, n * dim, np.int32).reshape(n, dim))
+    umax = int(np.abs(U32).max(initial=0))
+    Uf = _scratch(np, slot + "_f", n * dim, np.float64).reshape(n, dim)
+    np.copyto(Uf, U32)  # exact: |int32| < 2^53
+    n2 = _scratch(np, slot + "_n2", n, np.float64)
+    np.einsum("ij,ij->i", Uf, Uf, out=n2)
+    return Uf, n2, umax
+
+
+def _sort_diag(np, qid, Uq, nq2):
+    """id-sort the diagonal task's query matrix into the (otherwise
+    unused on the diagonal) member pool slots — the fancy-index copies
+    were the last per-group allocations."""
+    qo = np.argsort(qid)
+    n, dim = Uq.shape
+    Us = np.take(
+        Uq, qo, axis=0, out=_scratch(np, "sm_f", n * dim, np.float64).reshape(n, dim)
+    )
+    n2s = np.take(nq2, qo, out=_scratch(np, "sm_n2", n, np.float64))
+    return qid[qo], Us, n2s
+
 
 class _ChunkCos:
-    """Buffer-reusing exact-cosine chunk scorer (one per kernel task).
-
-    The first triangle-cogroup form allocated every chunk's
-    temporaries fresh — the float64 cast of the FULL member matrix,
-    the dot / norm-product / cos / hit matrices — ~250 MB of mmap
-    churn per 256-row chunk.  At sf125 that put 32 workers at ~10k
-    minor page faults/s EACH with ~90% of machine CPU in the OS
-    kernel zeroing freshly faulted pages (measured on the first
-    triangle run: >25 min of wall on Σ-work worth ~2 min of BLAS,
-    the page-zeroing bandwidth the actual bottleneck).  This scorer
-    hoists the casts to once per task and reuses flat scratch
-    buffers across chunks via reshape views, so steady-state task
-    memory is a few CHUNK x bucket matrices faulted exactly once.
+    """Pool-backed exact-cosine chunk scorer (one per kernel group).
 
     Arithmetic is bit-identical to the per-call
     ``exact_idot_matmul`` form it replaces: the float64-BLAS fast
     path is taken iff umax^2 * DIM < 2^53 with umax over BOTH WHOLE
     matrices (any per-chunk max is <= that, so the branch is at
-    least as conservative), the 2^62 wrap guard raises identically,
-    and cos = dots / sqrt(nq2 * nm2) is the same IEEE op sequence
-    with ``out=`` destinations.
+    least as conservative — and float64 products of exact integers
+    below 2^53 are exact in any order), the 2^62 wrap guard raises
+    identically, and cos = dots / sqrt(nq2 * nm2) is the same IEEE
+    op sequence with ``out=`` destinations into pooled scratch.
     """
 
-    def __init__(self, Uq, nq2, Um, nm2):
+    def __init__(self, Uq, nq2, Um, nm2, umax):
         import numpy as np
 
         self._np = np
         dim = Um.shape[1]
         # Python int guard arithmetic — an int64 umax^2*dim can wrap
         # (same rationale as hyperplane.exact_idot_matmul).
-        umax = int(max(np.abs(Um).max(initial=0), np.abs(Uq).max(initial=0)))
         if umax * umax * dim >= 2**62:
             raise ValueError(
                 "pairscan: |u|^2 * DIM exceeds int64 headroom;"
                 " the kernel would wrap where the BIGINT oracle errors"
             )
         self.fast = umax * umax * dim < 2.0**53
-        if self.fast:
-            self.Uq = Uq.astype(np.float64)
-            self.Um = self.Uq if Um is Uq else Um.astype(np.float64)
-        else:  # exact int64 matmul (wide corpora; alloc-churny but rare)
-            self.Uq, self.Um = Uq, Um
+        self.Uq, self.Um = Uq, Um
         self.nq2, self.nm2 = nq2, nm2
         m = Um.shape[0]
-        self._d = np.empty(_CHUNK * m)
-        self._p = np.empty(_CHUNK * m)
-        self._b1 = np.empty(_CHUNK * m, dtype=bool)
-        self._b2 = np.empty(_CHUNK * m, dtype=bool)
+        self._d = _scratch(np, "cc_d", _CHUNK * m, np.float64)
+        self._p = _scratch(np, "cc_p", _CHUNK * m, np.float64)
+        self._b1 = _scratch(np, "cc_b1", _CHUNK * m, bool)
+        self._b2 = _scratch(np, "cc_b2", _CHUNK * m, bool)
 
     def cos(self, clo, chi, mh):
         """cos matrix view [(chi-clo) x mh] for query rows [clo:chi)
@@ -272,7 +303,12 @@ class _ChunkCos:
         if self.fast:
             np.matmul(self.Uq[clo:chi], self.Um[:mh].T, out=d)
         else:
-            d[...] = self.Uq[clo:chi] @ self.Um[:mh].T
+            # exact int64 matmul (wide corpora; alloc-churny but rare):
+            # the float64 pool views hold exact integers, so the int64
+            # round-trip is lossless below the 2^62 guard.
+            d[...] = self.Uq[clo:chi].astype(np.int64) @ self.Um[:mh].astype(
+                np.int64
+            ).T
         p = self._p[: n * mh].reshape(n, mh)
         np.multiply(self.nq2[clo:chi, None], self.nm2[None, :mh], out=p)
         np.sqrt(p, out=p)
@@ -310,13 +346,12 @@ def _pairs_kernel(tau: float):
         lo, hi = int(key[-2]), int(key[-1])
         if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
             return out(nil, nil, nil)
-        Uq, nq2 = _stack_units(q_pdf, "qv")
+        Uq, nq2, umax = _stack_units(q_pdf, "qv", "sq")
         qid = q_pdf["q_id"].to_numpy()
         out_a, out_b, out_c = [], [], []
         if lo == hi:
-            qo = np.argsort(qid)
-            qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
-            sc = _ChunkCos(Uq, nq2, Uq, nq2)
+            qid, Uq, nq2 = _sort_diag(np, qid, Uq, nq2)
+            sc = _ChunkCos(Uq, nq2, Uq, nq2, umax)
             for clo in range(0, len(qid), _CHUNK):
                 chi = min(clo + _CHUNK, len(qid))
                 mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
@@ -329,13 +364,13 @@ def _pairs_kernel(tau: float):
                 np.logical_and(hit, low, out=hit)
                 r, c = np.nonzero(hit)
                 if len(r):
-                    out_a.extend(qid[c])
-                    out_b.extend(qid[clo + r])
-                    out_c.extend(cos[r, c])
+                    out_a.append(qid[c])
+                    out_b.append(qid[clo + r])
+                    out_c.append(cos[r, c])
         else:
-            Um, nm2 = _stack_units(m_pdf, "mv")
+            Um, nm2, um2 = _stack_units(m_pdf, "mv", "sm")
             mid = m_pdf["m_id"].to_numpy()
-            sc = _ChunkCos(Uq, nq2, Um, nm2)
+            sc = _ChunkCos(Uq, nq2, Um, nm2, max(umax, um2))
             for clo in range(0, len(qid), _CHUNK):
                 chi = min(clo + _CHUNK, len(qid))
                 cos = sc.cos(clo, chi, len(mid))
@@ -344,15 +379,18 @@ def _pairs_kernel(tau: float):
                 r, c = np.nonzero(hit)
                 if len(r):
                     qi, mi = qid[clo + r], mid[c]
-                    out_a.extend(np.minimum(qi, mi))
-                    out_b.extend(np.maximum(qi, mi))
-                    out_c.extend(cos[r, c])
+                    out_a.append(np.minimum(qi, mi))
+                    out_b.append(np.maximum(qi, mi))
+                    out_c.append(cos[r, c])
         if not out_a:
             return out(nil, nil, nil)
+        # whole-array appends + one concatenate: list.extend(ndarray)
+        # boxes every element into a Python object — measured as the
+        # pairs-mode twin of the page-churn the _ChunkCos buffers fix.
         return out(
-            np.asarray(out_a, dtype=np.int64),
-            np.asarray(out_b, dtype=np.int64),
-            np.asarray(out_c, dtype=np.float64),
+            np.concatenate(out_a).astype(np.int64, copy=False),
+            np.concatenate(out_b).astype(np.int64, copy=False),
+            np.concatenate(out_c).astype(np.float64, copy=False),
         )
 
     return kernel
@@ -385,12 +423,11 @@ def _counts_kernel(tau: float):
         lo, hi = int(key[-2]), int(key[-1])
         if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
             return out(nil, nil)
-        Uq, nq2 = _stack_units(q_pdf, "qv")
+        Uq, nq2, umax = _stack_units(q_pdf, "qv", "sq")
         qid = q_pdf["q_id"].to_numpy()
         if lo == hi:
-            qo = np.argsort(qid)
-            qid, Uq, nq2 = qid[qo], Uq[qo], nq2[qo]
-            sc = _ChunkCos(Uq, nq2, Uq, nq2)
+            qid, Uq, nq2 = _sort_diag(np, qid, Uq, nq2)
+            sc = _ChunkCos(Uq, nq2, Uq, nq2, umax)
             counts = np.zeros(len(qid), dtype=np.int64)
             for clo in range(0, len(qid), _CHUNK):
                 chi = min(clo + _CHUNK, len(qid))
@@ -404,9 +441,9 @@ def _counts_kernel(tau: float):
                 np.logical_and(hit, low, out=hit)
                 counts[clo:chi] += hit.sum(axis=1)
             return out(qid, counts)
-        Um, nm2 = _stack_units(m_pdf, "mv")
+        Um, nm2, um2 = _stack_units(m_pdf, "mv", "sm")
         mid = m_pdf["m_id"].to_numpy()
-        sc = _ChunkCos(Uq, nq2, Um, nm2)
+        sc = _ChunkCos(Uq, nq2, Um, nm2, max(umax, um2))
         q_counts = np.zeros(len(qid), dtype=np.int64)
         m_counts = np.zeros(len(mid), dtype=np.int64)
         for clo in range(0, len(qid), _CHUNK):
