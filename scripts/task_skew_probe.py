@@ -24,6 +24,8 @@ import urllib.request
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+# match the engine session's worker allocator (session.get_spark)
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
 def main() -> int:

@@ -64,6 +64,16 @@ def get_spark(
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    # Python workers inherit this process's env (local mode) or
+    # executorEnv (cluster): pyarrow's default jemalloc pool purges
+    # dirty pages with madvise so aggressively under the per-group
+    # Arrow alloc/free rhythm of cogrouped kernels that workers spend
+    # most of their CPU in the OS kernel (measured on the sf125
+    # pair-scan: worker stime 16x utime, zero I/O delta, zero context
+    # switches — and 36 s -> 24 s on the sf25 pair-list query from
+    # this one switch).  The glibc system allocator has no background
+    # purging; Arrow exposes the choice via this documented env var.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -71,6 +81,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+            os.environ["ARROW_DEFAULT_MEMORY_POOL"],
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
