@@ -74,6 +74,18 @@ def get_spark(
     # this one switch).  The glibc system allocator has no background
     # purging; Arrow exposes the choice via this documented env var.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # glibc itself mmap/munmaps allocations past its (dynamically
+    # adjusted, <= 32 MB) threshold, so the hit-dense pair-scan
+    # chunks — nonzero index vectors, fancy-index copies, ~30 MB per
+    # chunk — re-entered the page-zeroing storm through a different
+    # door (measured: worker stime rate ~66% with the Arrow pool
+    # already on glibc).  Pinning the threshold high serves every
+    # kernel temporary from the brk heap; freed blocks stay in the
+    # process (high-water RSS ~the largest transient set per worker,
+    # bounded by the chunked kernels) instead of round-tripping
+    # through the OS page allocator.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -84,6 +96,14 @@ def get_spark(
         .config(
             "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
             os.environ["ARROW_DEFAULT_MEMORY_POOL"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ["MALLOC_TRIM_THRESHOLD_"],
         )
     )
     for key, value in RUNTIME_CONFS.items():
