@@ -112,6 +112,80 @@ def test_counts_mode_lower_id_semantics(spark, corpus, monkeypatch, nb):
     assert got == want
 
 
+def test_wide_magnitude_slow_path_matches_brute_force(spark, monkeypatch):
+    """Non-normalized corpus past the float64 fast bound (umax² · DIM
+    >= 2^53): dots must run as exact int64 matmuls and the SQUARED
+    NORMS must be folded exactly in int64 with ONE correctly-rounded
+    cast — a float64 einsum would round per-term and flip
+    tau-threshold hits (the r12 ADVICE medium).  The brute-force
+    reference folds in int64 and casts once, i.e. the oracle's
+    CAST(BIGINT AS DOUBLE) arithmetic."""
+    from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(40.0, 200.0, size=(6, 8)) * rng.choice(
+        [-1.0, 1.0], size=(6, 8)
+    )
+    rows, vecs = [], {}
+    for i in range(24):
+        v = (base[i % 6] * (1.0 + rng.normal(scale=1e-4, size=8))).tolist()
+        vecs[i] = v
+        rows.append((i, v, int(i % 2)))
+    # the test must actually exercise the slow path
+    umax = max(
+        abs(int(np.floor(x * 1e6 + 0.5))) for v in vecs.values() for x in v
+    )
+    assert umax * umax * 8 >= 2**53
+    assert umax * umax * 8 < 2**62
+    for nb in (1, 3):
+        monkeypatch.setattr(
+            ps,
+            "_nb_for_occupancy_col",
+            lambda occ, mode, _w=nb: F.lit(_w).cast("int"),
+        )
+        tau = 0.999
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cos"]
+            for r in ps.pair_scan(
+                spark.createDataFrame(
+                    rows, "vec_id long, v array<double>, blk int"
+                ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+                ["blk"],
+                tau,
+                "pairs",
+            ).collect()
+        }
+        want = {}
+        for blk in (0, 1):
+            want.update(
+                _brute_pairs(
+                    {i: v for i, v in vecs.items() if i % 2 == blk}, tau
+                )
+            )
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=0), k
+
+
+def test_int64_headroom_guard_raises(spark):
+    """|u|² · DIM past 2^62: the kernel must raise where the BIGINT
+    oracle errors, never wrap silently."""
+    from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
+
+    v = [2000.0] * 8
+    rows = [(0, v, 0), (1, v, 0)]
+    scan = ps.pair_scan(
+        spark.createDataFrame(
+            rows, "vec_id long, v array<double>, blk int"
+        ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+        ["blk"],
+        0.9,
+        "pairs",
+    )
+    with pytest.raises(Exception, match="int64 headroom"):
+        scan.collect()
+
+
 def test_micro_unit_guard_fails_loud(spark):
     ok = spark.createDataFrame(
         [(0, [2145.9, -2146.0])], "vec_id long, v array<double>"

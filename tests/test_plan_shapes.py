@@ -92,15 +92,18 @@ def test_knn_lsh_results_identical_without_broadcast(spark):
     assert default == forced_shuffle
 
 
-def test_embedding_neardup_is_per_block_cogroup_kernel_scan(spark):
-    """The near-dup pair stage must be the cogrouped Arrow kernel
-    keyed on (label, cell, salt) — label-only blocking is O(n²/label)
-    all-pairs at scale, and a materialized banded candidate join
-    shuffles Σocc² pair rows on a duplicate-heavy corpus (measured:
-    filled the disk at sf25)."""
+def test_embedding_neardup_is_per_block_run_kernel_scan(spark):
+    """The near-dup pair stage must be the bucket-pair RUN scan keyed
+    on (label, cell) — a mapInPandas walk over the partition-sorted
+    tagged stream (r13), never per-group cogroup kernel calls (the
+    r12 sf125 throughput wall), never label-only blocking
+    (O(n²/label) all-pairs at scale), never a materialized banded
+    candidate join (shuffles Σocc² pair rows — filled the disk at
+    sf25)."""
     df = REGISTRY["dedup_embedding_cosine"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -268,15 +271,21 @@ def test_bigram_lm_broadcasts_only_the_vocab_scalar(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
-def test_semdedup_is_per_cluster_cogroup_kernel_scan(spark):
-    """The within-cluster pairwise stage must be the cogrouped Arrow
-    kernel keyed on (cell, salt) — never a materialized pair join (the
-    band self-join + DISTINCT + two vector joins it replaced shuffled
-    Σocc² pair rows and filled the disk at sf25)."""
+def test_semdedup_is_per_cluster_run_kernel_scan(spark):
+    """The within-cluster pairwise stage must be the bucket-pair RUN
+    scan — one tagged stream hash-partitioned + sorted on the
+    bucket-pair key, walked by a mapInPandas kernel (r13: one kernel
+    invocation per partition, not per group — the ~200k per-group
+    conversions were the sf125 wall) — never a materialized pair join
+    (the band self-join + DISTINCT + two vector joins it replaced
+    shuffled Σocc² pair rows and filled the disk at sf25)."""
     df = REGISTRY["corpus_semdedup"].build(spark, SF_PLAN)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan  # the r12 per-group form
+    # the run stream must arrive sorted for the kernel's boundary walk
+    assert "Sort" in plan
     # no pair-level aggregation survives: the one Aggregate family in
     # the plan belongs to the quantizer build, not a pair DISTINCT
     assert "vec_a" not in plan and "vec_b" not in plan

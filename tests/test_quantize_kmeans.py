@@ -60,3 +60,39 @@ def test_lloyd_rounds_partition_the_corpus(spark):
         assert len(dims) == DIM
         assert len({d.n_vecs for d in dims}) == 1  # same count on every dim
     assert sum(dims[0].n_vecs for dims in cells.values()) == n_corpus
+
+
+def test_assign_zero_norm_centroid_matches_oracle_nan_first(spark):
+    """A centroid that quantizes to the zero vector scores 0/0 = NaN
+    for EVERY vector; the oracle's ORDER BY score DESC ranks NaN first
+    (cell ASC among ties), so every vector must land in the LOWEST
+    zero-norm cell.  The running strict-> max in the kernel is
+    NaN-blind, so this pins the explicit NaN-first branch (r12 ADVICE
+    low) across everything that shares the kernel (IVF paths, SemDeDup,
+    Lloyd rounds)."""
+    from transitdata_omm_cancellation_source_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, v array<double>",
+    )
+    cvec = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (5, [0.0, 0.0]), (9, [0.0, 0.0])],
+        "c_key int, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_to_centroids(vecs, cvec).collect()
+    }
+    assert got == {1: 5, 2: 5, 3: 5}
+    # and without a zero-norm centroid the normal argmax still serves
+    cvec2 = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [0.0, 1.0])], "c_key int, cv array<double>"
+    )
+    got2 = {
+        r["vec_id"]: r["cell"]
+        for r in assign_to_centroids(vecs, cvec2).collect()
+    }
+    assert got2 == {1: 3, 2: 7, 3: 3}

@@ -961,8 +961,8 @@ def _embedding_oracle() -> str:
     _embedding_oracle(),
 )
 def _embedding_neardup(spark, t):
-    """Embedding near-dup pair list as a per-(label, cell) cogrouped
-    kernel scan.
+    """Embedding near-dup pair list as a per-(label, cell) bucket-pair
+    run scan.
 
     Blocking: the GIVEN ``label`` column AND the learned corpus-scaled
     cell (the shared ``ivf_quantizer`` -- same-label vectors are
@@ -977,18 +977,22 @@ def _embedding_neardup(spark, t):
     which filled the disk at sf25 on the duplicate-heavy scaled
     corpus -- is never materialized).
 
-    Kernel shape: the bucket-PAIR (triangle) cogroup
-    (``operators/pairscan.py`` — the structural fix for the pair-dedup
-    family's r11 sf125 skew wall; see the module docstring for the
-    two recorded negatives that force this shape).  Per (label, cell)
-    block the ids split into an occupancy-sized number of buckets and
-    the (lo <= hi) bucket pairs cogroup, bounding BOTH task sides by
-    occ/nb; every unordered pair lands in exactly one task, so the
-    pair list is exact at any bucket count
-    (tests/test_salt_invariance.py).  Per task one exact int64 matmul
-    scores the bucket pair; only verified pairs (cos >= tau, oriented
-    vec_a < vec_b) leave the kernel -- the emitted row count is the
-    true duplicate-pair mass, the query's actual output.
+    Kernel shape: the bucket-PAIR (triangle) RUN scan
+    (``operators/pairscan.py`` — r12's cogroup bounded both task sides
+    by occ/nb and fixed the r11 sf125 skew wall, but applyInPandas
+    paid per-GROUP kernel machinery across sf125's ~200k bucket-pair
+    groups and never finished; r13 keeps the bucket-pair shape and
+    walks the run-sorted stream with ONE mapInPandas kernel per
+    partition — see the pairscan module docstring for the full
+    negative-result chain).  Per (label, cell) block the ids split
+    into an occupancy-sized number of buckets and the (lo <= hi)
+    bucket pairs are the scan units; every unordered pair lands in
+    exactly one unit, so the pair list is exact at any bucket count
+    (tests/test_salt_invariance.py).  Per unit one exact int64 matmul
+    (adaptive chunk height) scores the bucket pair; only verified
+    pairs (cos >= tau, oriented vec_a < vec_b) leave the kernel in
+    streamed Arrow flushes -- the emitted row count is the true
+    duplicate-pair mass, the query's actual output.
 
     Determinism: micro-unit quantization once, exact integer dots
     (in-kernel int64-headroom guard), cosine = CAST-to-double /
@@ -1017,13 +1021,13 @@ def _embedding_neardup(spark, t):
             assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
         ).select("vec_id", micro_unit_col("v").alias("uv"), "label", "cell")
     )
-    # Bucket-pair cogroup over (label, cell) blocks in pairs mode:
+    # Bucket-pair run scan over (label, cell) blocks in pairs mode:
     # per-block occupancy-sized bucket counts (cold blocks pay zero
-    # replication, hot blocks fan out into nb²/2 bounded tasks; the
-    # 4096-row pairs-mode bucket bounds the worst-case per-task hit
-    # list) — the shape that replaces the salted single scan whose
-    # sf125 straggler/OOM negatives are recorded in pairscan's module
-    # docstring.
+    # replication, hot blocks fan out into nb²/2 bounded units; the
+    # 4096-row pairs-mode bucket bounds the worst-case per-chunk hit
+    # list) — the shape that replaces the salted single scan AND the
+    # r12 per-group cogroup, whose straggler/OOM/throughput negatives
+    # are recorded in pairscan's module docstring.
     scan = pair_scan(vb, ["label", "cell"], _COSINE_TAU, mode="pairs")
     return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 

@@ -1,4 +1,4 @@
-"""Bucket-pair (triangle) cogrouped scan for the pair-dedup family.
+"""Bucket-pair (triangle) run scan for the pair-dedup family.
 
 ``corpus_semdedup`` and ``dedup_embedding_cosine`` compute EXACT
 pairwise cosine within a blocking key (the learned IVF cell, or
@@ -25,23 +25,23 @@ this design is forced:
   every doubling past that doubles shuffled bytes for nothing.
 
 The structural shape (bounds BOTH task sides).  Per block, ids are
-split into ``nb`` buckets and the cogroup key becomes the bucket PAIR
+split into ``nb`` buckets and the scan unit becomes the bucket PAIR
 ``(lo, hi)`` with ``lo <= hi``:
 
 - a vector in bucket ``b`` enters the MEMBER side of pairs ``(b, j)``
   for every ``j > b`` and the QUERY side of pairs ``(i, b)`` for every
-  ``i <= b`` — so every unordered id pair lands in EXACTLY ONE task
-  (the bucket pair of its two ids), and the scan is exact by coverage
-  at ANY ``nb >= 1`` (``tests/test_salt_invariance.py`` pins 1 vs 5 vs
-  adaptive bit-identity; ``nb = 1`` IS the classic single-triangle
-  scan, so the same pin is the bucket-pair-vs-single-scan equivalence
-  proof).
-- the diagonal task ``(b, b)`` receives only the query side and scores
+  ``i <= b`` — so every unordered id pair lands in EXACTLY ONE scan
+  unit (the bucket pair of its two ids), and the scan is exact by
+  coverage at ANY ``nb >= 1`` (``tests/test_salt_invariance.py`` pins
+  1 vs 5 vs adaptive bit-identity; ``nb = 1`` IS the classic
+  single-triangle scan, so the same pin is the
+  bucket-pair-vs-single-scan equivalence proof).
+- the diagonal unit ``(b, b)`` receives only the query side and scores
   the within-bucket triangle (strict ``id_a < id_b``); off-diagonal
-  tasks score the full cross product of two DISJOINT buckets and
+  units score the full cross product of two DISJOINT buckets and
   orient each hit by id.
 
-Each vector is replicated into exactly ``nb`` tasks, and ``nb`` is
+Each vector is replicated into exactly ``nb`` units, and ``nb`` is
 PER-BLOCK occupancy-sized (one map-side-combinable count per block,
 #blocks output rows): a cold block pays ZERO replication (nb = 1, no
 member side at all), so total in-flight rows are Σ_block occ·nb(occ)
@@ -50,18 +50,53 @@ measured negatives above:
 
 - ``mode="pairs"`` (the pair-LIST emitters): nb = pow2ceil(occ /
   4096), capped at 64.  The 4096-row bucket bounds the worst-case
-  per-task HIT LIST (a fully-duplicate bucket pair emits
+  per-chunk HIT LIST (a fully-duplicate bucket pair emits
   bucket_lo x bucket_hi rows — that list is the query's actual
-  output, but it buffers in the kernel before Arrow hands it back).
+  output, streamed out in bounded Arrow flushes).
 - ``mode="counts"`` (per-vector lower-dup counts): the kernel keeps
   RUNNING COUNT ARRAYS — a chunk's boolean hit matrix is reduced with
   sum(axis), NEVER np.nonzero'd into index lists, so a 100%-duplicate
   mega-cell costs zero extra memory.  Buckets can therefore be
-  65536 rows (task payload ~2 x 17 MB of int32 vectors), and nb stays
-  at the 16-task-parallelism floor until occ outgrows 16 such
+  65536 rows (unit payload ~2 x 17 MB of int32 vectors), and nb stays
+  at the 16-unit-parallelism floor until occ outgrows 16 such
   buckets: nb = min(64, max(pow2ceil(occ/65536),
   min(16, pow2ceil(occ/4096)))).  At the measured sf125 distribution
   this cuts the mega-cells' replication x4 vs the flat rule.
+
+EXECUTION: one kernel invocation per PARTITION, not per bucket pair
+(r13, the fix for the r12 sf125 ``dedup_embedding_cosine`` negative).
+The r12 form cogrouped the (lo <= hi) bucket pairs through
+``applyInPandas`` — structurally right (the shuffle measured a healthy
+7.5 GB at sf125, no replication blow-up) but throughput-wrong: a
+cogroup invokes the Python kernel once per GROUP, and sf125 fans out
+into ~200k bucket-pair groups, so the per-group machinery (Arrow ->
+pandas conversion, kernel re-entry, per-group output frame) dominated
+the wall clock — three 18-28 min runs ended with 0/32 kernel tasks
+complete while every worker sat user-CPU-bound in exactly that
+overhead.  Now both sides union into ONE tagged stream, hash-
+repartitioned by (block, lo, hi) and sorted within partitions by
+(block, lo, hi, side, id), and a ``mapInPandas`` kernel walks each
+partition's Arrow batches once: batch columns are stacked ONCE per
+~10k-row batch (not once per group), bucket-pair runs are detected as
+key-change boundaries, each run is scored in place as row slices of
+the batch matrix, and a run spanning a batch edge is carried by copy.
+Per-group cost is now a few numpy slice views; per-BATCH cost is one
+stack + one float64 cast, amortized over every group in the batch.
+
+Hit emission is Arrow-native and streamed: hit arrays append whole
+(``list.extend(ndarray)`` boxes per element — the recorded r12
+negative) and flush as zero-copy int64/float64 pandas frames every
+``_FLUSH_ROWS`` rows, so pairs-mode buffering is bounded by the flush
+threshold plus one chunk's hits regardless of how duplicate-dense the
+corpus is.
+
+CHUNK HEIGHT IS ADAPTIVE: the scorer processes query rows in chunks
+of ``_AREA // member_width`` (bounded by the same ~134 MB scratch
+matrix the fixed 256-row chunk already implied at the counts-mode
+bucket width), so a small bucket pair is scored in ONE BLAS call
+instead of 16 skinny ones — chunking never touches arithmetic (every
+product is an exact integer below the headroom guards, so any
+blocking of the matmul yields bit-identical results).
 
 Payload: vectors ride the shuffle as int32 MICRO-UNITS (``array<int>``
 — ``micro_unit_col`` quantizes once, Spark-side, with a fail-loud
@@ -71,11 +106,14 @@ identical IEEE op sequence the kernels used to run in numpy, so the
 integers are bit-identical.
 
 Arithmetic contract (family-wide): micro-unit int64 quantization once,
-exact integer dot matrices (``hyperplane.exact_idot_matmul`` — float64
-BLAS below the 2^53 headroom, int64 matmul above, raise past 2^62),
-cosine = exact-int dots / sqrt(double * double) — the identical
-correctly-rounded IEEE op sequence the DuckDB oracles fold in BIGINT,
-so engine == oracle stays integer-exact at every scale and any nb.
+exact integer dot matrices (float64 BLAS below the 2^53 headroom,
+int64 matmul above, raise past 2^62), squared norms computed EXACTLY
+in either regime (float64 einsum is exact below 2^53; above it the
+norms are int64 einsums cast once — a single correctly-rounded cast,
+matching the oracle's CAST(BIGINT AS DOUBLE)), cosine = dots /
+sqrt(double * double) — the identical correctly-rounded IEEE op
+sequence the DuckDB oracles fold in BIGINT, so engine == oracle stays
+integer-exact at every scale and any nb.
 """
 
 from __future__ import annotations
@@ -85,11 +123,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: pairs-mode bucket target (bounds the worst-case per-task hit list)
-#: and counts-mode bucket bound (task payload memory only).
+#: pairs-mode bucket target (bounds the worst-case per-chunk hit list)
+#: and counts-mode bucket bound (unit payload memory only).
 PAIR_GROUP_TARGET = 4096
 COUNT_BUCKET_ROWS = 65536
-#: parallelism floor: nb = 16 -> 136 tasks per hot block, 4+ waves on
+#: parallelism floor: nb = 16 -> 136 units per hot block, 4+ waves on
 #: a 32-core node — wider only costs shuffle bytes (occ x nb).
 NB_PAR = 16
 #: replication ceiling per vector.
@@ -144,15 +182,15 @@ def pair_scan(
     id_col: str = "vec_id",
     vec_col: str = "uv",
 ) -> DataFrame:
-    """The bucket-pair cogrouped exact pair scan (module docstring).
+    """The bucket-pair run scan (module docstring).
 
     ``vb``: (id_col, vec_col int32 micro-units — ``micro_unit_col``,
     computed BEFORE the caller's persist so the interpreted HOF never
     re-evaluates per replicated row, *block_cols); ideally persisted —
-    three consumers read it (the occupancy count and both cogroup
-    sides).  ``mode="pairs"`` returns (vec_a, vec_b, cos) with
-    vec_a < vec_b; ``mode="counts"`` returns per-task PARTIAL
-    (vec_id, n) lower-id duplicate counts — callers sum across tasks.
+    three consumers read it (the occupancy count and both run sides).
+    ``mode="pairs"`` returns (vec_a, vec_b, cos) with vec_a < vec_b;
+    ``mode="counts"`` returns per-unit PARTIAL (vec_id, n) lower-id
+    duplicate counts — callers sum across units.
     """
     if mode not in ("pairs", "counts"):
         raise ValueError(f"pair_scan: unknown mode {mode!r}")
@@ -169,53 +207,68 @@ def pair_scan(
     )
     # member side of pairs (bkt, j), j > bkt — empty slice when bkt is
     # the top bucket (explode drops the row); query side of pairs
-    # (i, bkt), i <= bkt — always >= 1 key, so the (b, b) diagonal task
+    # (i, bkt), i <= bkt — always >= 1 key, so the (b, b) diagonal run
     # exists for every non-empty bucket and carries ONLY queries.
     members = vbb.select(
-        F.col(id_col).alias("m_id"),
-        F.col(vec_col).alias("mv"),
         *blocks,
         F.col("bkt").alias("lo"),
         F.explode(
             F.expr("slice(sequence(bkt, nb - 1), 2, nb - 1 - bkt)")
         ).alias("hi"),
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("uv"),
     )
     qs = vbb.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        *[F.col(c).alias(f"q_{c}") for c in blocks],
-        F.explode(F.expr("sequence(0, bkt)")).alias("q_lo"),
-        F.col("bkt").alias("q_hi"),
+        *blocks,
+        F.explode(F.expr("sequence(0, bkt)")).alias("lo"),
+        F.col("bkt").alias("hi"),
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("uv"),
     )
-    kernel = (_pairs_kernel if mode == "pairs" else _counts_kernel)(tau)
+    # One tagged stream, runs made contiguous: hash-partition on the
+    # bucket-pair key (all rows of a run land in one partition — the
+    # same distribution the r12 cogroup produced), then an in-partition
+    # sort puts members before queries and ids ascending within each
+    # side (the kernel's diagonal triangle relies on that order; the
+    # sort is the Exchange+Sort the cogroup already paid, with two slim
+    # extra keys).
+    gcols = blocks + ["lo", "hi"]
+    runs = (
+        members.unionByName(qs)
+        .repartition(*gcols)
+        .sortWithinPartitions(*gcols, "side", "pid")
+    )
     schema = (
         "vec_a long, vec_b long, cos double"
         if mode == "pairs"
         else "vec_id long, n long"
     )
-    return (
-        members.groupby(*blocks, "lo", "hi")
-        .cogroup(qs.groupby(*[f"q_{c}" for c in blocks], "q_lo", "q_hi"))
-        .applyInPandas(kernel, schema)
-    )
+    return runs.mapInPandas(_run_scan(tau, mode, gcols), schema)
 
 
-#: kernel chunk height: bounds every scratch matrix at CHUNK x bucket.
-_CHUNK = 256
+#: scratch-element budget for one score matrix: chunk height adapts as
+#: _AREA // member_width, so the footprint cap is constant (~134 MB of
+#: float64 per matrix — exactly what the former fixed 256-row chunk
+#: already implied at the 65536-row counts bucket) while small bucket
+#: pairs score in one BLAS call.
+_AREA = 256 * COUNT_BUCKET_ROWS
+#: output rows buffered before an Arrow flush (pairs mode ~24 MB).
+_FLUSH_ROWS = 1 << 20
 
-#: Worker-global scratch pool, keyed by buffer role.  applyInPandas
-#: cogroup invokes the kernel ONCE PER GROUP; a hot block fans out
-#: into nb(nb+1)/2 groups and a corpus has tens of thousands more, so
-#: per-GROUP allocation is the dominant cost at scale: the first
+#: Worker-global scratch pool, keyed by buffer role.  Hot blocks fan
+#: out into nb(nb+1)/2 runs and a corpus has tens of thousands more,
+#: so per-RUN allocation is a dominant cost at scale: the first
 #: triangle sf125 runs spent up to ~90% of machine CPU in the OS
 #: kernel (measured: ~10k minor faults/s per worker, worker stime 8x
 #: utime) zeroing freshly mmap'd numpy buffers that lived for one
 #: group.  Workers are long-lived single-threaded processes
 #: (spark.python.worker.reuse), so pooled buffers are faulted once
-#: per worker and reused across groups, tasks and queries.  Pool
-#: footprint is bounded by the mode constants: the largest resident
-#: set (counts mode, 65536-row buckets) is ~400 MB/worker — budget it
-#: in executor overhead when sizing a real cluster.
+#: per worker and reused across batches, runs, tasks and queries.
+#: Pool footprint is bounded by _AREA (~400 MB/worker at the counts-
+#: mode widths) — budget it in executor overhead when sizing a real
+#: cluster.
 _SCRATCH: dict = {}
 
 
@@ -228,71 +281,31 @@ def _scratch(np, key, n, dtype):
     return buf[:n]
 
 
-def _stack_units(pdf, col, slot):
-    """Micro-unit matrix (float64 view into the ``slot`` pool) + EXACT
-    squared norms.  Values are int32 micro-units, so the float64 cast
-    is exact and every u² term (<= ~1.4e12) and 64-term norm sum
-    (<= ~9.2e13) stays far below 2^53 — n2 is an exact integer in
-    float64 regardless of summation order (einsum may reorder)."""
-    import numpy as np
-
-    rows = pdf[col].to_numpy()
-    n, dim = len(rows), len(rows[0])
-    U32 = np.stack(rows, out=_scratch(np, slot, n * dim, np.int32).reshape(n, dim))
-    umax = int(np.abs(U32).max(initial=0))
-    Uf = _scratch(np, slot + "_f", n * dim, np.float64).reshape(n, dim)
-    np.copyto(Uf, U32)  # exact: |int32| < 2^53
-    n2 = _scratch(np, slot + "_n2", n, np.float64)
-    np.einsum("ij,ij->i", Uf, Uf, out=n2)
-    return Uf, n2, umax
-
-
-def _sort_diag(np, qid, Uq, nq2):
-    """id-sort the diagonal task's query matrix into the (otherwise
-    unused on the diagonal) member pool slots — the fancy-index copies
-    were the last per-group allocations."""
-    qo = np.argsort(qid)
-    n, dim = Uq.shape
-    Us = np.take(
-        Uq, qo, axis=0, out=_scratch(np, "sm_f", n * dim, np.float64).reshape(n, dim)
-    )
-    n2s = np.take(nq2, qo, out=_scratch(np, "sm_n2", n, np.float64))
-    return qid[qo], Us, n2s
-
-
 class _ChunkCos:
-    """Pool-backed exact-cosine chunk scorer (one per kernel group).
+    """Pool-backed exact-cosine chunk scorer (one per run).
 
-    Arithmetic is bit-identical to the per-call
-    ``exact_idot_matmul`` form it replaces: the float64-BLAS fast
-    path is taken iff umax^2 * DIM < 2^53 with umax over BOTH WHOLE
-    matrices (any per-chunk max is <= that, so the branch is at
-    least as conservative — and float64 products of exact integers
-    below 2^53 are exact in any order), the 2^62 wrap guard raises
-    identically, and cos = dots / sqrt(nq2 * nm2) is the same IEEE
-    op sequence with ``out=`` destinations into pooled scratch.
+    The float64-BLAS fast path is taken iff umax^2 * DIM < 2^53 with
+    umax over the WHOLE run (any chunk's max is <= that, so the branch
+    is at least as conservative — and float64 products of exact
+    integers below 2^53 are exact in any order, so chunk blocking
+    cannot change a value).  Above the fast bound dots run as exact
+    int64 matmuls whose float64 store is the oracle's own
+    CAST(BIGINT AS DOUBLE); the 2^62 wrap guard raises before int64
+    could wrap.  cos = dots / sqrt(nq2 * nm2) is the same IEEE op
+    sequence on both engines, with ``out=`` destinations into pooled
+    scratch.
     """
 
-    def __init__(self, Uq, nq2, Um, nm2, umax):
-        import numpy as np
-
+    def __init__(self, np, Uq, nq2, Um, nm2, fast, ch):
         self._np = np
-        dim = Um.shape[1]
-        # Python int guard arithmetic — an int64 umax^2*dim can wrap
-        # (same rationale as hyperplane.exact_idot_matmul).
-        if umax * umax * dim >= 2**62:
-            raise ValueError(
-                "pairscan: |u|^2 * DIM exceeds int64 headroom;"
-                " the kernel would wrap where the BIGINT oracle errors"
-            )
-        self.fast = umax * umax * dim < 2.0**53
+        self.fast = fast
         self.Uq, self.Um = Uq, Um
         self.nq2, self.nm2 = nq2, nm2
         m = Um.shape[0]
-        self._d = _scratch(np, "cc_d", _CHUNK * m, np.float64)
-        self._p = _scratch(np, "cc_p", _CHUNK * m, np.float64)
-        self._b1 = _scratch(np, "cc_b1", _CHUNK * m, bool)
-        self._b2 = _scratch(np, "cc_b2", _CHUNK * m, bool)
+        self._d = _scratch(np, "cc_d", ch * m, np.float64)
+        self._p = _scratch(np, "cc_p", ch * m, np.float64)
+        self._b1 = _scratch(np, "cc_b1", ch * m, bool)
+        self._b2 = _scratch(np, "cc_b2", ch * m, bool)
 
     def cos(self, clo, chi, mh):
         """cos matrix view [(chi-clo) x mh] for query rows [clo:chi)
@@ -305,7 +318,9 @@ class _ChunkCos:
         else:
             # exact int64 matmul (wide corpora; alloc-churny but rare):
             # the float64 pool views hold exact integers, so the int64
-            # round-trip is lossless below the 2^62 guard.
+            # round-trip is lossless below the 2^62 guard, and the
+            # float64 store of each dot is one correctly-rounded cast —
+            # identical to the oracle's CAST(idot AS DOUBLE).
             d[...] = self.Uq[clo:chi].astype(np.int64) @ self.Um[:mh].astype(
                 np.int64
             ).T
@@ -323,141 +338,271 @@ class _ChunkCos:
         )
 
 
-def _pairs_kernel(tau: float):
-    """Emit the oriented hit PAIR list (vec_a < vec_b) — the pair-list
-    query's actual output, so buffering it in the kernel is bounded by
-    the pairs-mode bucket target (worst case target² on a
-    fully-duplicate bucket pair)."""
+class _PairSink:
+    """Streamed pairs-mode output: whole-array appends, zero-copy
+    int64/float64 pandas flushes (list.extend(ndarray) boxes every
+    element — the recorded r12 negative)."""
 
-    def kernel(key, m_pdf, q_pdf):
-        import numpy as np
-        import pandas as pd
+    def __init__(self, np, pd):
+        self._np, self._pd = np, pd
+        self._a, self._b, self._c = [], [], []
+        self.rows = 0
 
-        def out(a, b, c):
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series(a, dtype="int64"),
-                    "vec_b": pd.Series(b, dtype="int64"),
-                    "cos": pd.Series(c, dtype="float64"),
-                }
-            )
+    def add(self, a, b, c):
+        self._a.append(a)
+        self._b.append(b)
+        self._c.append(c)
+        self.rows += len(a)
 
+    def ready(self):
+        return self.rows >= _FLUSH_ROWS
+
+    def flush(self):
+        np, pd = self._np, self._pd
         nil = np.empty(0, dtype=np.int64)
-        lo, hi = int(key[-2]), int(key[-1])
-        if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
-            return out(nil, nil, nil)
-        Uq, nq2, umax = _stack_units(q_pdf, "qv", "sq")
-        qid = q_pdf["q_id"].to_numpy()
-        out_a, out_b, out_c = [], [], []
-        if lo == hi:
-            qid, Uq, nq2 = _sort_diag(np, qid, Uq, nq2)
-            sc = _ChunkCos(Uq, nq2, Uq, nq2, umax)
-            for clo in range(0, len(qid), _CHUNK):
-                chi = min(clo + _CHUNK, len(qid))
-                mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
-                if mh == 0:
-                    continue
-                cos = sc.cos(clo, chi, mh)
-                hit, low = sc.bools(chi - clo, mh)
-                np.greater_equal(cos, tau, out=hit)
-                np.less(qid[None, :mh], qid[clo:chi, None], out=low)
-                np.logical_and(hit, low, out=hit)
-                r, c = np.nonzero(hit)
-                if len(r):
-                    out_a.append(qid[c])
-                    out_b.append(qid[clo + r])
-                    out_c.append(cos[r, c])
-        else:
-            Um, nm2, um2 = _stack_units(m_pdf, "mv", "sm")
-            mid = m_pdf["m_id"].to_numpy()
-            sc = _ChunkCos(Uq, nq2, Um, nm2, max(umax, um2))
-            for clo in range(0, len(qid), _CHUNK):
-                chi = min(clo + _CHUNK, len(qid))
-                cos = sc.cos(clo, chi, len(mid))
-                hit, _ = sc.bools(chi - clo, len(mid))
-                np.greater_equal(cos, tau, out=hit)
-                r, c = np.nonzero(hit)
-                if len(r):
-                    qi, mi = qid[clo + r], mid[c]
-                    out_a.append(np.minimum(qi, mi))
-                    out_b.append(np.maximum(qi, mi))
-                    out_c.append(cos[r, c])
-        if not out_a:
-            return out(nil, nil, nil)
-        # whole-array appends + one concatenate: list.extend(ndarray)
-        # boxes every element into a Python object — measured as the
-        # pairs-mode twin of the page-churn the _ChunkCos buffers fix.
-        return out(
-            np.concatenate(out_a).astype(np.int64, copy=False),
-            np.concatenate(out_b).astype(np.int64, copy=False),
-            np.concatenate(out_c).astype(np.float64, copy=False),
+        out = pd.DataFrame(
+            {
+                "vec_a": pd.Series(
+                    np.concatenate(self._a).astype(np.int64, copy=False)
+                    if self._a
+                    else nil
+                ),
+                "vec_b": pd.Series(
+                    np.concatenate(self._b).astype(np.int64, copy=False)
+                    if self._b
+                    else nil
+                ),
+                "cos": pd.Series(
+                    np.concatenate(self._c).astype(np.float64, copy=False)
+                    if self._c
+                    else nil.astype(np.float64)
+                ),
+            }
         )
+        self._a, self._b, self._c = [], [], []
+        self.rows = 0
+        return out
 
-    return kernel
 
+class _CountSink:
+    """Streamed counts-mode output: per-run partial (vec_id, n) rows
+    with zero counts dropped at the source."""
 
-def _counts_kernel(tau: float):
-    """Emit per-task PARTIAL lower-id duplicate counts via RUNNING
-    COUNT ARRAYS — a chunk's boolean hit matrix is reduced with
-    sum(axis=...), never np.nonzero'd into index lists, so per-task
-    memory is independent of hit density (a 100%-duplicate mega-cell
-    emits <= 2 x bucket rows).  Off-diagonal tasks count BOTH
-    directions: a hit (m, q) increments whichever side has the HIGHER
-    id — summed across tasks by the caller, this is exactly each
-    vector's n_lower_dups."""
+    def __init__(self, np, pd):
+        self._np, self._pd = np, pd
+        self._ids, self._ns = [], []
+        self.rows = 0
 
-    def kernel(key, m_pdf, q_pdf):
-        import numpy as np
-        import pandas as pd
+    def add(self, ids, counts):
+        np = self._np
+        keep = counts > 0
+        if keep.any():
+            self._ids.append(ids[keep])
+            self._ns.append(counts[keep])
+            self.rows += int(keep.sum())
 
-        def out(ids, counts):
-            keep = counts > 0
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(ids[keep], dtype="int64"),
-                    "n": pd.Series(counts[keep], dtype="int64"),
-                }
-            )
+    def ready(self):
+        return self.rows >= _FLUSH_ROWS
 
+    def flush(self):
+        np, pd = self._np, self._pd
         nil = np.empty(0, dtype=np.int64)
-        lo, hi = int(key[-2]), int(key[-1])
-        if len(q_pdf) == 0 or (lo != hi and len(m_pdf) == 0):
-            return out(nil, nil)
-        Uq, nq2, umax = _stack_units(q_pdf, "qv", "sq")
-        qid = q_pdf["q_id"].to_numpy()
-        if lo == hi:
-            qid, Uq, nq2 = _sort_diag(np, qid, Uq, nq2)
-            sc = _ChunkCos(Uq, nq2, Uq, nq2, umax)
-            counts = np.zeros(len(qid), dtype=np.int64)
-            for clo in range(0, len(qid), _CHUNK):
-                chi = min(clo + _CHUNK, len(qid))
-                mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
-                if mh == 0:
-                    continue
-                cos = sc.cos(clo, chi, mh)
-                hit, low = sc.bools(chi - clo, mh)
-                np.greater_equal(cos, tau, out=hit)
-                np.less(qid[None, :mh], qid[clo:chi, None], out=low)
-                np.logical_and(hit, low, out=hit)
-                counts[clo:chi] += hit.sum(axis=1)
-            return out(qid, counts)
-        Um, nm2, um2 = _stack_units(m_pdf, "mv", "sm")
-        mid = m_pdf["m_id"].to_numpy()
-        sc = _ChunkCos(Uq, nq2, Um, nm2, max(umax, um2))
-        q_counts = np.zeros(len(qid), dtype=np.int64)
-        m_counts = np.zeros(len(mid), dtype=np.int64)
-        for clo in range(0, len(qid), _CHUNK):
-            chi = min(clo + _CHUNK, len(qid))
-            cos = sc.cos(clo, chi, len(mid))
-            hit, low = sc.bools(chi - clo, len(mid))
-            np.greater_equal(cos, tau, out=hit)
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series(
+                    np.concatenate(self._ids).astype(np.int64, copy=False)
+                    if self._ids
+                    else nil
+                ),
+                "n": pd.Series(
+                    np.concatenate(self._ns).astype(np.int64, copy=False)
+                    if self._ns
+                    else nil
+                ),
+            }
+        )
+        self._ids, self._ns = [], []
+        self.rows = 0
+        return out
+
+
+def _scan_unit(np, sink, tau, pairs, lo, hi, ids, side, U32g):
+    """Score ONE bucket-pair run (already concatenated across any batch
+    edges) and push hits/counts into ``sink``; yields bounded Arrow
+    flushes mid-run so pairs-mode buffering never exceeds the flush
+    threshold plus one chunk's hits."""
+    n, dim = U32g.shape
+    split = int(np.searchsorted(side, 1))
+    nq = n - split
+    diag = lo == hi
+    if diag and split:
+        # members explode only into j > bkt, so a diagonal run with
+        # member rows means the run assembly is broken — fail loud.
+        raise AssertionError("pairscan: diagonal run received member rows")
+    if nq == 0 or (not diag and split == 0):
+        return
+    umax = int(np.abs(U32g).max(initial=0))
+    # Python int guard arithmetic — an int64 umax^2*dim can wrap.
+    if umax * umax * dim >= 2**62:
+        raise ValueError(
+            "pairscan: |u|^2 * DIM exceeds int64 headroom;"
+            " the kernel would wrap where the BIGINT oracle errors"
+        )
+    fast = umax * umax * dim < 2.0**53
+    Uf = _scratch(np, "g_f64", n * dim, np.float64).reshape(n, dim)
+    np.copyto(Uf, U32g)  # exact: |int32| < 2^53
+    n2 = _scratch(np, "g_n2", n, np.float64)
+    if fast:
+        # every u^2 term and DIM-term partial sum < 2^53: the float64
+        # einsum is exact in any summation order.
+        np.einsum("ij,ij->i", Uf, Uf, out=n2)
+    else:
+        # wide-magnitude corpora: u^2 products past 2^53 would round
+        # per-term in float64, so fold the norms EXACTLY in int64 (the
+        # 2^62 guard above bounds the sum — no wrap) and store each
+        # through one correctly-rounded cast, identical to the
+        # oracle's CAST(BIGINT AS DOUBLE).
+        n2[...] = np.einsum(
+            "ij,ij->i", U32g.astype(np.int64), U32g.astype(np.int64)
+        )
+    qid = ids[split:]
+    Uq, nq2 = Uf[split:], n2[split:]
+    if diag:
+        # the partition sort delivers ids ascending within the side —
+        # the triangle's lower-id mask relies on it, so verify cheaply.
+        if nq > 1 and not bool(np.all(qid[1:] > qid[:-1])):
+            raise AssertionError("pairscan: diagonal run ids not sorted")
+        mid, Um, nm2 = qid, Uq, nq2
+        m = nq
+    else:
+        mid, Um, nm2 = ids[:split], Uf[:split], n2[:split]
+        m = split
+    ch = max(1, min(nq, _AREA // max(m, 1)))
+    sc = _ChunkCos(np, Uq, nq2, Um, nm2, fast, ch)
+    if not pairs:
+        q_counts = _scratch(np, "gc_q", nq, np.int64)
+        q_counts[...] = 0
+        if not diag:
+            m_counts = _scratch(np, "gc_m", m, np.int64)
+            m_counts[...] = 0
+    for clo in range(0, nq, ch):
+        chi = min(clo + ch, nq)
+        if diag:
+            mh = int(np.searchsorted(qid, qid[chi - 1], side="left"))
+            if mh == 0:
+                continue
+        else:
+            mh = m
+        cos = sc.cos(clo, chi, mh)
+        hit, low = sc.bools(chi - clo, mh)
+        np.greater_equal(cos, tau, out=hit)
+        if diag:
+            np.less(qid[None, :mh], qid[clo:chi, None], out=low)
+            np.logical_and(hit, low, out=hit)
+        if pairs:
+            r, c = np.nonzero(hit)
+            if len(r):
+                if diag:
+                    sink.add(qid[c], qid[clo + r], cos[r, c])
+                else:
+                    qi, mi = qid[clo + r], mid[c]
+                    sink.add(
+                        np.minimum(qi, mi), np.maximum(qi, mi), cos[r, c]
+                    )
+            if sink.ready():
+                yield sink.flush()
+        elif diag:
+            q_counts[clo:chi] += hit.sum(axis=1)
+        else:
+            # low := hit & lower, then hit := hit & ~lower (hit XOR its
+            # own subset) — the two directional masks, no temps.  A hit
+            # increments whichever side has the HIGHER id; summed
+            # across units this is exactly each vector's n_lower_dups.
             np.less(mid[None, :], qid[clo:chi, None], out=low)
-            # low := hit & lower, then hit := hit & ~lower (hit XOR
-            # its own subset) — the two directional masks, no temps.
             np.logical_and(hit, low, out=low)
             q_counts[clo:chi] += low.sum(axis=1)
             np.logical_xor(hit, low, out=hit)
             m_counts += hit.sum(axis=0)
-        return pd.concat([out(qid, q_counts), out(mid, m_counts)])
+    if not pairs:
+        sink.add(qid, q_counts)
+        if not diag:
+            sink.add(mid, m_counts)
+        if sink.ready():
+            yield sink.flush()
 
-    return kernel
+
+def _run_scan(tau: float, mode: str, gcols: Sequence[str]):
+    """mapInPandas kernel factory: walk a partition's Arrow batches
+    once, stack each batch's vectors ONCE, split it into bucket-pair
+    runs at key-change boundaries, and score each run as row slices —
+    per-run cost is a few numpy views, per-batch cost is one stack
+    (module docstring: the r12 per-group-overhead fix)."""
+    pairs = mode == "pairs"
+    gcols = list(gcols)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        sink = _PairSink(np, pd) if pairs else _CountSink(np, pd)
+        pend_key = None
+        pend: list = []  # (ids, side, U32) pieces of the open run
+
+        def scan(key, parts):
+            if len(parts) == 1:
+                ids, side, U32 = parts[0]
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                side = np.concatenate([p[1] for p in parts])
+                U32 = np.vstack([p[2] for p in parts])
+            return _scan_unit(
+                np, sink, tau, pairs, int(key[-2]), int(key[-1]),
+                ids, side, U32,
+            )
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rows = pdf["uv"].to_numpy()
+            dim = len(rows[0])
+            U32 = np.stack(
+                rows,
+                out=_scratch(np, "rb_i32", n * dim, np.int32).reshape(n, dim),
+            )
+            ids = pdf["pid"].to_numpy()
+            side = pdf["side"].to_numpy()
+            kcols = [pdf[c].to_numpy() for c in gcols]
+            chg = np.zeros(n, dtype=bool)
+            chg[0] = True
+            for k in kcols:
+                chg[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(chg)
+            bounds = np.append(starts, n)
+            last = len(starts) - 1
+            for gi in range(len(starts)):
+                s, e = int(bounds[gi]), int(bounds[gi + 1])
+                key = tuple(k[s] for k in kcols)
+                if pend_key is not None and key != pend_key:
+                    yield from scan(pend_key, pend)
+                    pend_key, pend = None, []
+                if gi == last:
+                    # the batch's trailing run may continue in the next
+                    # batch: carry COPIES (the pooled batch buffers are
+                    # about to be overwritten).
+                    pend_key = key
+                    pend.append(
+                        (ids[s:e].copy(), side[s:e].copy(), U32[s:e].copy())
+                    )
+                else:
+                    pend_key = key
+                    pend.append((ids[s:e], side[s:e], U32[s:e]))
+                    yield from scan(pend_key, pend)
+                    pend_key, pend = None, []
+        if pend_key is not None:
+            yield from scan(pend_key, pend)
+        tail = sink.flush()
+        if len(tail):
+            yield tail
+
+    return fn

@@ -18,9 +18,9 @@ and emits the per-vector keep/drop GATE — the artifact a
 training-data pipeline actually consumes.
 
 Within a cluster the search is the paper's OWN prescription: the
-exact pairwise cosine matrix, computed by cogrouped Arrow kernels as
-exact int64 matmuls — since r12 over bucket PAIRS
-(``operators/pairscan.py``), the third shape this stage has worn,
+exact pairwise cosine matrix, computed by Arrow kernels as exact
+int64 matmuls — since r13 as the bucket-pair RUN scan
+(``operators/pairscan.py``), the fourth shape this stage has worn,
 each driven by a measurement: (1) the original LSH-band self-join
 materialized every colliding pair through a DISTINCT and two vector
 joins; on a duplicate-heavy corpus the per-bucket pair mass is Σocc²
@@ -29,10 +29,14 @@ sf25).  (2) The r10 salted single scan (members replicated per salt,
 queries salt-partitioned) fixed that but left the member side at the
 cell's whole occupancy — at sf125 one >100x-mean hot cell ground a
 ~90-minute single-core task (5504 s total), and occupancy-sized salts
-OOM'd (recorded negative af151b3).  (3) The bucket-pair cogroup
-bounds BOTH task sides by occ/nb.  Exactness vs the banded form is
-also better: a cos >= tau pair inside a cluster is found ALWAYS, not
-only when it collided in a band.
+OOM'd (recorded negative af151b3).  (3) The r12 bucket-pair cogroup
+bounds BOTH task sides by occ/nb — but applyInPandas invokes the
+kernel once per GROUP, and the per-group machinery walled the sibling
+pairs-mode query at sf125's ~200k groups.  (4) The r13 run scan keeps
+the bucket-pair shape and replaces per-group cogroup calls with one
+mapInPandas walk per partition over the run-sorted tagged stream.
+Exactness vs the banded form is also better: a cos >= tau pair inside
+a cluster is found ALWAYS, not only when it collided in a band.
 
 Exemplar rule: SemDeDup keeps a pseudo-random member per duplicate
 group; here the KEPT member is the lowest ``vec_id`` (deterministic,
@@ -42,13 +46,13 @@ exemplar survives, never HOW MANY.
 Scale shape (100 TB): centroids are a fixed-size broadcast (k x DIM
 rows, never corpus-proportional); assignment is the shared Arrow
 matmul kernel over the corpus scan; the pairwise stage is the
-bucket-PAIR (triangle) cogroup (``operators/pairscan.py`` — built
+bucket-PAIR (triangle) run scan (``operators/pairscan.py`` — built
 after the r11 sf125 measurement showed the salted single-scan shape
 grinding one 90-minute task on a >100x-mean hot cell): per cell the
 ids split into an occupancy-sized number of buckets and the (lo <=
-hi) bucket pairs cogroup, so BOTH task sides are bounded by occ/nb
-and every unordered pair lands in exactly one task — exact by
-coverage at any nb.  With #cells = sqrt_pow2(N) the total kernel
+hi) bucket pairs become the scan units, so BOTH unit sides are
+bounded by occ/nb and every unordered pair lands in exactly one unit
+— exact by coverage at any nb.  With #cells = sqrt_pow2(N) the total kernel
 work is Θ(N^1.5) — the same designed IVF balance point as
 ``knn_ivf_kmeans``.  No stage is all-pairs across clusters, no pair
 list is ever materialized (the kernel emits task-local partial
@@ -165,20 +169,19 @@ def _semdedup(spark, t):
             "vec_id", micro_unit_col("v").alias("uv"), "cell"
         )
     )
-    # Stage 3 — per-cluster bucket-PAIR (triangle) cogroup scan in
-    # counts mode (operators/pairscan.py — the module docstring
-    # carries the three measured negatives that force this exact
-    # shape).  Per cell the ids split into an occupancy-sized number
-    # of buckets (cold cells pay zero replication; mega-cells hold at
-    # the 16-bucket parallelism floor instead of ballooning shuffle
-    # bytes) and the (lo <= hi) bucket pairs cogroup, bounding BOTH
-    # task sides; every unordered pair lands in exactly one task, so
-    # the gate is exact at any bucket count
-    # (tests/test_salt_invariance.py pins 1 vs 5 vs adaptive
-    # bit-identity).  The kernel keeps running count arrays — <=
-    # 2 x bucket slim rows per task, never a pair list, whatever the
-    # hit density — and one sum + left join against the assigned
-    # corpus assembles the per-vector gate.
+    # Stage 3 — per-cluster bucket-PAIR (triangle) run scan in counts
+    # mode (operators/pairscan.py — the module docstring carries the
+    # measured negatives that force this exact shape).  Per cell the
+    # ids split into an occupancy-sized number of buckets (cold cells
+    # pay zero replication; mega-cells hold at the 16-bucket
+    # parallelism floor instead of ballooning shuffle bytes) and the
+    # (lo <= hi) bucket pairs are the scan units, bounding BOTH unit
+    # sides; every unordered pair lands in exactly one unit, so the
+    # gate is exact at any bucket count (tests/test_salt_invariance.py
+    # pins 1 vs 5 vs adaptive bit-identity).  The kernel keeps running
+    # count arrays — <= 2 x bucket slim rows per unit, never a pair
+    # list, whatever the hit density — and one sum + left join against
+    # the assigned corpus assembles the per-vector gate.
     partial = pair_scan(vb, ["cell"], SEMDEDUP_TAU, mode="counts")
     counts = partial.groupBy("vec_id").agg(F.sum("n").alias("nld"))
     return (

@@ -657,7 +657,25 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
         )
         cn = np.sqrt((C * C).sum(axis=1))  # exact ints -> exact sqrt input
         cmax = np.abs(C).max(initial=1.0)
+        # A zero-norm centroid scores 0/0 = NaN for EVERY vector, and
+        # the oracle's ORDER BY score DESC ranks NaN first (cell ASC
+        # among the NaN ties) — so if any centroid quantizes to the
+        # zero vector, every vector's oracle assignment is the LOWEST
+        # zero-norm cell.  The chunked running max below is NaN-blind
+        # (strict > never fires on NaN), so replicate the oracle's
+        # NaN-first preference explicitly; keys are sorted ascending,
+        # so the first zero-norm index is the lowest cell.
+        zn = np.flatnonzero(cn == 0.0)
+        zero_cell = np.int32(keys[zn[0]]) if len(zn) else None
         for pdf in batches:
+            if zero_cell is not None:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": np.full(len(pdf), zero_cell, dtype=np.int32),
+                    }
+                )
+                continue
             U = np.floor(
                 np.stack(pdf["v"].to_numpy()).astype(np.float64) * 1e6 + 0.5
             )

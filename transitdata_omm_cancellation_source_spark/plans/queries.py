@@ -335,25 +335,25 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
 #: the tuple in the next round once CORRECTNESS_r{N}.json has their
 #: green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # (r11 tuple cleared per the contract: dedup_ngram_jaccard and
-    # embedding_pca_top_component got green rows in CORRECTNESS_r11.)
-    # round-12 plan changes:
-    # bucket-pair (triangle) cogroup replaced the salted single scan
-    # (operators/pairscan.py) in both pair-dedup queries:
+    # (r12 tuple cleared per the contract: all five entries got green
+    # rows in CORRECTNESS_r12.)
+    # round-13 executed-plan changes:
+    # the bucket-pair scan moved from per-group cogroup applyInPandas
+    # to the run-sorted mapInPandas walk (operators/pairscan.py r13 —
+    # one kernel invocation per partition, adaptive chunk height,
+    # streamed Arrow hit emission, exact int64 norms on the
+    # wide-magnitude slow path) in both pair-dedup queries:
     "corpus_semdedup",
     "dedup_embedding_cosine",
-    # r11 gave this query a new repartition("gram") stage boundary
-    # (commit 58968e4) but the r11 tuple missed it — the contract gap
-    # this wording change closes; certify the changed plan now:
-    "corpus_boilerplate_prune",
-    # oracle changed r12: HUGEINT product casts so the wide-path PCA
-    # corpus is oracle-certifiable (r11 ADVICE medium):
-    "embedding_pca_top_component",
-    # r12 executed-plan change: the per-round Lloyd assignment moved
-    # from the interpreted N x #cells HOF crossJoin to the shared
-    # exact-integer matmul kernel (assign_to_centroids), and the
-    # oracle's pairs{r} moved to the same micro-unit contract:
+    # the shared nearest-centroid kernel (assign_to_centroids) gained
+    # the explicit zero-norm-centroid NaN-first branch (r12 ADVICE) —
+    # certify its kernel-scan consumers:
     "kmeans_lloyd_centroids",
+    "knn_ivf_kmeans",
+    "knn_ivfpq_adc",
+    # r13: pagerank gained the bounded-scratch K-pass edge build
+    # (below-budget plan byte-identical, but certify the touched path):
+    "parts_copurchase_pagerank",
 )
 
 
