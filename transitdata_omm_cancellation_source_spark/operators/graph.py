@@ -39,6 +39,30 @@ evidence.  At extreme node counts the micro-unit
 headroom (rank mass x max weight < 2^63) is the documented bound —
 the standard remedy is rescaling the mass convention per round.
 
+BOUNDED-SCRATCH EXECUTION (r13 — the fourth-decade fix, the ngram
+K-pass recipe applied to the edge build): every superstep is linear,
+yet sf125 DNF'd on shuffle disk (ENOSPC at ~35 GB free after ~25 min)
+because the SUM of footprints coexists on one node — the edge-build
+self-join's pair fan-out (~1.1e9 rows at sf125) feeding the groupBy,
+its lineage-pinned shuffle files surviving under the persisted ``e``,
+and each superstep's edge-sized join shuffles accumulating until job
+end.  When the estimated pair fan-out bytes exceed the configured
+budget (``spark.graft.pagerank.scratchBudgetGb``), the build runs in
+K disjoint hash-range passes over the DST part key: pass k restricts
+the higher-keyed join side to ``l_partkey % K == k``, aggregates its
+(src, dst, w) half-edges EXACTLY (the unfiltered lower side still
+sees every co-occurrence of those pairs, and a pair's dst lives in
+exactly one range — no cross-pass re-aggregation needed), and eagerly
+materializes the output-sized result via ``localCheckpoint`` so the
+pass's shuffle files become unreferenced and ContextCleaner frees
+them before pass k+1.  The same discipline then bounds the
+supersteps: ``e`` and ``nodes`` are checkpointed (truncating the
+edge-build lineage so its shuffle files free before round 1), and
+each round's node-sized rank table is checkpointed so round r's
+edge-sized join shuffle frees before round r+1 runs.  Below the
+budget K = 1 and the plan is byte-identical to the certified
+single-pass form; ``tests/test_graph.py`` pins K-vs-1 bit-identity.
+
 The reference has no graph surface (it is a cancellation ETL); this
 module is north-star surface per BASELINE.json.
 """
@@ -58,6 +82,80 @@ _TELEPORT_MICRO = 150_000  # (1 - d) * 1e6
 _D_NUM, _D_DEN = 85, 100
 
 _PR_TOPK = 50
+
+#: forced pass count for the bounded-scratch edge build; 0 = size from
+#: the scratch budget.  Runtime-settable (``spark.conf.set``).
+_PR_PASSES_CONF = "spark.graft.pagerank.passes"
+
+#: shuffle-scratch budget (GiB) one edge-build pass may keep in
+#: flight.  12 GiB mirrors the ngram default: it keeps the pass's
+#: dominant term (the pair fan-out feeding the half-edge groupBy)
+#: under the heaviest completer's peak, and costs nothing below scale
+#: (sf<=25: K=1, plan unchanged).  The per-pass floor the budget can't
+#: shrink is the self-join's own input sorts (~2.5 x items bytes).
+_PR_SCRATCH_GB_CONF = "spark.graft.pagerank.scratchBudgetGb"
+_PR_SCRATCH_GB_DEFAULT = 12.0
+
+#: calibrated in-flight bytes per co-purchase PAIR row: the (src, dst)
+#: join output is 16 B and rides one exchange + sort into the half
+#: groupBy (~2.5x amplification, the ngram constant's arithmetic) —
+#: 40 B each.  sf125: Σ d(d-1)/2 ~ 1.1e9 pairs -> ~45 GB one-shot,
+#: consistent with the observed ENOSPC at ~35 GB free.
+_PR_SPILL_BYTES_PER_PAIR = 40
+
+
+def _pagerank_pass_count(spark, items) -> int:
+    """ceil(estimated pair-fan-out bytes / budget), the estimate ONE
+    cheap aggregate (per-order distinct-part counts are already the
+    items frame's grain).  Returns 1 below the budget — the certified
+    byte-identical plan."""
+    try:
+        forced = int(spark.conf.get(_PR_PASSES_CONF, "0"))
+    except ValueError as e:
+        raise ValueError(
+            f"{_PR_PASSES_CONF} must be an integer pass count"
+        ) from e
+    if forced > 0:
+        return forced
+    raw = spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT))
+    try:
+        budget_gb = float(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{_PR_SCRATCH_GB_CONF} must be a number of GiB, got {raw!r}"
+        ) from e
+    if budget_gb <= 0:
+        raise ValueError(
+            f"{_PR_SCRATCH_GB_CONF} must be positive, got {raw!r}"
+        )
+    budget_bytes = max(1, int(budget_gb * 2**30))
+    pair_rows = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) div 2")).cast("long"))
+        .first()[0]
+        or 0
+    )
+    est = pair_rows * _PR_SPILL_BYTES_PER_PAIR
+    return max(1, -(-int(est) // budget_bytes))
+
+
+def _half_edges(a, b):
+    """Aggregated a < b half of the co-purchase pair fan-out (the
+    symmetrize-after-agg build — see the in-function notes below)."""
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -106,48 +204,98 @@ def _pagerank_oracle() -> str:
 )
 def _pagerank(spark, t):
     items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    # Symmetrize-after-agg edge build: aggregate only the a < b half of
-    # the pair fan-out, then union the mirror — halves the rows through
-    # the self-join's groupBy (the co-purchase relation is symmetric by
-    # construction, so the mirror is exact).  Measured jointly with the
-    # persist boundary at sf0.1 (r8): half-join 3.7 s vs full-join
-    # 5.4 s warm, value-identical — the r7 rejection of this build was
-    # an artifact of the then-separate nodes distinct (see below).
-    half = (
-        items.alias("a")
-        .join(
-            items.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    passes = _pagerank_pass_count(spark, items)
+    scratch = passes > 1
+    # Symmetrize-after-agg edge build (_half_edges): aggregate only the
+    # a < b half of the pair fan-out, then union the mirror — halves
+    # the rows through the self-join's groupBy (the co-purchase
+    # relation is symmetric by construction, so the mirror is exact).
+    # Measured jointly with the persist boundary at sf0.1 (r8):
+    # half-join 3.7 s vs full-join 5.4 s warm, value-identical — the r7
+    # rejection of this build was an artifact of the then-separate
+    # nodes distinct (see below).
+    if not scratch:
+        half = _half_edges(items, items)
+    else:
+        # Bounded-scratch mode (module docstring): K disjoint
+        # hash-range passes over the DST part key, each pass's
+        # output-sized half-edge table eagerly checkpointed and its
+        # shuffle files freed before the next pass.  EXACT per pass:
+        # the lower (a) side stays unfiltered, so pass k's groupBy
+        # sees EVERY co-occurrence of every pair whose dst is in range
+        # k, and a pair's dst lives in exactly one range — the union
+        # of passes is the one-shot half table row-for-row.
+        from ..observability import get_json_logger
+        from .dedup_fuzzy import _release_pass_scratch
+
+        get_json_logger().info(
+            "pagerank bounded-scratch mode",
+            extra={
+                "fields": {
+                    "event": "pagerank_bounded_scratch",
+                    "passes": passes,
+                }
+            },
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
+        # items persisted so each pass reads the distinct'd frame from
+        # cache instead of re-shuffling the fact scan K times; released
+        # as soon as the edge table is materialized.
+        items_p = persist_tracked(items)
+        parts = []
+        for k in range(passes):
+            part = _half_edges(
+                items_p,
+                items_p.filter(
+                    F.pmod(F.col("l_partkey"), F.lit(passes)) == k
+                ),
+            ).localCheckpoint(eager=True)
+            parts.append(part)
+            _release_pass_scratch(spark)
+        half = parts[0]
+        for part in parts[1:]:
+            half = half.unionAll(part)
     edges = half.unionAll(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
     wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
-    # Persisted: every superstep joins the SAME edge list and re-ranks
-    # the SAME node set — without the persist each round's plan
-    # re-derives the fact self-join from scratch (measured: 20
-    # FileScans / zero ReusedExchange in the 3-round plan), which at
-    # corpus scale multiplies the dominant cost by the round count.
-    # The persist boundary is deliberately the JOINED ``e`` table, not
-    # the raw edge list: additionally persisting ``half`` was measured
-    # ~30% slower warm (r8; and persisting the full ``edges`` 2.5x
-    # slower in r7) — columnar cache materialization of the
-    # multi-million-row table costs more than the codegen-pipelined
-    # recompute it saves.
-    e = persist_tracked(edges.join(wu, "src"))
-    # Node set read FROM the persisted ``e``, not re-derived from the
-    # raw edge build (distinct over the cache instead of a third pass
-    # over the fact self-join — measured 1.2 s faster warm at sf0.1).
-    nodes = persist_tracked(e.select(F.col("src").alias("node")).distinct())
+    if not scratch:
+        # Persisted: every superstep joins the SAME edge list and
+        # re-ranks the SAME node set — without the persist each
+        # round's plan re-derives the fact self-join from scratch
+        # (measured: 20 FileScans / zero ReusedExchange in the 3-round
+        # plan), which at corpus scale multiplies the dominant cost by
+        # the round count.  The persist boundary is deliberately the
+        # JOINED ``e`` table, not the raw edge list: additionally
+        # persisting ``half`` was measured ~30% slower warm (r8; and
+        # persisting the full ``edges`` 2.5x slower in r7) — columnar
+        # cache materialization of the multi-million-row table costs
+        # more than the codegen-pipelined recompute it saves.
+        e = persist_tracked(edges.join(wu, "src"))
+        # Node set read FROM the persisted ``e``, not re-derived from
+        # the raw edge build (distinct over the cache instead of a
+        # third pass over the fact self-join — measured 1.2 s faster
+        # warm at sf0.1).
+        nodes = persist_tracked(
+            e.select(F.col("src").alias("node")).distinct()
+        )
+    else:
+        from .dedup_fuzzy import _release_pass_scratch
+
+        # Checkpoint instead of persist: same caching role, but it also
+        # TRUNCATES the edge-build lineage so the build's shuffle files
+        # (the pass scratch plus the union/wu/join exchanges) free
+        # before the first superstep runs — under a plain persist they
+        # stay referenced for the whole query.
+        e = edges.join(wu, "src").localCheckpoint(eager=True)
+        items_p.unpersist()
+        _release_pass_scratch(spark)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     rank = nodes.withColumn(
         "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
     )
@@ -181,6 +329,15 @@ def _pagerank(spark, t):
                 ).cast("bigint").alias("rank_micro"),
             )
         )
+        if scratch:
+            # Bounded-scratch supersteps: the node-sized rank table is
+            # checkpointed per round (exact BIGINTs — materialization
+            # cannot change a value) so round r's edge-sized join
+            # shuffle becomes unreferenced and frees before round r+1.
+            from .dedup_fuzzy import _release_pass_scratch
+
+            rank = rank.localCheckpoint(eager=True)
+            _release_pass_scratch(spark)
     # Top-K via orderBy().limit() — TakeOrderedAndProject (per-partition
     # heap + driver merge of K rows), never a global single-partition sort
     # of every node.  The row_number window then ranks only the K

@@ -90,13 +90,15 @@ negative) and flush as zero-copy int64/float64 pandas frames every
 threshold plus one chunk's hits regardless of how duplicate-dense the
 corpus is.
 
-CHUNK HEIGHT IS ADAPTIVE: the scorer processes query rows in chunks
-of ``_AREA // member_width`` (bounded by the same ~134 MB scratch
-matrix the fixed 256-row chunk already implied at the counts-mode
-bucket width), so a small bucket pair is scored in ONE BLAS call
-instead of 16 skinny ones — chunking never touches arithmetic (every
-product is an exact integer below the headroom guards, so any
-blocking of the matmul yields bit-identical results).
+CHUNK HEIGHT IS ADAPTIVE WITHIN A SMALL SCRATCH BUDGET: the scorer
+processes query rows in chunks of ``min(cap, max(floor, _AREA //
+member_width))``, so a small bucket pair is scored in one or two BLAS
+calls instead of 16 skinny ones while the score-matrix pool stays a
+few tens of MB — the r13 first-touch measurement at ``_AREA`` shows
+why the budget must be small, not merely bounded.  Chunking never
+touches arithmetic (every product is an exact integer below the
+headroom guards, so any blocking of the matmul yields bit-identical
+results).
 
 Payload: vectors ride the shuffle as int32 MICRO-UNITS (``array<int>``
 — ``micro_unit_col`` quantizes once, Spark-side, with a fail-loud
@@ -248,12 +250,23 @@ def pair_scan(
     return runs.mapInPandas(_run_scan(tau, mode, gcols), schema)
 
 
-#: scratch-element budget for one score matrix: chunk height adapts as
-#: _AREA // member_width, so the footprint cap is constant (~134 MB of
-#: float64 per matrix — exactly what the former fixed 256-row chunk
-#: already implied at the 65536-row counts bucket) while small bucket
-#: pairs score in one BLAS call.
-_AREA = 256 * COUNT_BUCKET_ROWS
+#: scratch-element budget for one score matrix, with a floor and cap
+#: on the adaptive chunk height: ch = min(nq, cap, max(floor,
+#: _AREA // member_width)).  The budget is deliberately SMALL (4M
+#: elements = 32 MB of float64 per matrix at the pairs-mode bucket
+#: width): an r13 measurement showed the real cost of big pools is
+#: not bandwidth but FIRST-TOUCH — when 32 workers concurrently fault
+#: fresh 200+ MB buffers, the kernel's huge-page zeroing path
+#: (folio_zero_user under mmap_lock, plus hypervisor steal) collapses
+#: to ~350 ms per 2 MB page: a 230 MB pool's first write measured
+#: 40 s and a hit-dense np.nonzero's first 190 MB output 128 s, while
+#: every warm repeat ran 0.1-0.3 s.  Small pools fault once, cheaply,
+#: and every later group reuses warm pages; the floor keeps the
+#: counts-mode diagonal (member width 65536) at the r12-measured
+#: 256-row chunk shape instead of degrading to skinny stripes.
+_AREA = 1 << 22
+_CHUNK_FLOOR = 256
+_CHUNK_CAP = 1024
 #: output rows buffered before an Arrow flush (pairs mode ~24 MB).
 _FLUSH_ROWS = 1 << 20
 
@@ -477,7 +490,7 @@ def _scan_unit(np, sink, tau, pairs, lo, hi, ids, side, U32g):
     else:
         mid, Um, nm2 = ids[:split], Uf[:split], n2[:split]
         m = split
-    ch = max(1, min(nq, _AREA // max(m, 1)))
+    ch = min(nq, _CHUNK_CAP, max(_CHUNK_FLOOR, _AREA // max(m, 1)))
     sc = _ChunkCos(np, Uq, nq2, Um, nm2, fast, ch)
     if not pairs:
         q_counts = _scratch(np, "gc_q", nq, np.int64)
