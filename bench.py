@@ -120,10 +120,57 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: Idle-box preflight (r12 measurement-hygiene lesson, promoted from
+#: harness practice to the bench entrypoint itself): a killed Spark
+#: job's 32 workers keep burning CPU until the JVM dies, and several
+#: r12 re-measurements were poisoned 2-60x by exactly that.  Above
+#: this 1-min loadavg the box is not idle enough to time anything.
+IDLE_LOAD1_MAX = 4.0
+#: how long the preflight will wait for the box to drain before
+#: proceeding anyway (annotated, never silently) — driver runs must
+#: always produce a JSON line.
+IDLE_WAIT_MAX_SEC = 180.0
+
+
+def read_load1() -> float:
+    """1-minute loadavg (separate so tests can stub it)."""
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def preflight_idle(
+    read=read_load1,
+    sleep=time.sleep,
+    load_max: float = IDLE_LOAD1_MAX,
+    wait_max: float = IDLE_WAIT_MAX_SEC,
+) -> dict:
+    """Wait (bounded) for the box to go idle; report what was seen.
+
+    Returns a dict recorded verbatim in the bench summary:
+    ``load1_initial`` / ``load1_at_start`` bracket the wait, and
+    ``busy_box`` is True when the run STARTED on a loaded box — the
+    flag that tells a reader the numbers carry foreign noise.
+    """
+    initial = read()
+    waited = 0.0
+    load = initial
+    while load > load_max and waited < wait_max:
+        sleep(5.0)
+        waited += 5.0
+        load = read()
+    return {
+        "load1_initial": round(initial, 2),
+        "load1_at_start": round(load, 2),
+        "waited_sec": round(waited, 1),
+        "busy_box": load > load_max,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
+    preflight = preflight_idle()
     spark = get_spark(app_name="transitdata-omm-bench")
 
     # Warm-up outside the timed region: parquet footers, then one full
@@ -202,6 +249,7 @@ def main() -> None:
         "flagship": flagship,
         "flagship_slo_sec": FLAGSHIP_SLO_SEC,
         "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
+        "preflight": preflight,
     }
     full = dict(summary)
     full["queries"] = dict(sorted(timings.items()))

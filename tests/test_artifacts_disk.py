@@ -144,3 +144,35 @@ def test_rewritten_source_is_a_key_miss(spark, artifact_dir, tmp_path):
     # and the name participates too: two artifacts from one source
     # cannot collide
     assert artifacts.artifact_disk_key("pq_codebook", t["embeddings"]) != k1
+
+
+def test_trainer_body_edit_is_a_key_miss(spark):
+    """The r13 fingerprint: editing a trainer's BODY must change the
+    disk key (a forgotten _FORMAT_VERSION bump can no longer serve a
+    stale artifact), while an identical body keys identically."""
+    t = load_tables(spark, SF_SMOKE)
+
+    def train_a():
+        return 1  # recipe v1
+
+    def train_b():
+        return 2  # recipe v2
+
+    def train_a2():
+        return 1  # recipe v1
+
+    src = t["embeddings"]
+    ka = artifacts.artifact_disk_key("dummy", src, train_a)
+    kb = artifacts.artifact_disk_key("dummy", src, train_b)
+    ka2 = artifacts.artifact_disk_key("dummy", src, train_a2)
+    assert ka != kb
+    # same-body-different-name trainers differ only through the source
+    # text (which includes the def line) — the fingerprint is source-
+    # grain, so these differ too; what must HOLD equal is the same
+    # function fingerprinted twice (cross-session stability).
+    assert ka == artifacts.artifact_disk_key("dummy", src, train_a)
+    assert ka != ka2  # def line differs; conservative misses are fine
+    # trainer-less keys (legacy callers) still work and differ from
+    # trainer-keyed ones
+    k0 = artifacts.artifact_disk_key("dummy", src)
+    assert k0 not in (ka, kb)

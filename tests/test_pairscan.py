@@ -202,3 +202,49 @@ def test_unknown_mode_rejected(spark, corpus):
     rows, _ = corpus
     with pytest.raises(ValueError, match="unknown mode"):
         ps.pair_scan(_vb(spark, rows), ["blk"], 0.9, "topk")
+
+
+@pytest.mark.parametrize("nb", [1, 3])
+def test_duplicate_vec_ids_match_oracle_semantics(spark, monkeypatch, nb):
+    """Duplicate vec_ids are legal input (the sf125 scale corpus's
+    planted +1e6 id offset collides with real ids past 1M): rows
+    sharing an id never pair with EACH OTHER (strict < masks — the
+    oracle's vec_id_a < vec_id_b), but each copy pairs independently
+    with other ids, so a near-dup of both copies appears twice."""
+    from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
+
+    monkeypatch.setattr(
+        ps,
+        "_nb_for_occupancy_col",
+        lambda occ, mode, _w=nb: F.lit(_w).cast("int"),
+    )
+    v = [0.5, 0.5, 0.5, 0.5]
+    w = [0.5, 0.5, 0.5, 0.500001]
+    rows = [(5, v, 0), (5, w, 0), (9, v, 0), (2, [0.9, -0.1, 0.0, 0.1], 0)]
+    got = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in ps.pair_scan(
+            spark.createDataFrame(
+                rows, "vec_id long, v array<double>, blk int"
+            ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+            ["blk"],
+            0.999,
+            "pairs",
+        ).collect()
+    )
+    # (5,5) excluded; both 5-copies pair with 9
+    assert got == [(5, 9), (5, 9)]
+    # counts mode: vec 9 has TWO lower-id dups (one per 5-copy)
+    partial = ps.pair_scan(
+        spark.createDataFrame(
+            rows, "vec_id long, v array<double>, blk int"
+        ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+        ["blk"],
+        0.999,
+        "counts",
+    )
+    counts = {
+        r["vec_id"]: r["n"]
+        for r in partial.groupBy("vec_id").agg(F.sum("n").alias("n")).collect()
+    }
+    assert counts == {9: 2}

@@ -16,16 +16,20 @@ This module adds the disk layer UNDER the session-memory dicts:
 
 - key: ``artifact_disk_key`` — sha256 over (format version, artifact
   name, the source frame's input-file (uri, size, mtime_ns)
-  fingerprints, its schema).  Deliberately NOT the plan's
+  fingerprints, its schema, and a fingerprint of the TRAINER'S SOURCE
+  — ``inspect.getsource(train)``).  Deliberately NOT the plan's
   ``semanticHash``: that hash bakes in session confs (measured — the
   engine session and a plain session hash the same parquet scan
   differently), so a plan-keyed disk key would never hit across
-  sessions.  CONTRACT this trades on: one artifact NAME = one training
-  recipe over its source files — a semantic change to a trainer must
-  bump ``_FORMAT_VERSION`` (or the name), because the key cannot see
-  code.  Every trainer today qualifies: ``ivf_quantizer`` is always
-  trained on the raw embeddings scan, ``pq_codebook`` always on
-  ``pq._vectors(t)``.
+  sessions.  The trainer fingerprint (r13, closing the r12 verdict's
+  silent-staleness risk) means an edit to a trainer's body is a cache
+  MISS by construction — a forgotten ``_FORMAT_VERSION`` bump can no
+  longer serve a stale quantizer to oracle-certified consumers.
+  Residual contract: the fingerprint sees the trainer's own source,
+  not the bodies of helpers it calls — a semantic change hidden
+  entirely inside a helper still needs the version bump (in practice
+  trainer edits and helper edits travel together; the helper names
+  and call shapes ARE in the fingerprinted text).
 - layout: ``<artifact root>/<name>/<digest>/`` parquet, written to a
   temp dir and atomically renamed (a concurrent trainer loses the
   rename and discards its copy — both trained the same content).  The
@@ -58,10 +62,27 @@ ARTIFACT_DIR_CONF = "spark.graft.artifacts.dir"
 _FORMAT_VERSION = "v1"
 
 
-def artifact_disk_key(name: str, source_df: DataFrame) -> str:
+def _trainer_fingerprint(train) -> str:
+    """Digest of the trainer's own source text, so a training-recipe
+    edit is a cache miss by construction (module docstring).  Source
+    is the right grain: it survives re-imports and new sessions
+    (bytecode ids don't) and changes exactly when a human edits the
+    recipe.  Falls back to the code object's stable fields when
+    source isn't retrievable (frozen/REPL trainers)."""
+    import inspect
+
+    try:
+        text = inspect.getsource(train)
+    except (OSError, TypeError):
+        code = train.__code__
+        text = repr((code.co_names, code.co_consts, code.co_code))
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def artifact_disk_key(name: str, source_df: DataFrame, train=None) -> str:
     """Cross-session content digest for artifacts trained from
-    ``source_df`` (module docstring — includes the one-recipe-per-name
-    contract this key trades on)."""
+    ``source_df`` by ``train`` (module docstring — includes what the
+    trainer fingerprint can and cannot see)."""
     from .caching import input_fingerprints
 
     payload = repr(
@@ -70,6 +91,7 @@ def artifact_disk_key(name: str, source_df: DataFrame) -> str:
             name,
             input_fingerprints(source_df),
             source_df.schema.simpleString(),
+            _trainer_fingerprint(train) if train is not None else "",
         )
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
@@ -100,7 +122,7 @@ def load_or_train(
     aggregation output order on either path.
     """
     path = os.path.join(
-        _artifact_root(spark), name, artifact_disk_key(name, source_df)
+        _artifact_root(spark), name, artifact_disk_key(name, source_df, train)
     )
     rows = _read_rows(spark, path)
     trained = rows is None

@@ -481,9 +481,14 @@ def _scan_unit(np, sink, tau, pairs, lo, hi, ids, side, U32g):
     qid = ids[split:]
     Uq, nq2 = Uf[split:], n2[split:]
     if diag:
-        # the partition sort delivers ids ascending within the side —
-        # the triangle's lower-id mask relies on it, so verify cheaply.
-        if nq > 1 and not bool(np.all(qid[1:] > qid[:-1])):
+        # the partition sort delivers ids NON-DECREASING within the
+        # side — the triangle's lower-id mask relies on it, so verify
+        # cheaply.  Non-decreasing, not strict: duplicate ids are
+        # legal input (the sf125 scale corpus's +1e6 planted-id offset
+        # collides with real ids past 1M), and every mask below is
+        # strict (<) on ids — equal-id rows never pair, exactly the
+        # oracle's vec_id_a < vec_id_b semantics.
+        if nq > 1 and not bool(np.all(qid[1:] >= qid[:-1])):
             raise AssertionError("pairscan: diagonal run ids not sorted")
         mid, Um, nm2 = qid, Uq, nq2
         m = nq

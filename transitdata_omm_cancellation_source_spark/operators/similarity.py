@@ -609,7 +609,9 @@ def centroid_vectors(cent_rows: DataFrame, key: str) -> DataFrame:
 _ASSIGN_CHUNK = 512
 
 
-def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
+def assign_to_centroids(
+    vecs: DataFrame, cvec: DataFrame, prepartitioned: bool = False
+) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment, lowest key as the
     deterministic tie-break — THE assignment kernel, shared by
     ``ivf_cells``, SemDeDup and the embedding-cosine dedup blocking so
@@ -703,12 +705,16 @@ def assign_to_centroids(vecs: DataFrame, cvec: DataFrame) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "cell": keys[best_ix].astype("int32")}
             )
 
-    par = spark.sparkContext.defaultParallelism
-    return (
-        vecs.select("vec_id", "v")
-        .repartition(par, "vec_id")
-        .mapInPandas(kernel, "vec_id long, cell int")
-    )
+    # The corpus is hash-repartitioned to full parallelism first — a
+    # small parquet's few scan partitions would serialize the kernel
+    # (same remedy as the PQ encode).  An ITERATIVE caller that feeds
+    # an already-repartitioned (ideally persisted) frame passes
+    # ``prepartitioned=True`` to skip re-exchanging the corpus every
+    # round — the rows, not their placement, determine the output.
+    src = vecs.select("vec_id", "v")
+    if not prepartitioned:
+        src = src.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return src.mapInPandas(kernel, "vec_id long, cell int")
 
 
 def ivf_quantizer(spark, t) -> DataFrame:
@@ -1008,7 +1014,18 @@ def _kmeans_lloyd(spark, t):
     # decimals each round (part of the contract, see _lloyd_oracle),
     # so both engines enter round r+1 with bit-identical inputs and
     # the integer dots cannot disagree.
-    vecs = _vectors(t)  # assign_to_centroids repartitions internally
+    # r13 shave: (a) the corpus is repartitioned to full parallelism
+    # ONCE and persisted — the per-round repartition inside
+    # assign_to_centroids re-exchanged the whole corpus every round
+    # (prepartitioned=True skips it; at the fourth decade that is
+    # LLOYD_ROUNDS corpus shuffles saved); (b) each round's assignment
+    # has exactly ONE consumer (the next fold), so the former
+    # per-round persist was a pure cache-materialization tax.
+    vp = persist_tracked(
+        _vectors(t)
+        .select("vec_id", "v")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     emb = t["embeddings"].select("vec_id", "embedding")
     cent = _label_centroid(spark, t).withColumnRenamed("label", "cell")
     for _ in range(LLOYD_ROUNDS):
@@ -1020,7 +1037,7 @@ def _kmeans_lloyd(spark, t):
                 F.expr("transform(dc, x -> x.centroid)").alias("cv"),
             )
         )
-        assign = persist_tracked(assign_to_centroids(vecs, cvec))
+        assign = assign_to_centroids(vp, cvec, prepartitioned=True)
         cent = _fold_centroids(emb.join(assign, "vec_id"), key="cell")
     return cent
 
