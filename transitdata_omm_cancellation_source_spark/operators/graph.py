@@ -52,16 +52,20 @@ K disjoint hash-range passes over the DST part key: pass k restricts
 the higher-keyed join side to ``l_partkey % K == k``, aggregates its
 (src, dst, w) half-edges EXACTLY (the unfiltered lower side still
 sees every co-occurrence of those pairs, and a pair's dst lives in
-exactly one range — no cross-pass re-aggregation needed), and eagerly
-materializes the output-sized result via ``localCheckpoint`` so the
-pass's shuffle files become unreferenced and ContextCleaner frees
-them before pass k+1.  The same discipline then bounds the
-supersteps: ``e`` and ``nodes`` are checkpointed (truncating the
-edge-build lineage so its shuffle files free before round 1), and
-each round's node-sized rank table is checkpointed so round r's
-edge-sized join shuffle frees before round r+1 runs.  Below the
-budget K = 1 and the plan is byte-identical to the certified
-single-pass form; ``tests/test_graph.py`` pins K-vs-1 bit-identity.
+exactly one range — no cross-pass re-aggregation needed), and writes
+the output-sized result to PARQUET so the pass's shuffle files become
+unreferenced and ContextCleaner frees them before pass k+1 (parquet,
+not localCheckpoint: at sf125 the ~1e9-row half-edge relation is ~10x
+executor storage memory and block-store checkpoints heap-OOM'd the
+32 g JVM — a measured r13 negative).  The supersteps then keep the
+edge list a PLAN over that parquet and never shuffle it: only the
+node-sized relations materialize (wu checkpointed once; the per-node
+(rank, wu) pair broadcasts into a map-side hash join over the edge
+scan, the dst sum is map-side-combinable, and each round's rank
+table is checkpointed so the round's shuffle files free before round
+r+1 runs).  Below the budget K = 1 and the plan is byte-identical to
+the certified single-pass form; ``tests/test_graph.py`` pins K-vs-1
+bit-identity across both execution shapes.
 
 The reference has no graph surface (it is a cancellation ETL); this
 module is north-star surface per BASELINE.json.
@@ -138,6 +142,18 @@ def _pagerank_pass_count(spark, items) -> int:
     )
     est = pair_rows * _PR_SPILL_BYTES_PER_PAIR
     return max(1, -(-int(est) // budget_bytes))
+
+
+def _pagerank_scratch_dir(spark, token: str) -> str:
+    """Per-invocation parquet scratch under the warehouse dir (the
+    artifact root's sibling); removed once the final rank table is
+    checkpointed."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    base = wh.path if wh.scheme in ("file", "") and wh.path else "spark-warehouse"
+    return os.path.join(base, "graft_scratch", f"pagerank-{token}")
 
 
 def _half_edges(a, b):
@@ -219,12 +235,21 @@ def _pagerank(spark, t):
     else:
         # Bounded-scratch mode (module docstring): K disjoint
         # hash-range passes over the DST part key, each pass's
-        # output-sized half-edge table eagerly checkpointed and its
-        # shuffle files freed before the next pass.  EXACT per pass:
+        # output-sized half-edge table written to PARQUET and its
+        # shuffle scratch freed before the next pass.  EXACT per pass:
         # the lower (a) side stays unfiltered, so pass k's groupBy
         # sees EVERY co-occurrence of every pair whose dst is in range
         # k, and a pair's dst lives in exactly one range — the union
-        # of passes is the one-shot half table row-for-row.
+        # of passes is the one-shot half table row-for-row.  Parquet,
+        # NOT localCheckpoint: the first r13 sf125 attempt checkpointed
+        # the pass outputs and the joined edge table into the block
+        # store and the 32 g JVM heap-OOM'd — at this scale the edge
+        # relation (~1e9 half-edges from a 750M-row fact) is ~10x too
+        # big for executor storage memory, while compressed columnar
+        # files cost bounded heap and sequential I/O.
+        import os
+        import uuid
+
         from ..observability import get_json_logger
         from .dedup_fuzzy import _release_pass_scratch
 
@@ -237,23 +262,25 @@ def _pagerank(spark, t):
                 }
             },
         )
+        scratch_root = _pagerank_scratch_dir(spark, uuid.uuid4().hex[:8])
         # items persisted so each pass reads the distinct'd frame from
         # cache instead of re-shuffling the fact scan K times; released
         # as soon as the edge table is materialized.
         items_p = persist_tracked(items)
-        parts = []
         for k in range(passes):
-            part = _half_edges(
+            _half_edges(
                 items_p,
                 items_p.filter(
                     F.pmod(F.col("l_partkey"), F.lit(passes)) == k
                 ),
-            ).localCheckpoint(eager=True)
-            parts.append(part)
+            ).write.mode("overwrite").parquet(
+                os.path.join(scratch_root, f"pass{k}")
+            )
             _release_pass_scratch(spark)
-        half = parts[0]
-        for part in parts[1:]:
-            half = half.unionAll(part)
+        items_p.unpersist()
+        half = spark.read.parquet(
+            *[os.path.join(scratch_root, f"pass{k}") for k in range(passes)]
+        ).select("src", "dst", "w")
     edges = half.unionAll(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -283,42 +310,59 @@ def _pagerank(spark, t):
     else:
         from .dedup_fuzzy import _release_pass_scratch
 
-        # Checkpoint instead of persist: same caching role, but it also
-        # TRUNCATES the edge-build lineage so the build's shuffle files
-        # (the pass scratch plus the union/wu/join exchanges) free
-        # before the first superstep runs — under a plain persist they
-        # stay referenced for the whole query.
-        e = edges.join(wu, "src").localCheckpoint(eager=True)
-        items_p.unpersist()
+        # The edge list stays a PLAN over the pass parquet; only the
+        # NODE-SIZED relations materialize.  wu is one aggregation over
+        # the parquet scan, checkpointed (truncating the build lineage
+        # so its shuffle files free before the supersteps); the node
+        # set is exactly wu's key set, so no separate distinct runs.
+        wu = wu.localCheckpoint(eager=True)
         _release_pass_scratch(spark)
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        nodes = wu.select(F.col("src").alias("node"))
     rank = nodes.withColumn(
         "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
     )
+    # Micro-unit headroom guard: with ANSI mode off Spark silently
+    # wraps BIGINT overflow while DuckDB raises, so at extreme node
+    # counts the engines would diverge into wrong-but-plausible
+    # output.  Fail loudly on the Spark side too before the product
+    # can wrap (w >= 1 always).
+    contrib_expr = F.expr(
+        "CASE WHEN rank_micro > 9223372036854775807 div w"
+        " THEN CAST(raise_error('pagerank overflow:"
+        " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
+        " ELSE (rank_micro * w) div wu END"
+    ).alias("c")
     for _ in range(PR_ROUNDS):
-        contrib = (
-            e.join(rank, e["src"] == rank["node"])
-            .select(
-                F.col("dst"),
-                # Micro-unit headroom guard: with ANSI mode off Spark
-                # silently wraps BIGINT overflow while DuckDB raises, so
-                # at extreme node counts the engines would diverge into
-                # wrong-but-plausible output.  Fail loudly on the Spark
-                # side too before the product can wrap (w >= 1 always).
-                F.expr(
-                    "CASE WHEN rank_micro > 9223372036854775807 div w"
-                    " THEN CAST(raise_error('pagerank overflow:"
-                    " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
-                    " ELSE (rank_micro * w) div wu END"
-                ).alias("c"),
+        if not scratch:
+            contrib = (
+                e.join(rank, e["src"] == rank["node"])
+                .select(F.col("dst"), contrib_expr)
+                .groupBy("dst")
+                .agg(F.sum("c").cast("bigint").alias("s"))
             )
-            .groupBy("dst")
-            .agg(F.sum("c").cast("bigint").alias("s"))
-        )
+        else:
+            # Bounded-scratch superstep: the EDGE side never shuffles.
+            # The per-node (rank, wu) pair — two bounded node-sized
+            # checkpointed tables joined — broadcasts to a map-side
+            # hash join over the parquet edge scan, and the dst sum is
+            # map-side-combinable, so a round's shuffle is the slim
+            # partial-aggregate rows only.  (The r8 negative against
+            # forcing join strategies was about forbidding AQE's
+            # runtime rank broadcast on the slim-join plan — at the
+            # fourth decade the 25M-row rank table is far past the
+            # AQE broadcast threshold, so the explicit hint is the
+            # only way to the map-side plan, and the alternative is
+            # an edge-sized sort-merge shuffle per round that exceeds
+            # one node's disk.)
+            nw = rank.join(wu, rank["node"] == wu["src"]).select(
+                "node", "rank_micro", "wu"
+            )
+            contrib = (
+                edges.join(F.broadcast(nw), edges["src"] == nw["node"])
+                .select(F.col("dst"), contrib_expr)
+                .groupBy("dst")
+                .agg(F.sum("c").cast("bigint").alias("s"))
+            )
         rank = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
@@ -330,14 +374,18 @@ def _pagerank(spark, t):
             )
         )
         if scratch:
-            # Bounded-scratch supersteps: the node-sized rank table is
-            # checkpointed per round (exact BIGINTs — materialization
-            # cannot change a value) so round r's edge-sized join
-            # shuffle becomes unreferenced and frees before round r+1.
-            from .dedup_fuzzy import _release_pass_scratch
-
+            # the node-sized rank table is checkpointed per round
+            # (exact BIGINTs — materialization cannot change a value)
+            # so round r's edge-scan shuffle files become unreferenced
+            # and free before round r+1 runs.
             rank = rank.localCheckpoint(eager=True)
             _release_pass_scratch(spark)
+    if scratch:
+        # every consumer below reads only the checkpointed final rank
+        # (node-sized blocks) — the pass parquet is no longer reachable.
+        import shutil
+
+        shutil.rmtree(scratch_root, ignore_errors=True)
     # Top-K via orderBy().limit() — TakeOrderedAndProject (per-partition
     # heap + driver merge of K rows), never a global single-partition sort
     # of every node.  The row_number window then ranks only the K
