@@ -108,11 +108,19 @@ _PR_SCRATCH_GB_DEFAULT = 12.0
 _PR_SPILL_BYTES_PER_PAIR = 40
 
 
+#: pass-count memo keyed by (input fingerprints, budget conf) — the
+#: estimator is one aggregate over the items frame, which is exactly
+#: the cost a repeated bench pass or a multi-query session should not
+#: re-pay; the fingerprint key means a REGENERATED fact table still
+#: re-estimates.
+_PASS_MEMO: dict = {}
+
+
 def _pagerank_pass_count(spark, items) -> int:
     """ceil(estimated pair-fan-out bytes / budget), the estimate ONE
     cheap aggregate (per-order distinct-part counts are already the
-    items frame's grain).  Returns 1 below the budget — the certified
-    byte-identical plan."""
+    items frame's grain), memoized per (input files, budget).  Returns
+    1 below the budget — the certified byte-identical plan."""
     try:
         forced = int(spark.conf.get(_PR_PASSES_CONF, "0"))
     except ValueError as e:
@@ -121,6 +129,19 @@ def _pagerank_pass_count(spark, items) -> int:
         ) from e
     if forced > 0:
         return forced
+    from ..caching import input_fingerprints
+
+    fps = input_fingerprints(items)
+    # in-memory frames (tests, createDataFrame) have no input files —
+    # an empty fingerprint would alias EVERY such frame onto one memo
+    # slot, so they simply re-estimate (a pass count is a perf choice,
+    # never a correctness one, but a silently shared one is confusing).
+    memo_key = (
+        repr(fps),
+        spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT)),
+    ) if fps else None
+    if memo_key is not None and memo_key in _PASS_MEMO:
+        return _PASS_MEMO[memo_key]
     raw = spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT))
     try:
         budget_gb = float(raw)
@@ -141,7 +162,10 @@ def _pagerank_pass_count(spark, items) -> int:
         or 0
     )
     est = pair_rows * _PR_SPILL_BYTES_PER_PAIR
-    return max(1, -(-int(est) // budget_bytes))
+    passes = max(1, -(-int(est) // budget_bytes))
+    if memo_key is not None:
+        _PASS_MEMO[memo_key] = passes
+    return passes
 
 
 def _pagerank_scratch_dir(spark, token: str) -> str:
