@@ -248,3 +248,90 @@ def test_duplicate_vec_ids_match_oracle_semantics(spark, monkeypatch, nb):
         for r in partial.groupBy("vec_id").agg(F.sum("n").alias("n")).collect()
     }
     assert counts == {9: 2}
+
+
+@pytest.mark.parametrize("nb", [1, 2])
+def test_zero_norm_vector_matches_duckdb_nan_semantics(spark, monkeypatch, nb):
+    """A vector whose every |x| < 5e-7 quantizes to the zero micro-unit
+    vector scores 0/0 against every partner: NaN in numpy, NULL in the
+    gate's DuckDB (division by zero yields NULL there, probed below by
+    running the oracle arithmetic itself) — and BOTH fail 'cos >= tau'
+    (greater_equal(NaN) is False; WHERE filters NULL), so the agreed
+    cross-engine semantics is that zero-norm pairs are DROPPED.  This
+    test runs the literal oracle arithmetic on DuckDB as ground truth
+    so a DuckDB version that changes division-by-zero behavior fails
+    HERE, not in the driver gate."""
+    import duckdb
+
+    from transitdata_omm_cancellation_source_spark.operators import pairscan as ps
+
+    monkeypatch.setattr(
+        ps,
+        "_nb_for_occupancy_col",
+        lambda occ, mode, _w=nb: F.lit(_w).cast("int"),
+    )
+    rows = [
+        (1, [0.6, 0.8, 0.0, 0.0], 0),
+        (2, [0.6, 0.8, 0.0, 1e-5], 0),
+        (3, [1e-8, -2e-7, 0.0, 0.0], 0),  # quantizes to the zero vector
+        (4, [-0.8, 0.6, 0.0, 0.0], 0),
+    ]
+    tau = 0.999
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {list(map(float, v))})" for i, v, _ in rows)
+        + ") t(vec_id, emb)"
+    )
+    idot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(floor(a.emb[j + 1]"
+        " * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(b.emb[j + 1] * 1000000.0"
+        " + 0.5) AS BIGINT) for j in range(0, 4)]), (acc, x) -> acc + x)"
+    )
+    n2 = lambda s: idot.replace("a.emb", f"{s}.emb").replace("b.emb", f"{s}.emb")
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            f"""
+            SELECT a.vec_id, b.vec_id
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE CAST({idot} AS DOUBLE)
+                  / sqrt(CAST({n2('a')} AS DOUBLE) * CAST({n2('b')} AS DOUBLE))
+                  >= {tau}
+            """
+        ).fetchall()
+    }
+    # the oracle semantics this test encodes: the zero vector's NULL
+    # scores are filtered by WHERE, so only the genuine near-dup pair
+    # survives — if a DuckDB upgrade flips 0.0/0.0 to NaN (which IT
+    # ranks greatest), this assertion is the early alarm.
+    assert want == {(1, 2)}
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in ps.pair_scan(
+            spark.createDataFrame(
+                rows, "vec_id long, v array<double>, blk int"
+            ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+            ["blk"],
+            tau,
+            "pairs",
+        ).collect()
+    }
+    assert got == want
+    # counts mode agrees with the pair list's lower-id histogram
+    partial = ps.pair_scan(
+        spark.createDataFrame(
+            rows, "vec_id long, v array<double>, blk int"
+        ).select("vec_id", ps.micro_unit_col("v").alias("uv"), "blk"),
+        ["blk"],
+        tau,
+        "counts",
+    )
+    counts = {
+        r["vec_id"]: r["n"]
+        for r in partial.groupBy("vec_id").agg(F.sum("n").alias("n")).collect()
+    }
+    want_counts: dict[int, int] = {}
+    for _, b in want:
+        want_counts[b] = want_counts.get(b, 0) + 1
+    assert counts == want_counts

@@ -62,37 +62,58 @@ def test_lloyd_rounds_partition_the_corpus(spark):
     assert sum(dims[0].n_vecs for dims in cells.values()) == n_corpus
 
 
-def test_assign_zero_norm_centroid_matches_oracle_nan_first(spark):
-    """A centroid that quantizes to the zero vector scores 0/0 = NaN
-    for EVERY vector; the oracle's ORDER BY score DESC ranks NaN first
-    (cell ASC among ties), so every vector must land in the LOWEST
-    zero-norm cell.  The running strict-> max in the kernel is
-    NaN-blind, so this pins the explicit NaN-first branch (r12 ADVICE
-    low) across everything that shares the kernel (IVF paths, SemDeDup,
-    Lloyd rounds)."""
+def test_assign_zero_norm_centroid_matches_oracle_null_ordering(spark):
+    """A centroid that quantizes to the zero vector scores 0/0 for
+    EVERY vector: NaN in numpy, NULL in the gate's DuckDB (division by
+    zero yields NULL — probed below by running the oracle's own
+    ordering), and the oracle's ORDER BY score DESC puts NULLs LAST —
+    so zero-norm centroids must be IGNORED while any real centroid
+    exists, and only an all-zero codebook falls to the lowest cell.
+    The raw np.argmax would instead treat the NaN column as the max
+    and poison its whole chunk (the r12 ADVICE finding); this pins the
+    exclusion branch across everything sharing the kernel (IVF paths,
+    SemDeDup, Lloyd rounds)."""
+    import duckdb
+
     from transitdata_omm_cancellation_source_spark.operators.similarity import (
         assign_to_centroids,
     )
+
+    # ground truth: the literal oracle ordering on the gate's DuckDB —
+    # a NULL (0/0) score loses to ANY real score, and an all-NULL set
+    # falls to the lowest cell
+    con = duckdb.connect()
+    assert con.execute(
+        """SELECT cell FROM (
+               SELECT cell, row_number() OVER (ORDER BY s DESC, cell) rn
+               FROM (VALUES (3, -0.9), (5, 0.0/0.0)) t(cell, s)) WHERE rn=1"""
+    ).fetchone()[0] == 3
+    assert con.execute(
+        """SELECT cell FROM (
+               SELECT cell, row_number() OVER (ORDER BY s DESC, cell) rn
+               FROM (VALUES (9, 0.0/0.0), (5, 0.0/0.0)) t(cell, s)) WHERE rn=1"""
+    ).fetchone()[0] == 5
 
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
         "vec_id long, v array<double>",
     )
     cvec = spark.createDataFrame(
-        [(3, [1.0, 0.0]), (5, [0.0, 0.0]), (9, [0.0, 0.0])],
+        [(3, [1.0, 0.0]), (5, [0.0, 0.0]), (7, [0.0, 1.0]), (9, [0.0, 0.0])],
         "c_key int, cv array<double>",
     )
     got = {
         r["vec_id"]: r["cell"]
         for r in assign_to_centroids(vecs, cvec).collect()
     }
-    assert got == {1: 5, 2: 5, 3: 5}
-    # and without a zero-norm centroid the normal argmax still serves
-    cvec2 = spark.createDataFrame(
-        [(3, [1.0, 0.0]), (7, [0.0, 1.0])], "c_key int, cv array<double>"
+    # zero-norm cells 5 and 9 never win; ties keep the lowest cell
+    assert got == {1: 3, 2: 7, 3: 3}
+    # all-zero codebook: every oracle score is NULL -> lowest cell
+    cvec0 = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (9, [0.0, 0.0])], "c_key int, cv array<double>"
     )
-    got2 = {
+    got0 = {
         r["vec_id"]: r["cell"]
-        for r in assign_to_centroids(vecs, cvec2).collect()
+        for r in assign_to_centroids(vecs, cvec0).collect()
     }
-    assert got2 == {1: 3, 2: 7, 3: 3}
+    assert got0 == {1: 5, 2: 5, 3: 5}

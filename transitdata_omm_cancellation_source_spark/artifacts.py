@@ -62,6 +62,19 @@ ARTIFACT_DIR_CONF = "spark.graft.artifacts.dir"
 _FORMAT_VERSION = "v1"
 
 
+def _stable_code_repr(code) -> str:
+    """Session-stable rendering of a code object: repr() of a code
+    object (or of co_consts containing one) embeds a memory address,
+    which would change the digest every process — exactly wrong for a
+    cross-session cache key — so nested code objects are rendered
+    recursively by their own stable fields."""
+    consts = tuple(
+        _stable_code_repr(c) if hasattr(c, "co_code") else repr(c)
+        for c in code.co_consts
+    )
+    return repr((code.co_names, code.co_varnames, consts, code.co_code))
+
+
 def _trainer_fingerprint(train) -> str:
     """Digest of the trainer's own source text, so a training-recipe
     edit is a cache miss by construction (module docstring).  Source
@@ -74,8 +87,7 @@ def _trainer_fingerprint(train) -> str:
     try:
         text = inspect.getsource(train)
     except (OSError, TypeError):
-        code = train.__code__
-        text = repr((code.co_names, code.co_consts, code.co_code))
+        text = _stable_code_repr(train.__code__)
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
@@ -97,13 +109,19 @@ def artifact_disk_key(name: str, source_df: DataFrame, train=None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
+def warehouse_local_path(spark: SparkSession) -> str:
+    """The warehouse dir as a plain local path — the resolution policy
+    shared by the artifact root and pagerank's parquet scratch dir
+    (one place to fix if a non-file scheme ever needs handling)."""
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return wh.path if wh.scheme in ("file", "") and wh.path else "spark-warehouse"
+
+
 def _artifact_root(spark: SparkSession) -> str:
     configured = spark.conf.get(ARTIFACT_DIR_CONF, "")
     if configured:
         return configured
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    base = wh.path if wh.scheme in ("file", "") and wh.path else "spark-warehouse"
-    return os.path.join(base, "graft_artifacts")
+    return os.path.join(warehouse_local_path(spark), "graft_artifacts")
 
 
 def load_or_train(

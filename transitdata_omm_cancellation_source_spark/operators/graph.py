@@ -116,17 +116,36 @@ _PR_SPILL_BYTES_PER_PAIR = 40
 _PASS_MEMO: dict = {}
 
 
+def _forced_passes(spark) -> int:
+    try:
+        return int(spark.conf.get(_PR_PASSES_CONF, "0"))
+    except ValueError as e:
+        raise ValueError(
+            f"{_PR_PASSES_CONF} must be an integer pass count"
+        ) from e
+
+
+def _scratch_budget_bytes(spark) -> int:
+    raw = spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT))
+    try:
+        budget_gb = float(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{_PR_SCRATCH_GB_CONF} must be a number of GiB, got {raw!r}"
+        ) from e
+    if budget_gb <= 0:
+        raise ValueError(
+            f"{_PR_SCRATCH_GB_CONF} must be positive, got {raw!r}"
+        )
+    return max(1, int(budget_gb * 2**30))
+
+
 def _pagerank_pass_count(spark, items) -> int:
     """ceil(estimated pair-fan-out bytes / budget), the estimate ONE
     cheap aggregate (per-order distinct-part counts are already the
     items frame's grain), memoized per (input files, budget).  Returns
     1 below the budget — the certified byte-identical plan."""
-    try:
-        forced = int(spark.conf.get(_PR_PASSES_CONF, "0"))
-    except ValueError as e:
-        raise ValueError(
-            f"{_PR_PASSES_CONF} must be an integer pass count"
-        ) from e
+    forced = _forced_passes(spark)
     if forced > 0:
         return forced
     from ..caching import input_fingerprints
@@ -142,18 +161,7 @@ def _pagerank_pass_count(spark, items) -> int:
     ) if fps else None
     if memo_key is not None and memo_key in _PASS_MEMO:
         return _PASS_MEMO[memo_key]
-    raw = spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT))
-    try:
-        budget_gb = float(raw)
-    except ValueError as e:
-        raise ValueError(
-            f"{_PR_SCRATCH_GB_CONF} must be a number of GiB, got {raw!r}"
-        ) from e
-    if budget_gb <= 0:
-        raise ValueError(
-            f"{_PR_SCRATCH_GB_CONF} must be positive, got {raw!r}"
-        )
-    budget_bytes = max(1, int(budget_gb * 2**30))
+    budget_bytes = _scratch_budget_bytes(spark)
     pair_rows = (
         items.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -170,14 +178,15 @@ def _pagerank_pass_count(spark, items) -> int:
 
 def _pagerank_scratch_dir(spark, token: str) -> str:
     """Per-invocation parquet scratch under the warehouse dir (the
-    artifact root's sibling); removed once the final rank table is
-    checkpointed."""
+    artifact root's sibling; one shared resolution policy); removed
+    once the final rank table is checkpointed."""
     import os
-    from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    base = wh.path if wh.scheme in ("file", "") and wh.path else "spark-warehouse"
-    return os.path.join(base, "graft_scratch", f"pagerank-{token}")
+    from ..artifacts import warehouse_local_path
+
+    return os.path.join(
+        warehouse_local_path(spark), "graft_scratch", f"pagerank-{token}"
+    )
 
 
 def _half_edges(a, b):
@@ -244,8 +253,30 @@ def _pagerank_oracle() -> str:
 )
 def _pagerank(spark, t):
     items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # Opportunistic persist placement: the pass estimator's aggregate
+    # executes the items distinct, and the scratch passes need that
+    # same frame — when a no-shuffle proxy (parquet-metadata fact row
+    # count x bytes/pair, i.e. assuming >= 1 pair per fact row) says
+    # scratch mode is likely, persist BEFORE estimating so the
+    # estimate fills the cache the passes reuse instead of scanning
+    # the fact twice.  The proxy only places the persist: the REAL
+    # pass count still comes from the exact pair estimate, and a wrong
+    # proxy costs one persist (released below) or one extra scan,
+    # never correctness.  Below the proxy threshold nothing is
+    # persisted and the certified plan is untouched.
+    forced = _forced_passes(spark)
+    likely_scratch = forced > 1 or (
+        forced == 0
+        and t["lineitem"].count() * _PR_SPILL_BYTES_PER_PAIR
+        > _scratch_budget_bytes(spark)
+    )
+    items_p = persist_tracked(items) if likely_scratch else None
+    if items_p is not None:
+        items = items_p
     passes = _pagerank_pass_count(spark, items)
     scratch = passes > 1
+    if items_p is not None and not scratch:
+        items_p.unpersist()  # the proxy overshot; restore idle state
     # Symmetrize-after-agg edge build (_half_edges): aggregate only the
     # a < b half of the pair fan-out, then union the mirror — halves
     # the rows through the self-join's groupBy (the co-purchase
@@ -288,9 +319,12 @@ def _pagerank(spark, t):
         )
         scratch_root = _pagerank_scratch_dir(spark, uuid.uuid4().hex[:8])
         # items persisted so each pass reads the distinct'd frame from
-        # cache instead of re-shuffling the fact scan K times; released
-        # as soon as the edge table is materialized.
-        items_p = persist_tracked(items)
+        # cache instead of re-shuffling the fact scan K times (usually
+        # already persisted by the proxy above, in which case the
+        # estimator has materialized it); released as soon as the edge
+        # table is written.
+        if items_p is None:
+            items_p = persist_tracked(items)
         for k in range(passes):
             _half_edges(
                 items_p,
@@ -332,8 +366,6 @@ def _pagerank(spark, t):
             e.select(F.col("src").alias("node")).distinct()
         )
     else:
-        from .dedup_fuzzy import _release_pass_scratch
-
         # The edge list stays a PLAN over the pass parquet; only the
         # NODE-SIZED relations materialize.  wu is one aggregation over
         # the parquet scan, checkpointed (truncating the build lineage
@@ -401,7 +433,8 @@ def _pagerank(spark, t):
             # the node-sized rank table is checkpointed per round
             # (exact BIGINTs — materialization cannot change a value)
             # so round r's edge-scan shuffle files become unreferenced
-            # and free before round r+1 runs.
+            # and free before round r+1 runs.  (_release_pass_scratch
+            # was imported by the scratch edge-build block above.)
             rank = rank.localCheckpoint(eager=True)
             _release_pass_scratch(spark)
     if scratch:

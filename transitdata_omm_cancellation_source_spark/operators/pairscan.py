@@ -497,6 +497,13 @@ def _scan_unit(np, sink, tau, pairs, lo, hi, ids, side, U32g):
         m = split
     ch = min(nq, _CHUNK_CAP, max(_CHUNK_FLOOR, _AREA // max(m, 1)))
     sc = _ChunkCos(np, Uq, nq2, Um, nm2, fast, ch)
+    # Zero-norm vectors (all |x| < 5e-7 quantize to zero micro-units)
+    # score 0/0 against every partner: NaN here, NULL in the DuckDB
+    # oracles (division by zero yields NULL there — probed directly on
+    # the gate's duckdb, r13), and BOTH fail the 'cos >= tau' gate
+    # (greater_equal(NaN) is False; WHERE filters NULL) — so dropping
+    # those pairs is the agreed cross-engine semantics, pinned by
+    # tests/test_pairscan.py's zero-norm test.
     if not pairs:
         q_counts = _scratch(np, "gc_q", nq, np.int64)
         q_counts[...] = 0
@@ -604,16 +611,15 @@ def _run_scan(tau: float, mode: str, gcols: Sequence[str]):
                 if pend_key is not None and key != pend_key:
                     yield from scan(pend_key, pend)
                     pend_key, pend = None, []
+                pend_key = key
                 if gi == last:
                     # the batch's trailing run may continue in the next
                     # batch: carry COPIES (the pooled batch buffers are
                     # about to be overwritten).
-                    pend_key = key
                     pend.append(
                         (ids[s:e].copy(), side[s:e].copy(), U32[s:e].copy())
                     )
                 else:
-                    pend_key = key
                     pend.append((ids[s:e], side[s:e], U32[s:e]))
                     yield from scan(pend_key, pend)
                     pend_key, pend = None, []

@@ -659,22 +659,29 @@ def assign_to_centroids(
         )
         cn = np.sqrt((C * C).sum(axis=1))  # exact ints -> exact sqrt input
         cmax = np.abs(C).max(initial=1.0)
-        # A zero-norm centroid scores 0/0 = NaN for EVERY vector, and
-        # the oracle's ORDER BY score DESC ranks NaN first (cell ASC
-        # among the NaN ties) — so if any centroid quantizes to the
-        # zero vector, every vector's oracle assignment is the LOWEST
-        # zero-norm cell.  The chunked running max below is NaN-blind
-        # (strict > never fires on NaN), so replicate the oracle's
-        # NaN-first preference explicitly; keys are sorted ascending,
-        # so the first zero-norm index is the lowest cell.
-        zn = np.flatnonzero(cn == 0.0)
-        zero_cell = np.int32(keys[zn[0]]) if len(zn) else None
+        # A zero-norm centroid scores 0/0 for EVERY vector: NaN here,
+        # NULL in the DuckDB oracle (division by zero yields NULL —
+        # probed directly on the gate's duckdb, r13), and the oracle's
+        # ORDER BY score DESC puts NULLs LAST — so zero-norm centroids
+        # can never win while any real score exists.  numpy is the
+        # side that would diverge (np.argmax treats NaN as the max,
+        # poisoning every _ASSIGN_CHUNK containing a zero-norm
+        # column), so EXCLUDE zero-norm centroids from the scan; when
+        # ALL centroids are zero-norm every oracle score is NULL and
+        # rn = 1 falls to the lowest cell (keys are sorted ascending).
+        # Pinned by tests/test_quantize_kmeans.py against the literal
+        # oracle ordering.
+        nz = np.flatnonzero(cn != 0.0)
+        all_zero_cell = np.int32(keys[0]) if len(nz) == 0 else None
+        keys, C, cn = keys[nz], C[nz], cn[nz]
         for pdf in batches:
-            if zero_cell is not None:
+            if all_zero_cell is not None:
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
-                        "cell": np.full(len(pdf), zero_cell, dtype=np.int32),
+                        "cell": np.full(
+                            len(pdf), all_zero_cell, dtype=np.int32
+                        ),
                     }
                 )
                 continue
