@@ -138,6 +138,60 @@ def read_load1() -> float:
         return float(fh.read().split()[0])
 
 
+#: Below this best-of GEMM throughput the box is compute-degraded in a
+#: way loadavg cannot see (hypervisor steal): the r13 measurement days
+#: read 350-530 GFLOP/s healthy and 17-54 during steal storms on this
+#: box, so 150 splits the bands with margin on both sides.  Overridable
+#: per deployment — the absolute number is hardware-specific.
+GEMM_FLOOR_GFLOPS = float(
+    os.environ.get("SPARK_GRAFT_GEMM_FLOOR_GFLOPS", "150")
+)
+#: probe shape: 2048^3 x 2 flops = 17.2 GFLOP per rep — big enough that
+#: a steal interval cannot hide between timer reads, small enough that
+#: three reps cost well under a second on a healthy box.
+_GEMM_N = 2048
+
+
+def gemm_gflops(n: int = _GEMM_N, reps: int = 3) -> float:
+    """Best-of fixed-shape matmul throughput (GFLOP/s).
+
+    loadavg counts runnable tasks but hypervisor steal takes CPU from
+    RUNNING tasks — the r13 bench read ``busy_box: false`` while the
+    box sustained ~18% steal and every query drifted a uniform +27%.
+    A fixed-shape GEMM measures delivered compute directly; best-of
+    because steal can only SLOW a rep, never speed one.
+    """
+    import numpy as np
+
+    a = np.random.default_rng(0).random((n, n))
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a @ a
+        dt = time.perf_counter() - t0
+        best = max(best, 2.0 * n**3 / dt / 1e9)
+    return round(best, 1)
+
+
+def gemm_bracket(start: float, end: float, floor: float = None) -> dict:
+    """Summary payload for a pair of bracketing GEMM probes.
+
+    ``degraded`` is the machine-readable "these numbers carry steal"
+    flag the r13 round lacked: EITHER probe below the floor taints the
+    run (steal oscillates — r13's run 5 launched at 532 and finished
+    at 17.7 GFLOP/s, so a single healthy read proves nothing about the
+    interval between them).
+    """
+    if floor is None:
+        floor = GEMM_FLOOR_GFLOPS
+    return {
+        "start_gflops": start,
+        "end_gflops": end,
+        "floor_gflops": floor,
+        "degraded": min(start, end) < floor,
+    }
+
+
 def preflight_idle(
     read=read_load1,
     sleep=time.sleep,
@@ -171,6 +225,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
     preflight = preflight_idle()
+    gemm_start = gemm_gflops()
     spark = get_spark(app_name="transitdata-omm-bench")
 
     # Warm-up outside the timed region: parquet footers, then one full
@@ -250,6 +305,9 @@ def main() -> None:
         "flagship_slo_sec": FLAGSHIP_SLO_SEC,
         "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
         "preflight": preflight,
+        # bracketing compute probes: loadavg can't see hypervisor
+        # steal; these can (gemm_bracket docstring).
+        "gemm_probe": gemm_bracket(gemm_start, gemm_gflops()),
     }
     full = dict(summary)
     full["queries"] = dict(sorted(timings.items()))

@@ -104,3 +104,69 @@ def test_pagerank_pass_count_estimator_and_conf_validation(spark):
                 spark.conf.unset(key)
             except Exception:
                 pass
+
+
+def test_broadcast_guard_raises_past_budget_and_validates_conf(spark):
+    """r13 verdict #3: the scratch-mode superstep broadcast hint is
+    node-sized — past the configured budget the build must fail with
+    an actionable message, never hint the executor into an OOM."""
+    import pytest
+
+    from transitdata_omm_cancellation_source_spark.operators.graph import (
+        _PR_BCAST_BYTES_PER_NODE,
+        _PR_BCAST_GB_CONF,
+        _PR_BCAST_GB_DEFAULT,
+        _guard_rank_broadcast,
+    )
+
+    # under the default budget: no-op
+    _guard_rank_broadcast(spark, 25_000_000)  # the measured sf125 point
+    over = int(_PR_BCAST_GB_DEFAULT * 2**30 // _PR_BCAST_BYTES_PER_NODE) + 1
+    with pytest.raises(ValueError, match="cluster run with scratch mode off"):
+        _guard_rank_broadcast(spark, over)
+    spark.conf.set(_PR_BCAST_GB_CONF, "0.000001")
+    try:
+        with pytest.raises(ValueError, match="broadcastBudgetGb budget"):
+            _guard_rank_broadcast(spark, 1_000_000)
+        spark.conf.set(_PR_BCAST_GB_CONF, "lots")
+        with pytest.raises(ValueError, match="GiB"):
+            _guard_rank_broadcast(spark, 1)
+    finally:
+        spark.conf.unset(_PR_BCAST_GB_CONF)
+
+
+def test_known_pass_count_skips_the_proxy_job(spark):
+    """r13 ADVICE: a forced conf or memo hit must answer without any
+    Spark job — repeated builds were paying the estimator's fact count
+    the memo existed to avoid."""
+    from transitdata_omm_cancellation_source_spark.operators.graph import (
+        _PASS_MEMO,
+        _PR_PASSES_CONF,
+        _known_pass_count,
+        _pass_memo_key,
+    )
+
+    items = _li(spark, [(1, 10), (1, 20)])
+    # in-memory frame: no fingerprints -> no memo key -> unknown
+    assert _pass_memo_key(spark, items) is None
+    assert _known_pass_count(spark, items) is None
+    spark.conf.set(_PR_PASSES_CONF, "4")
+    try:
+        assert _known_pass_count(spark, items) == 4
+    finally:
+        spark.conf.unset(_PR_PASSES_CONF)
+    # a file-backed frame memoizes: second lookup answers from the dict
+    import pathlib
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = str(pathlib.Path(td) / "li.parquet")
+        items.write.parquet(path)
+        fitems = spark.read.parquet(path)
+        key = _pass_memo_key(spark, fitems)
+        assert key is not None
+        _PASS_MEMO[key] = 7
+        try:
+            assert _known_pass_count(spark, fitems) == 7
+        finally:
+            _PASS_MEMO.pop(key, None)

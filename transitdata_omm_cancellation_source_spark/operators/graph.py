@@ -107,6 +107,49 @@ _PR_SCRATCH_GB_DEFAULT = 12.0
 #: consistent with the observed ENOSPC at ~35 GB free.
 _PR_SPILL_BYTES_PER_PAIR = 40
 
+#: budget for the scratch-mode supersteps' node-sized (rank, wu)
+#: broadcast.  The explicit F.broadcast hint is load-bearing there (at
+#: the fourth decade the rank table is far past the AQE threshold, and
+#: the alternative per-round edge-sized sort-merge exceeds one node's
+#: disk) but the node set scales with the part catalog, so past this
+#: budget the build FAILS LOUDLY instead of hinting the executor into
+#: an OOM (r13 verdict #3).  4 GiB sits under Spark's 8 GB broadcast
+#: hard limit with heap headroom; the measured sf125 node set (~25M
+#: rows ~ 2.3 GiB estimated) clears it.
+_PR_BCAST_GB_CONF = "spark.graft.pagerank.broadcastBudgetGb"
+_PR_BCAST_GB_DEFAULT = 4.0
+#: estimated broadcast bytes per node: 24 B of BIGINT payload
+#: (node, rank_micro, wu) x ~4 for the UnsafeHashedRelation's rows,
+#: hash slots and object headers — deliberately conservative.
+_PR_BCAST_BYTES_PER_NODE = 96
+
+
+def _guard_rank_broadcast(spark, n_nodes: int) -> None:
+    """Fail loud before the superstep broadcast hint can OOM an
+    executor.  On a cluster, don't raise this budget toward the 8 GB
+    broadcast limit — run WITHOUT bounded-scratch mode instead (K=1:
+    multi-node aggregate shuffle capacity makes the one-shot build the
+    right plan, and AQE then picks the rank-join strategy at runtime
+    with no explicit hint anywhere)."""
+    raw = spark.conf.get(_PR_BCAST_GB_CONF, str(_PR_BCAST_GB_DEFAULT))
+    try:
+        budget_gb = float(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"{_PR_BCAST_GB_CONF} must be a number of GiB, got {raw!r}"
+        ) from e
+    est = n_nodes * _PR_BCAST_BYTES_PER_NODE
+    if est > budget_gb * 2**30:
+        raise ValueError(
+            f"pagerank bounded-scratch mode: the per-round (rank, wu) "
+            f"broadcast is estimated at {est / 2**30:.1f} GiB for "
+            f"{n_nodes} nodes, over the {budget_gb} GiB "
+            f"{_PR_BCAST_GB_CONF} budget. Raise the budget only with "
+            f"matching executor heap; at this node count the right fix "
+            f"is a cluster run with scratch mode off (one-shot K=1 "
+            f"build, AQE-managed rank join)."
+        )
+
 
 #: pass-count memo keyed by (input fingerprints, budget conf) — the
 #: estimator is one aggregate over the items frame, which is exactly
@@ -140,27 +183,46 @@ def _scratch_budget_bytes(spark) -> int:
     return max(1, int(budget_gb * 2**30))
 
 
+def _pass_memo_key(spark, items):
+    """Memo key for the pass estimate, or None for in-memory frames:
+    those have no input files, and an empty fingerprint would alias
+    EVERY such frame onto one memo slot, so they simply re-estimate (a
+    pass count is a perf choice, never a correctness one, but a
+    silently shared one is confusing)."""
+    from ..caching import input_fingerprints
+
+    fps = input_fingerprints(items)
+    if not fps:
+        return None
+    return (
+        repr(fps),
+        spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT)),
+    )
+
+
+def _known_pass_count(spark, items):
+    """Pass count with NO Spark job — forced conf or memo hit — else
+    None.  Checked before the persist-placement proxy so repeated
+    builds (bench passes, multi-query sessions) skip the proxy's fact
+    count entirely (r13 ADVICE)."""
+    forced = _forced_passes(spark)
+    if forced > 0:
+        return forced
+    memo_key = _pass_memo_key(spark, items)
+    if memo_key is not None:
+        return _PASS_MEMO.get(memo_key)
+    return None
+
+
 def _pagerank_pass_count(spark, items) -> int:
     """ceil(estimated pair-fan-out bytes / budget), the estimate ONE
     cheap aggregate (per-order distinct-part counts are already the
     items frame's grain), memoized per (input files, budget).  Returns
     1 below the budget — the certified byte-identical plan."""
-    forced = _forced_passes(spark)
-    if forced > 0:
-        return forced
-    from ..caching import input_fingerprints
-
-    fps = input_fingerprints(items)
-    # in-memory frames (tests, createDataFrame) have no input files —
-    # an empty fingerprint would alias EVERY such frame onto one memo
-    # slot, so they simply re-estimate (a pass count is a perf choice,
-    # never a correctness one, but a silently shared one is confusing).
-    memo_key = (
-        repr(fps),
-        spark.conf.get(_PR_SCRATCH_GB_CONF, str(_PR_SCRATCH_GB_DEFAULT)),
-    ) if fps else None
-    if memo_key is not None and memo_key in _PASS_MEMO:
-        return _PASS_MEMO[memo_key]
+    known = _known_pass_count(spark, items)
+    if known is not None:
+        return known
+    memo_key = _pass_memo_key(spark, items)
     budget_bytes = _scratch_budget_bytes(spark)
     pair_rows = (
         items.groupBy("l_orderkey")
@@ -263,13 +325,19 @@ def _pagerank(spark, t):
     # pass count still comes from the exact pair estimate, and a wrong
     # proxy costs one persist (released below) or one extra scan,
     # never correctness.  Below the proxy threshold nothing is
-    # persisted and the certified plan is untouched.
-    forced = _forced_passes(spark)
-    likely_scratch = forced > 1 or (
-        forced == 0
-        and t["lineitem"].count() * _PR_SPILL_BYTES_PER_PAIR
-        > _scratch_budget_bytes(spark)
-    )
+    # persisted and the certified plan is untouched.  When the pass
+    # count is already KNOWN without a job (forced conf or a memo hit
+    # from an earlier build this session) the proxy never runs — the
+    # r13 ADVICE caught repeated bench passes paying the fact count
+    # the memo existed to avoid.
+    known = _known_pass_count(spark, items)
+    if known is not None:
+        likely_scratch = known > 1
+    else:
+        likely_scratch = (
+            t["lineitem"].count() * _PR_SPILL_BYTES_PER_PAIR
+            > _scratch_budget_bytes(spark)
+        )
     items_p = persist_tracked(items) if likely_scratch else None
     if items_p is not None:
         items = items_p
@@ -277,172 +345,184 @@ def _pagerank(spark, t):
     scratch = passes > 1
     if items_p is not None and not scratch:
         items_p.unpersist()  # the proxy overshot; restore idle state
-    # Symmetrize-after-agg edge build (_half_edges): aggregate only the
-    # a < b half of the pair fan-out, then union the mirror — halves
-    # the rows through the self-join's groupBy (the co-purchase
-    # relation is symmetric by construction, so the mirror is exact).
-    # Measured jointly with the persist boundary at sf0.1 (r8):
-    # half-join 3.7 s vs full-join 5.4 s warm, value-identical — the r7
-    # rejection of this build was an artifact of the then-separate
-    # nodes distinct (see below).
-    if not scratch:
-        half = _half_edges(items, items)
-    else:
-        # Bounded-scratch mode (module docstring): K disjoint
-        # hash-range passes over the DST part key, each pass's
-        # output-sized half-edge table written to PARQUET and its
-        # shuffle scratch freed before the next pass.  EXACT per pass:
-        # the lower (a) side stays unfiltered, so pass k's groupBy
-        # sees EVERY co-occurrence of every pair whose dst is in range
-        # k, and a pair's dst lives in exactly one range — the union
-        # of passes is the one-shot half table row-for-row.  Parquet,
-        # NOT localCheckpoint: the first r13 sf125 attempt checkpointed
-        # the pass outputs and the joined edge table into the block
-        # store and the 32 g JVM heap-OOM'd — at this scale the edge
-        # relation (~1e9 half-edges from a 750M-row fact) is ~10x too
-        # big for executor storage memory, while compressed columnar
-        # files cost bounded heap and sequential I/O.
-        import os
-        import uuid
-
-        from ..observability import get_json_logger
-        from .dedup_fuzzy import _release_pass_scratch
-
-        get_json_logger().info(
-            "pagerank bounded-scratch mode",
-            extra={
-                "fields": {
-                    "event": "pagerank_bounded_scratch",
-                    "passes": passes,
-                }
-            },
-        )
-        scratch_root = _pagerank_scratch_dir(spark, uuid.uuid4().hex[:8])
-        # items persisted so each pass reads the distinct'd frame from
-        # cache instead of re-shuffling the fact scan K times (usually
-        # already persisted by the proxy above, in which case the
-        # estimator has materialized it); released as soon as the edge
-        # table is written.
-        if items_p is None:
-            items_p = persist_tracked(items)
-        for k in range(passes):
-            _half_edges(
-                items_p,
-                items_p.filter(
-                    F.pmod(F.col("l_partkey"), F.lit(passes)) == k
-                ),
-            ).write.mode("overwrite").parquet(
-                os.path.join(scratch_root, f"pass{k}")
-            )
-            _release_pass_scratch(spark)
-        items_p.unpersist()
-        half = spark.read.parquet(
-            *[os.path.join(scratch_root, f"pass{k}") for k in range(passes)]
-        ).select("src", "dst", "w")
-    edges = half.unionAll(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
-    wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
-    if not scratch:
-        # Persisted: every superstep joins the SAME edge list and
-        # re-ranks the SAME node set — without the persist each
-        # round's plan re-derives the fact self-join from scratch
-        # (measured: 20 FileScans / zero ReusedExchange in the 3-round
-        # plan), which at corpus scale multiplies the dominant cost by
-        # the round count.  The persist boundary is deliberately the
-        # JOINED ``e`` table, not the raw edge list: additionally
-        # persisting ``half`` was measured ~30% slower warm (r8; and
-        # persisting the full ``edges`` 2.5x slower in r7) — columnar
-        # cache materialization of the multi-million-row table costs
-        # more than the codegen-pipelined recompute it saves.
-        e = persist_tracked(edges.join(wu, "src"))
-        # Node set read FROM the persisted ``e``, not re-derived from
-        # the raw edge build (distinct over the cache instead of a
-        # third pass over the fact self-join — measured 1.2 s faster
-        # warm at sf0.1).
-        nodes = persist_tracked(
-            e.select(F.col("src").alias("node")).distinct()
-        )
-    else:
-        # The edge list stays a PLAN over the pass parquet; only the
-        # NODE-SIZED relations materialize.  wu is one aggregation over
-        # the parquet scan, checkpointed (truncating the build lineage
-        # so its shuffle files free before the supersteps); the node
-        # set is exactly wu's key set, so no separate distinct runs.
-        wu = wu.localCheckpoint(eager=True)
-        _release_pass_scratch(spark)
-        nodes = wu.select(F.col("src").alias("node"))
-    rank = nodes.withColumn(
-        "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
-    )
-    # Micro-unit headroom guard: with ANSI mode off Spark silently
-    # wraps BIGINT overflow while DuckDB raises, so at extreme node
-    # counts the engines would diverge into wrong-but-plausible
-    # output.  Fail loudly on the Spark side too before the product
-    # can wrap (w >= 1 always).
-    contrib_expr = F.expr(
-        "CASE WHEN rank_micro > 9223372036854775807 div w"
-        " THEN CAST(raise_error('pagerank overflow:"
-        " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
-        " ELSE (rank_micro * w) div wu END"
-    ).alias("c")
-    for _ in range(PR_ROUNDS):
+    # An exception mid-build (a pass write, a superstep) must not
+    # leak tens of GB of pass parquet — the very disk pressure
+    # scratch mode exists to relieve (r13 ADVICE): the finally
+    # below removes the scratch dir on every exit path.  On the
+    # success path everything after the loop reads only the
+    # checkpointed final rank (node-sized blocks), so the removal
+    # point is the same.
+    scratch_root = None
+    try:
+        # Symmetrize-after-agg edge build (_half_edges): aggregate only the
+        # a < b half of the pair fan-out, then union the mirror — halves
+        # the rows through the self-join's groupBy (the co-purchase
+        # relation is symmetric by construction, so the mirror is exact).
+        # Measured jointly with the persist boundary at sf0.1 (r8):
+        # half-join 3.7 s vs full-join 5.4 s warm, value-identical — the r7
+        # rejection of this build was an artifact of the then-separate
+        # nodes distinct (see below).
         if not scratch:
-            contrib = (
-                e.join(rank, e["src"] == rank["node"])
-                .select(F.col("dst"), contrib_expr)
-                .groupBy("dst")
-                .agg(F.sum("c").cast("bigint").alias("s"))
+            half = _half_edges(items, items)
+        else:
+            # Bounded-scratch mode (module docstring): K disjoint
+            # hash-range passes over the DST part key, each pass's
+            # output-sized half-edge table written to PARQUET and its
+            # shuffle scratch freed before the next pass.  EXACT per pass:
+            # the lower (a) side stays unfiltered, so pass k's groupBy
+            # sees EVERY co-occurrence of every pair whose dst is in range
+            # k, and a pair's dst lives in exactly one range — the union
+            # of passes is the one-shot half table row-for-row.  Parquet,
+            # NOT localCheckpoint: the first r13 sf125 attempt checkpointed
+            # the pass outputs and the joined edge table into the block
+            # store and the 32 g JVM heap-OOM'd — at this scale the edge
+            # relation (~1e9 half-edges from a 750M-row fact) is ~10x too
+            # big for executor storage memory, while compressed columnar
+            # files cost bounded heap and sequential I/O.
+            import os
+            import uuid
+
+            from ..observability import get_json_logger
+            from .dedup_fuzzy import _release_pass_scratch
+
+            get_json_logger().info(
+                "pagerank bounded-scratch mode",
+                extra={
+                    "fields": {
+                        "event": "pagerank_bounded_scratch",
+                        "passes": passes,
+                    }
+                },
+            )
+            scratch_root = _pagerank_scratch_dir(spark, uuid.uuid4().hex[:8])
+            # items persisted so each pass reads the distinct'd frame from
+            # cache instead of re-shuffling the fact scan K times (usually
+            # already persisted by the proxy above, in which case the
+            # estimator has materialized it); released as soon as the edge
+            # table is written.
+            if items_p is None:
+                items_p = persist_tracked(items)
+            for k in range(passes):
+                _half_edges(
+                    items_p,
+                    items_p.filter(
+                        F.pmod(F.col("l_partkey"), F.lit(passes)) == k
+                    ),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(scratch_root, f"pass{k}")
+                )
+                _release_pass_scratch(spark)
+            items_p.unpersist()
+            half = spark.read.parquet(
+                *[os.path.join(scratch_root, f"pass{k}") for k in range(passes)]
+            ).select("src", "dst", "w")
+        edges = half.unionAll(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
+        if not scratch:
+            # Persisted: every superstep joins the SAME edge list and
+            # re-ranks the SAME node set — without the persist each
+            # round's plan re-derives the fact self-join from scratch
+            # (measured: 20 FileScans / zero ReusedExchange in the 3-round
+            # plan), which at corpus scale multiplies the dominant cost by
+            # the round count.  The persist boundary is deliberately the
+            # JOINED ``e`` table, not the raw edge list: additionally
+            # persisting ``half`` was measured ~30% slower warm (r8; and
+            # persisting the full ``edges`` 2.5x slower in r7) — columnar
+            # cache materialization of the multi-million-row table costs
+            # more than the codegen-pipelined recompute it saves.
+            e = persist_tracked(edges.join(wu, "src"))
+            # Node set read FROM the persisted ``e``, not re-derived from
+            # the raw edge build (distinct over the cache instead of a
+            # third pass over the fact self-join — measured 1.2 s faster
+            # warm at sf0.1).
+            nodes = persist_tracked(
+                e.select(F.col("src").alias("node")).distinct()
             )
         else:
-            # Bounded-scratch superstep: the EDGE side never shuffles.
-            # The per-node (rank, wu) pair — two bounded node-sized
-            # checkpointed tables joined — broadcasts to a map-side
-            # hash join over the parquet edge scan, and the dst sum is
-            # map-side-combinable, so a round's shuffle is the slim
-            # partial-aggregate rows only.  (The r8 negative against
-            # forcing join strategies was about forbidding AQE's
-            # runtime rank broadcast on the slim-join plan — at the
-            # fourth decade the 25M-row rank table is far past the
-            # AQE broadcast threshold, so the explicit hint is the
-            # only way to the map-side plan, and the alternative is
-            # an edge-sized sort-merge shuffle per round that exceeds
-            # one node's disk.)
-            nw = rank.join(wu, rank["node"] == wu["src"]).select(
-                "node", "rank_micro", "wu"
-            )
-            contrib = (
-                edges.join(F.broadcast(nw), edges["src"] == nw["node"])
-                .select(F.col("dst"), contrib_expr)
-                .groupBy("dst")
-                .agg(F.sum("c").cast("bigint").alias("s"))
-            )
-        rank = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(_TELEPORT_MICRO)
-                    + F.expr(f"({_D_NUM} * COALESCE(s, 0)) div {_D_DEN}")
-                ).cast("bigint").alias("rank_micro"),
-            )
-        )
-        if scratch:
-            # the node-sized rank table is checkpointed per round
-            # (exact BIGINTs — materialization cannot change a value)
-            # so round r's edge-scan shuffle files become unreferenced
-            # and free before round r+1 runs.  (_release_pass_scratch
-            # was imported by the scratch edge-build block above.)
-            rank = rank.localCheckpoint(eager=True)
+            # The edge list stays a PLAN over the pass parquet; only the
+            # NODE-SIZED relations materialize.  wu is one aggregation over
+            # the parquet scan, checkpointed (truncating the build lineage
+            # so its shuffle files free before the supersteps); the node
+            # set is exactly wu's key set, so no separate distinct runs.
+            wu = wu.localCheckpoint(eager=True)
             _release_pass_scratch(spark)
-    if scratch:
-        # every consumer below reads only the checkpointed final rank
-        # (node-sized blocks) — the pass parquet is no longer reachable.
-        import shutil
+            # Fail-loud broadcast budget check (r13 verdict #3): the
+            # superstep hint below pins a node-sized broadcast; wu is
+            # checkpointed, so its count is a cheap block-store scan.
+            _guard_rank_broadcast(spark, wu.count())
+            nodes = wu.select(F.col("src").alias("node"))
+        rank = nodes.withColumn(
+            "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
+        )
+        # Micro-unit headroom guard: with ANSI mode off Spark silently
+        # wraps BIGINT overflow while DuckDB raises, so at extreme node
+        # counts the engines would diverge into wrong-but-plausible
+        # output.  Fail loudly on the Spark side too before the product
+        # can wrap (w >= 1 always).
+        contrib_expr = F.expr(
+            "CASE WHEN rank_micro > 9223372036854775807 div w"
+            " THEN CAST(raise_error('pagerank overflow:"
+            " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
+            " ELSE (rank_micro * w) div wu END"
+        ).alias("c")
+        for _ in range(PR_ROUNDS):
+            if not scratch:
+                contrib = (
+                    e.join(rank, e["src"] == rank["node"])
+                    .select(F.col("dst"), contrib_expr)
+                    .groupBy("dst")
+                    .agg(F.sum("c").cast("bigint").alias("s"))
+                )
+            else:
+                # Bounded-scratch superstep: the EDGE side never shuffles.
+                # The per-node (rank, wu) pair — two bounded node-sized
+                # checkpointed tables joined — broadcasts to a map-side
+                # hash join over the parquet edge scan, and the dst sum is
+                # map-side-combinable, so a round's shuffle is the slim
+                # partial-aggregate rows only.  (The r8 negative against
+                # forcing join strategies was about forbidding AQE's
+                # runtime rank broadcast on the slim-join plan — at the
+                # fourth decade the 25M-row rank table is far past the
+                # AQE broadcast threshold, so the explicit hint is the
+                # only way to the map-side plan, and the alternative is
+                # an edge-sized sort-merge shuffle per round that exceeds
+                # one node's disk.)
+                nw = rank.join(wu, rank["node"] == wu["src"]).select(
+                    "node", "rank_micro", "wu"
+                )
+                contrib = (
+                    edges.join(F.broadcast(nw), edges["src"] == nw["node"])
+                    .select(F.col("dst"), contrib_expr)
+                    .groupBy("dst")
+                    .agg(F.sum("c").cast("bigint").alias("s"))
+                )
+            rank = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(_TELEPORT_MICRO)
+                        + F.expr(f"({_D_NUM} * COALESCE(s, 0)) div {_D_DEN}")
+                    ).cast("bigint").alias("rank_micro"),
+                )
+            )
+            if scratch:
+                # the node-sized rank table is checkpointed per round
+                # (exact BIGINTs — materialization cannot change a value)
+                # so round r's edge-scan shuffle files become unreferenced
+                # and free before round r+1 runs.  (_release_pass_scratch
+                # was imported by the scratch edge-build block above.)
+                rank = rank.localCheckpoint(eager=True)
+                _release_pass_scratch(spark)
+    finally:
+        if scratch_root is not None:
+            import shutil
 
-        shutil.rmtree(scratch_root, ignore_errors=True)
+            shutil.rmtree(scratch_root, ignore_errors=True)
     # Top-K via orderBy().limit() — TakeOrderedAndProject (per-partition
     # heap + driver merge of K rows), never a global single-partition sort
     # of every node.  The row_number window then ranks only the K
