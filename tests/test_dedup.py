@@ -194,3 +194,42 @@ def test_two_components_and_singleton_self_pair(spark):
     )
     got = {r.node: r.label for r in propagate_min_labels(pairs).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40}
+
+
+def test_delta_batch_equals_full_minhash_restricted(spark):
+    """The incremental path's contract: batch pairs == the full-corpus
+    minhash pair set restricted to pairs touching the batch.  Both
+    sides computed in-engine on the smoke tables; the sf0.01 DuckDB
+    oracle certifies the same identity against a from-scratch
+    recompute."""
+    from transitdata_omm_cancellation_source_spark.caching import (
+        release_tracked,
+    )
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        _DELTA_MOD,
+        _DELTA_REM,
+        _delta_batch,
+        _minhash_lsh,
+    )
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    try:
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in _minhash_lsh(spark, t).collect()
+        }
+        expected = {
+            (a, b, j)
+            for a, b, j in full
+            if a % _DELTA_MOD == _DELTA_REM or b % _DELTA_MOD == _DELTA_REM
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in _delta_batch(spark, t).collect()
+        }
+        assert got == expected
+        assert expected  # non-vacuous: the batch has near-dup partners
+        assert got != full  # restriction is real (some pairs excluded)
+    finally:
+        release_tracked()

@@ -412,3 +412,17 @@ def test_upsert_merge_is_one_full_outer_key_join(spark):
     # MERGE join itself must never degrade to a nested loop
     nl = plan.count("BroadcastNestedLoopJoin")
     assert nl <= 1 and ("shift" in plan if nl else True)
+
+
+def test_delta_batch_probes_index_without_forced_broadcast(spark):
+    """Incremental dedup (r13 verdict #5): the batch-vs-index candidate
+    join must stay an equi join with NO pinned broadcast hint — the
+    batch side is batch-sized so AQE broadcasts it while it fits and
+    degrades gracefully when a huge batch doesn't; the standing index
+    side must never enter a nested-loop or cartesian plan."""
+    df = REGISTRY["dedup_delta_batch"].build(spark, SF_PLAN)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

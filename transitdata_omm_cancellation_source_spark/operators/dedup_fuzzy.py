@@ -538,7 +538,26 @@ def _band_candidates(t) -> DataFrame:
 
 
 def _build_band_candidates(t) -> DataFrame:
-    sh = _minhash_shingles(t)
+    bands = _band_keys_frame(_minhash_shingles(t))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _band_keys_frame(sh) -> DataFrame:
+    """(doc_id, band_key) rows — 16 per doc — from a shingle frame via
+    the map-side Arrow kernel (no shuffle besides the repartition).
+    Shared by the full self-join candidate build and the incremental
+    delta-batch query's standing index."""
     spark = sh.sparkSession
 
     def kernel(batches):
@@ -576,20 +595,8 @@ def _build_band_candidates(t) -> DataFrame:
             )
 
     par = spark.sparkContext.defaultParallelism
-    bands = sh.repartition(par, "doc_id").mapInPandas(
+    return sh.repartition(par, "doc_id").mapInPandas(
         kernel, "doc_id long, band_key long"
-    )
-    return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
     )
 
 
@@ -639,6 +646,118 @@ def _minhash_lsh(spark, t):
         )
 
     return _family_frame("minhash_verified_pairs", t, build)
+
+
+# --- incremental (delta-batch) dedup ----------------------------------------
+
+#: the "new crawl batch": a deterministic 1/7 slice of the planted
+#: corpus.  doc_id % 7 == 3 catches both original docs and planted
+#: copies (1e6 % 7 == 1 shifts a copy's residue by one), so the batch
+#: has near-dup partners in BOTH directions — batch-vs-corpus and
+#: batch-internal.
+_DELTA_MOD, _DELTA_REM = 7, 3
+
+
+@_q(
+    "dedup_delta_batch",
+    "north-star: incremental dedup — a new crawl batch deduplicated "
+    "against the standing corpus via the persisted band index "
+    "(cost follows the batch, not the corpus)",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    {_SH_CTE_D},
+    sig AS (SELECT doc_id, shingles, {_SIG_D} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_D}) AS band_key FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+           OR b.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_TAU}
+    """,
+)
+def _delta_batch(spark, t):
+    """Incremental dedup: the production shape the full-rescan family
+    lacks (r13 verdict #5).  A real 100 TB pipeline deduplicates each
+    NEW crawl batch against the existing corpus; rescanning the corpus
+    per batch is the thing that doesn't scale.
+
+    Engine shape: the corpus's (doc_id, band_key) index and shingle
+    sets are STANDING artifacts (``_family_frame`` in-session; at
+    production scale the same frames live as parquet tables bucketed
+    by band_key).  A batch query then pays:
+
+    - banding/shingling for the BATCH side only (the expensive text
+      processing — tokenize, hash, 64 minhashes — is never redone for
+      the corpus);
+    - one candidate join of the slim batch bands against the standing
+      index — the batch side is batch-sized, so AQE broadcasts it and
+      the index side never shuffles (asserted in
+      tests/test_plan_shapes.py); on a cluster the bucketed index
+      makes this a partition-pruned probe;
+    - batch-internal candidates via the batch bands' self-join
+      (batch-sized both sides);
+    - exact Jaccard verification on the matched pairs only.
+
+    Output = the full-corpus minhash pair set restricted to pairs
+    touching the batch — the DuckDB oracle recomputes from scratch and
+    restricts, so a hash match certifies the incremental path against
+    the batch-recompute semantics.
+    """
+    sh = _minhash_shingles(t)
+    bands = _family_frame(
+        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t))
+    )
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    delta_b = bands.filter(is_delta)
+    corpus_b = bands.filter(~is_delta)
+    cross = (
+        delta_b.alias("d")
+        .join(
+            corpus_b.alias("c"),
+            F.col("d.band_key") == F.col("c.band_key"),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_b"),
+        )
+    )
+    within = (
+        delta_b.alias("x")
+        .join(
+            delta_b.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    cand = cross.unionAll(within).distinct()
+    inter = F.size(
+        F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+    )
+    jac = inter / (
+        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    )
+    return (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # --- edit-distance verification on the LSH candidates -----------------------

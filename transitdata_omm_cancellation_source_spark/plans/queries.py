@@ -335,24 +335,19 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
 #: the tuple in the next round once CORRECTNESS_r{N}.json has their
 #: green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # (r12 tuple cleared per the contract: all five entries got green
-    # rows in CORRECTNESS_r12.)
-    # round-13 executed-plan changes:
-    # the bucket-pair scan moved from per-group cogroup applyInPandas
-    # to the run-sorted mapInPandas walk (operators/pairscan.py r13 —
-    # one kernel invocation per partition, adaptive chunk height,
-    # streamed Arrow hit emission, exact int64 norms on the
-    # wide-magnitude slow path) in both pair-dedup queries:
-    "corpus_semdedup",
-    "dedup_embedding_cosine",
-    # the shared nearest-centroid kernel (assign_to_centroids) gained
-    # the explicit zero-norm-centroid NaN-first branch (r12 ADVICE) —
-    # certify its kernel-scan consumers:
-    "kmeans_lloyd_centroids",
-    "knn_ivf_kmeans",
-    "knn_ivfpq_adc",
-    # r13: pagerank gained the bounded-scratch K-pass edge build
-    # (below-budget plan byte-identical, but certify the touched path):
+    # (r13 tuple cleared per the contract: all six entries got green
+    # rows in CORRECTNESS_r13.)
+    # round-14 executed-plan / builder-path changes:
+    # the band-key kernel was extracted into _band_keys_frame (shared
+    # with the new delta-batch query's standing index) — the self-join
+    # plan should be identical, but certify the consumers of the
+    # touched build path:
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "dedup_cluster_canonical",
+    # pagerank's builder gained the broadcast-budget guard, the
+    # memo-before-proxy skip and the try/finally scratch cleanup
+    # (below-budget plan unchanged, but certify the touched path):
     "parts_copurchase_pagerank",
 )
 

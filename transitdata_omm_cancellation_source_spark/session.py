@@ -86,6 +86,22 @@ def get_spark(
     # through the OS page allocator.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
+    # numpy madvises MADV_HUGEPAGE on every allocation >= 4 MB (its
+    # documented default when THP is in madvise mode), which routes the
+    # kernels' large buffers through the transparent-huge-page fault
+    # path — and when 32 workers concurrently first-touch fresh
+    # buffers, folio_zero_user under the PMD fault collapses to
+    # ~350 ms per 2 MB page (r13's measured first-touch pathology;
+    # kernel-stack sampling in r14 pinned 74/100 busy-worker samples
+    # there).  Disabling the madvise is the structural fix the r13
+    # small-pool budget only mitigated: the same sf25 pair-scan run
+    # measured cold 79.9 s -> 19.3 s and warm 21.7 s -> 9.7 s, with
+    # machine-wide sys CPU down 47x (scripts/profile_pairscan_stacks).
+    # 4 KB faults also make per-page cost ~the hypervisor's base fault
+    # latency instead of 2 MB of host zeroing under steal.  TLB wins
+    # from hugepages never showed on these streamed Arrow-batch
+    # kernels — every measurement moved the other way.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -104,6 +120,10 @@ def get_spark(
         .config(
             "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
             os.environ["MALLOC_TRIM_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+            os.environ["NUMPY_MADVISE_HUGEPAGE"],
         )
     )
     for key, value in RUNTIME_CONFS.items():
