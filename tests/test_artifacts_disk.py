@@ -55,11 +55,14 @@ def artifact_dir(spark, tmp_path, monkeypatch):
 
 
 def _forbid_training(monkeypatch):
-    def boom(*a, **k):
+    # the seam, not the trainers' helpers: since the r14 bindings
+    # closure, patching a helper function CHANGES the disk key (that
+    # is the feature), so the retrain guard must sit where the key
+    # cannot see it.
+    def boom(train):
         raise AssertionError("artifact hit must not retrain")
 
-    monkeypatch.setattr(sim, "_fold_centroids", boom)
-    monkeypatch.setattr(pq, "_train_codebook", boom)
+    monkeypatch.setattr(artifacts, "_invoke_trainer", boom)
 
 
 def test_load_without_train_bit_identity_in_session(
@@ -90,10 +93,10 @@ spark = (SparkSession.builder.master("local[2]")
 spark.sparkContext.setLogLevel("ERROR")
 import transitdata_omm_cancellation_source_spark.operators.similarity as sim
 import transitdata_omm_cancellation_source_spark.operators.pq as pq
-def boom(*a, **k):
+import transitdata_omm_cancellation_source_spark.artifacts as artifacts
+def boom(train):
     raise AssertionError("cold session must not retrain")
-sim._fold_centroids = boom
-pq._train_codebook = boom
+artifacts._invoke_trainer = boom
 from transitdata_omm_cancellation_source_spark.catalog import load_tables
 t = load_tables(spark, sys.argv[2])
 cv = [[r["c_key"], list(r["cv"]), r["cn2"]]
@@ -176,3 +179,57 @@ def test_trainer_body_edit_is_a_key_miss(spark):
     # trainer-keyed ones
     k0 = artifacts.artifact_disk_key("dummy", src)
     assert k0 not in (ka, kb)
+
+
+_HELPER_CONSTANT = 17
+
+
+def _helper_v(x):
+    return x + 1  # helper recipe
+
+
+def test_referenced_binding_edits_are_key_misses(spark, monkeypatch):
+    """r14 bindings closure (r13 verdict #7 / ADVICE): a trainer whose
+    BODY is unchanged must still miss the cache when a helper it calls
+    or a module constant it reads changes."""
+    t = load_tables(spark, SF_SMOKE)
+    src = t["embeddings"]
+
+    def train():
+        return _helper_v(_HELPER_CONSTANT)
+
+    k1 = artifacts.artifact_disk_key("dummy", src, train)
+    # same everything -> same key (cross-session stability grain)
+    assert artifacts.artifact_disk_key("dummy", src, train) == k1
+
+    # helper-body edit -> miss
+    def _helper_v2(x):
+        return x + 2  # helper recipe CHANGED
+
+    orig_helper = train.__globals__["_helper_v"]
+    monkeypatch.setitem(train.__globals__, "_helper_v", _helper_v2)
+    k2 = artifacts.artifact_disk_key("dummy", src, train)
+    assert k2 != k1
+
+    # module-constant edit -> miss
+    monkeypatch.setitem(train.__globals__, "_helper_v", orig_helper)
+    assert artifacts.artifact_disk_key("dummy", src, train) == k1
+    monkeypatch.setitem(train.__globals__, "_HELPER_CONSTANT", 18)
+    assert artifacts.artifact_disk_key("dummy", src, train) != k1
+
+
+def test_closure_cell_edits_are_key_misses(spark):
+    """Closed-over values participate in the key: the same lambda text
+    built over two different thresholds keys differently, while opaque
+    objects (DataFrames) fold in by type only — the data itself is
+    covered by the source fingerprints."""
+    t = load_tables(spark, SF_SMOKE)
+    src = t["embeddings"]
+
+    def make(tau):
+        return lambda: tau
+
+    ka = artifacts.artifact_disk_key("dummy", src, make(0.5))
+    kb = artifacts.artifact_disk_key("dummy", src, make(0.9))
+    assert ka != kb
+    assert artifacts.artifact_disk_key("dummy", src, make(0.5)) == ka

@@ -24,12 +24,14 @@ This module adds the disk layer UNDER the session-memory dicts:
   sessions.  The trainer fingerprint (r13, closing the r12 verdict's
   silent-staleness risk) means an edit to a trainer's body is a cache
   MISS by construction — a forgotten ``_FORMAT_VERSION`` bump can no
-  longer serve a stale quantizer to oracle-certified consumers.
-  Residual contract: the fingerprint sees the trainer's own source,
-  not the bodies of helpers it calls — a semantic change hidden
-  entirely inside a helper still needs the version bump (in practice
-  trainer edits and helper edits travel together; the helper names
-  and call shapes ARE in the fingerprinted text).
+  longer serve a stale quantizer to oracle-certified consumers.  The
+  r14 bindings closure extends it to what the trainer REFERENCES:
+  helper functions fold in by their own source (a helper-body edit
+  misses), module-level constants by value, closure cells likewise.
+  Residual contract: one level deep — a semantic change hidden
+  entirely inside a helper's own CALLEE still needs the version bump
+  (the helper's source names its callees, so call-shape changes are
+  visible; only a deeper body-only edit escapes).
 - layout: ``<artifact root>/<name>/<digest>/`` parquet, written to a
   temp dir and atomically renamed (a concurrent trainer loses the
   rename and discards its copy — both trained the same content).  The
@@ -58,8 +60,9 @@ from pyspark.sql import DataFrame, SparkSession
 ARTIFACT_DIR_CONF = "spark.graft.artifacts.dir"
 
 #: bump to invalidate every on-disk artifact after a format or
-#: training-semantics change.
-_FORMAT_VERSION = "v1"
+#: training-semantics change.  (v2: the trainer fingerprint grew the
+#: referenced-bindings closure — every key legitimately changes.)
+_FORMAT_VERSION = "v2"
 
 
 def _stable_code_repr(code) -> str:
@@ -75,20 +78,90 @@ def _stable_code_repr(code) -> str:
     return repr((code.co_names, code.co_varnames, consts, code.co_code))
 
 
+def _code_names(code) -> set:
+    """All names referenced by a code object, including its nested
+    code objects (comprehensions, lambdas)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            names |= _code_names(const)
+    return names
+
+
+def _binding_repr(val, depth: int = 0) -> str:
+    """Session-stable rendering of a value a trainer references.
+
+    Functions render as their source (so a HELPER-body edit is a cache
+    miss — the r13 residual); modules by name; scalars and scalar
+    containers by value; everything else by type only (an object repr
+    could embed a memory address, which would break cross-session
+    stability — exactly the _stable_code_repr lesson)."""
+    import inspect
+
+    if inspect.isfunction(val):
+        try:
+            return inspect.getsource(val)
+        except (OSError, TypeError):
+            return _stable_code_repr(val.__code__)
+    if inspect.ismodule(val):
+        return f"<module {val.__name__}>"
+    if val is None or isinstance(val, (bool, int, float, complex, str, bytes)):
+        return repr(val)
+    if depth < 2 and isinstance(val, (tuple, list, frozenset, set)):
+        items = sorted(val) if isinstance(val, (set, frozenset)) else val
+        try:
+            return "[" + ",".join(_binding_repr(v, depth + 1) for v in items) + "]"
+        except TypeError:  # unsortable set — type-grain is enough
+            pass
+    if depth < 2 and isinstance(val, dict):
+        try:
+            return "{" + ",".join(
+                f"{k!r}:{_binding_repr(v, depth + 1)}"
+                for k, v in sorted(val.items(), key=lambda kv: repr(kv[0]))
+            ) + "}"
+        except TypeError:
+            pass
+    return f"<{type(val).__module__}.{type(val).__qualname__}>"
+
+
 def _trainer_fingerprint(train) -> str:
-    """Digest of the trainer's own source text, so a training-recipe
-    edit is a cache miss by construction (module docstring).  Source
-    is the right grain: it survives re-imports and new sessions
-    (bytecode ids don't) and changes exactly when a human edits the
-    recipe.  Falls back to the code object's stable fields when
-    source isn't retrievable (frozen/REPL trainers)."""
+    """Digest of the trainer's source text PLUS the bindings it
+    references, so a training-recipe edit is a cache miss by
+    construction (module docstring).  Source is the right grain: it
+    survives re-imports and new sessions (bytecode ids don't) and
+    changes exactly when a human edits the recipe.  Falls back to the
+    code object's stable fields when source isn't retrievable
+    (frozen/REPL trainers).
+
+    The bindings closure (r14, closing the r13 residual): every global
+    and closure cell the trainer's code references is folded in by
+    name — helper FUNCTIONS by their own source (a helper-body edit
+    now misses), module-level constants by value, modules by name,
+    opaque objects by type.  One level deep: a change hidden inside a
+    helper's own callee still needs the ``_FORMAT_VERSION`` bump (the
+    helper's source names its callees, so signature/call-shape changes
+    are visible; only a deeper body-only edit escapes)."""
     import inspect
 
     try:
         text = inspect.getsource(train)
     except (OSError, TypeError):
         text = _stable_code_repr(train.__code__)
-    return hashlib.sha256(text.encode()).hexdigest()[:16]
+    code = train.__code__
+    bound: dict[str, str] = {}
+    cells = dict(
+        zip(code.co_freevars, train.__closure__ or ())
+    )
+    for name in sorted(_code_names(code) | set(code.co_freevars)):
+        if name in cells:
+            try:
+                bound[name] = _binding_repr(cells[name].cell_contents)
+            except ValueError:  # empty cell
+                bound[name] = "<unbound cell>"
+        elif name in train.__globals__:
+            bound[name] = _binding_repr(train.__globals__[name])
+    payload = text + "\n--bindings--\n" + repr(sorted(bound.items()))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def artifact_disk_key(name: str, source_df: DataFrame, train=None) -> str:
@@ -145,12 +218,21 @@ def load_or_train(
     rows = _read_rows(spark, path)
     trained = rows is None
     if trained:
-        rows = train().collect()
+        rows = _invoke_trainer(train).collect()
     rows = sorted(rows, key=lambda r: tuple(r[c] for c in key_cols))
     out = spark.createDataFrame(rows, schema)
     if trained:
         _write_rows(out, path)
     return out
+
+
+def _invoke_trainer(train):
+    """Seam between the hit/miss decision and the training work: tests
+    patch THIS to prove a hit never trains.  (They used to patch the
+    trainers' helper functions, but since the bindings closure a
+    patched helper IS a key miss — the guard must live where the key
+    can't see it.)"""
+    return train()
 
 
 def _read_rows(spark: SparkSession, path: str):
