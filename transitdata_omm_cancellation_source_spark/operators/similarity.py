@@ -927,6 +927,10 @@ def _knn_lsh_multiprobe(spark, t):
 #: exact same computation.
 LLOYD_ROUNDS = 2
 
+#: rows per assign-kernel task in the Lloyd loop (docstring in
+#: _kmeans_lloyd: occupancy-sized partitioning, r14).
+_KMEANS_TASK_ROWS = 16384
+
 
 def _lloyd_oracle() -> str:
     """Unrolled-CTE oracle for the iterative Lloyd refinement.
@@ -1021,17 +1025,32 @@ def _kmeans_lloyd(spark, t):
     # decimals each round (part of the contract, see _lloyd_oracle),
     # so both engines enter round r+1 with bit-identical inputs and
     # the integer dots cannot disagree.
-    # r13 shave: (a) the corpus is repartitioned to full parallelism
-    # ONCE and persisted — the per-round repartition inside
-    # assign_to_centroids re-exchanged the whole corpus every round
-    # (prepartitioned=True skips it; at the fourth decade that is
-    # LLOYD_ROUNDS corpus shuffles saved); (b) each round's assignment
-    # has exactly ONE consumer (the next fold), so the former
-    # per-round persist was a pure cache-materialization tax.
+    # r13 shave: (a) the corpus is repartitioned ONCE and persisted —
+    # the per-round repartition inside assign_to_centroids re-exchanged
+    # the whole corpus every round (prepartitioned=True skips it; at
+    # the fourth decade that is LLOYD_ROUNDS corpus shuffles saved);
+    # (b) each round's assignment has exactly ONE consumer (the next
+    # fold), so the former per-round persist was a pure
+    # cache-materialization tax.
+    # r14 shave (the 2.5 s bar): the partition count is OCCUPANCY-
+    # SIZED, not a flat defaultParallelism — the loop runs
+    # LLOYD_ROUNDS + 2 driver jobs and each one's kernel stage pays
+    # per-task worker machinery (Arrow roundtrip, kernel re-entry)
+    # that dominates when 20k vectors fan out to 32 tasks of 625 rows.
+    # ~16k rows per task keeps every task's matmul a few BLAS calls
+    # (64-dim float64 chunk ~8 MB) while small corpora collapse to 1-2
+    # tasks; the fourth decade still saturates (2.6M rows -> capped at
+    # defaultParallelism).  Values are partition-independent by
+    # construction (per-vector argmax; vec_id-keyed chunked fold —
+    # tests/test_partitioning_invariance.py), so this is purely a
+    # physical choice.
+    n = corpus_count(spark, t["embeddings"])
+    par = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n // _KMEANS_TASK_ROWS)),
+    )
     vp = persist_tracked(
-        _vectors(t)
-        .select("vec_id", "v")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        _vectors(t).select("vec_id", "v").repartition(par, "vec_id")
     )
     emb = t["embeddings"].select("vec_id", "embedding")
     cent = _label_centroid(spark, t).withColumnRenamed("label", "cell")

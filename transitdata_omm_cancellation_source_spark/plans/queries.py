@@ -349,6 +349,10 @@ _RECERTIFY: tuple[str, ...] = (
     # memo-before-proxy skip and the try/finally scratch cleanup
     # (below-budget plan unchanged, but certify the touched path):
     "parts_copurchase_pagerank",
+    # r14: the Lloyd loop's corpus partitioning is occupancy-sized
+    # (values partition-independent by construction, but the executed
+    # plan changed):
+    "kmeans_lloyd_centroids",
 )
 
 
