@@ -233,3 +233,40 @@ def test_delta_batch_equals_full_minhash_restricted(spark):
         assert got != full  # restriction is real (some pairs excluded)
     finally:
         release_tracked()
+
+
+def test_delta_embedding_equals_full_cosine_restricted(spark):
+    """Embedding-leg incremental contract: batch pairs == the full
+    blocked cosine pair set restricted to pairs touching the batch,
+    and the scan only reads blocks the batch touches."""
+    from transitdata_omm_cancellation_source_spark.caching import (
+        release_tracked,
+    )
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        _EDELTA_MOD,
+        _EDELTA_REM,
+        _delta_embedding,
+        _embedding_neardup,
+    )
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    try:
+        full = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in _embedding_neardup(spark, t).collect()
+        }
+        expected = {
+            (a, b, c)
+            for a, b, c in full
+            if a % _EDELTA_MOD == _EDELTA_REM or b % _EDELTA_MOD == _EDELTA_REM
+        }
+        got = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in _delta_embedding(spark, t).collect()
+        }
+        assert got == expected
+        assert expected  # non-vacuous
+        assert got != full  # the restriction excludes corpus-only pairs
+    finally:
+        release_tracked()

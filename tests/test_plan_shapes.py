@@ -426,3 +426,15 @@ def test_delta_batch_probes_index_without_forced_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_delta_embedding_prunes_untouched_blocks_via_broadcast(spark):
+    """The embedding delta query joins the standing assignment against
+    the batch's (bounded) touched-cell set with an explicit broadcast
+    — the plan must carry a BroadcastHashJoin and no cartesian, so
+    untouched blocks never reach the pair scan."""
+    df = REGISTRY["dedup_delta_embedding"].build(spark, SF_PLAN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
