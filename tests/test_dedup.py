@@ -270,3 +270,42 @@ def test_delta_embedding_equals_full_cosine_restricted(spark):
         assert got != full  # the restriction excludes corpus-only pairs
     finally:
         release_tracked()
+
+
+def test_stream_incremental_emission_semantics(spark):
+    """Streaming dedup contract: the union over micro-batches equals
+    the full minhash pair set; each pair is emitted EXACTLY ONCE, in
+    the batch that completes it (max of its sides' batches); both the
+    batch-internal and the cross-batch (state-probe) paths fire."""
+    from transitdata_omm_cancellation_source_spark.caching import (
+        release_tracked,
+    )
+    from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (
+        _minhash_lsh,
+        _stream_incremental,
+    )
+    from transitdata_omm_cancellation_source_spark.catalog import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    try:
+        batch = lambda d: 1 if d % 3 <= 1 else 2  # noqa: E731
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in _minhash_lsh(spark, t).collect()
+        }
+        got = [
+            (r.doc_a, r.doc_b, r.jaccard, r.batch)
+            for r in _stream_incremental(spark, t).collect()
+        ]
+        assert len(got) == len(full)  # exactly once
+        for a, b, j, bt in got:
+            assert full[(a, b)] == j
+            assert bt == max(batch(a), batch(b))
+        batches = {bt for _, _, _, bt in got}
+        assert batches == {1, 2}  # internal AND boundary-crossing pairs
+        # the cross-batch path specifically (not just batch-2 internal)
+        assert any(
+            batch(a) != batch(b) for a, b, _, bt in got if bt == 2
+        )
+    finally:
+        release_tracked()

@@ -18,7 +18,7 @@ import pytest
 _SNIPPET = (
     "import transitdata_omm_cancellation_source_spark.operators.{mod}; "
     "from transitdata_omm_cancellation_source_spark.plans.queries import "
-    "REGISTRY; assert len(REGISTRY) == 109, len(REGISTRY)"
+    "REGISTRY; assert len(REGISTRY) == 110, len(REGISTRY)"
 )
 
 

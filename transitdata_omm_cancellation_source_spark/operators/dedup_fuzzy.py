@@ -760,6 +760,156 @@ def _delta_batch(spark, t):
     )
 
 
+# --- streaming (micro-batch) incremental dedup ------------------------------
+
+#: batch assignment for the two-micro-batch stream: doc_id % 3 <= 1 ->
+#: batch 1, else batch 2.  The planted copies sit at +1e6 (≡ 1 mod 3),
+#: so the near-dup pairs split across all emission shapes: d%3==0
+#: pairs complete inside batch 1 (self-join path), d%3∈{1,2} pairs
+#: cross the batch boundary (state-probe path).
+_STREAM_BATCHES = 2
+
+
+def _stream_batch_col(col: str) -> F.Column:
+    return F.when(F.col(col) % 3 <= 1, F.lit(1)).otherwise(F.lit(2))
+
+
+@_q(
+    "dedup_stream_incremental",
+    "north-star incremental/streaming: micro-batch dedup against a "
+    "disk-persisted band-index state — each batch emits only the pairs "
+    "its own arrival completes",
+    f"""
+    WITH corpus AS ({_CORPUS_D}),
+    {_SH_CTE_D},
+    sig AS (SELECT doc_id, shingles, {_SIG_D} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_D}) AS band_key FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard,
+           CAST(greatest(CASE WHEN doc_a % 3 <= 1 THEN 1 ELSE 2 END,
+                         CASE WHEN doc_b % 3 <= 1 THEN 1 ELSE 2 END)
+                AS INTEGER) AS batch
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_TAU}
+    """,
+)
+def _stream_incremental(spark, t):
+    """Micro-batch streaming dedup with persistent index state (r14,
+    the streaming leg of the incremental family).
+
+    The loop below is the ``foreachBatch`` body of a readStream
+    pipeline — exactly the discipline the certified two-cycle poll
+    uses (``lifecycle_queries._build_two_cycle`` / SnapshotStore):
+    per micro-batch b,
+
+    - shingle/band compute runs for batch b's NEW docs only;
+    - the batch's band+shingle frames are APPENDED to a disk-persisted
+      index (one immutable parquet dir per batch — the streaming-state
+      layout; a production pipeline would bucket these by band_key);
+    - candidates = (new bands x state bands) ∪ (new self-join) — the
+      pairs whose arrival this batch completes, each emitted exactly
+      once across the stream (a pair's emission batch is the max of
+      its sides' batches);
+    - exact Jaccard verification reads shingles from the seen-so-far
+      index.
+
+    The union over batches therefore equals the full-corpus minhash
+    pair set labeled with emission batch — which is precisely the
+    DuckDB oracle, so the hash match certifies cross-batch exactness
+    (no pair lost at a boundary, none emitted twice).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    sh_all = _minhash_shingles(t)
+    bands_all = _family_frame(
+        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t))
+    )
+    root = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    per_batch = []
+    inter = F.size(
+        F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+    )
+    jac = inter / (
+        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    )
+    for b in range(1, _STREAM_BATCHES + 1):
+        new_pred = _stream_batch_col("doc_id") == b
+        sh_all.filter(new_pred).write.parquet(os.path.join(root, f"sh{b}"))
+        bands_all.filter(new_pred).write.parquet(os.path.join(root, f"bk{b}"))
+        new_b = spark.read.parquet(os.path.join(root, f"bk{b}"))
+        within = (
+            new_b.alias("x")
+            .join(
+                new_b.alias("y"),
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+        if b > 1:
+            state_b = spark.read.parquet(
+                *[os.path.join(root, f"bk{i}") for i in range(1, b)]
+            )
+            cross = (
+                new_b.alias("n")
+                .join(
+                    state_b.alias("s"),
+                    F.col("n.band_key") == F.col("s.band_key"),
+                )
+                .select(
+                    F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias(
+                        "doc_a"
+                    ),
+                    F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias(
+                        "doc_b"
+                    ),
+                )
+            )
+            cand = within.unionAll(cross).distinct()
+        else:
+            cand = within.distinct()
+        seen_sh = spark.read.parquet(
+            *[os.path.join(root, f"sh{i}") for i in range(1, b + 1)]
+        )
+        per_batch.append(
+            cand.join(seen_sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            .join(seen_sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+            .filter(jac >= _JACCARD_TAU)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jac, 6).alias("jaccard"),
+                F.lit(b).cast("int").alias("batch"),
+            )
+        )
+    out = per_batch[0]
+    for df in per_batch[1:]:
+        out = out.unionAll(df)
+    # The state dirs must outlive this (lazy) plan; register a
+    # session-exit sweep instead of deleting eagerly.
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return out
+
+
 # --- edit-distance verification on the LSH candidates -----------------------
 
 #: verification window: Levenshtein is O(L^2) per pair, so the verify
