@@ -335,3 +335,87 @@ def test_zero_norm_vector_matches_duckdb_nan_semantics(spark, monkeypatch, nb):
     for _, b in want:
         want_counts[b] = want_counts.get(b, 0) + 1
     assert counts == want_counts
+
+
+# --- mode="delta" (r14 bipartite incremental scan) ---------------------------
+
+
+def _want_delta(vecs, tau, pred):
+    """Brute-force pairs touching the batch: per block, a < b, >= 1
+    side satisfying pred — the full restriction semantics."""
+    want = {}
+    for blk in (0, 1, 2):
+        for (a, b), cos in _brute_pairs(
+            {i: v for i, v in vecs.items() if i % 3 == blk}, tau
+        ).items():
+            if pred(a) or pred(b):
+                want[(a, b)] = cos
+    return want
+
+
+@pytest.mark.parametrize("target", [4096, 16, 4])
+def test_delta_mode_matches_restricted_brute_force(
+    spark, corpus, monkeypatch, target
+):
+    """Coverage/orientation/dedup of the bipartite delta scan across
+    grid shapes: target=4096 -> both grids 1x1; 16 -> member grid
+    multi-bucket while the small batch keeps nbq=1; 4 -> both grids
+    multi-bucket (batch-batch pairs cross bucket boundaries, so the
+    m_id < q_id dedup mask is exercised across units)."""
+    rows, vecs = corpus
+    monkeypatch.setattr(ps, "PAIR_GROUP_TARGET", target)
+    tau = 0.999
+    pred = lambda i: i % 5 == 0  # noqa: E731
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in ps.pair_scan(
+            _vb(spark, rows),
+            ["blk"],
+            tau,
+            "delta",
+            query_pred=F.col("vec_id") % 5 == 0,
+        ).collect()
+    }
+    want = _want_delta(vecs, tau, pred)
+    assert set(got) == set(want)
+    assert all(a < b for a, b in got)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0)  # identical IEEE ops
+    # non-vacuous in both directions
+    full = _want(vecs, tau)
+    assert want and len(want) < len(full)
+
+
+def test_delta_mode_duplicate_and_equal_ids_never_pair(spark, monkeypatch):
+    """Duplicate ids are legal input (the sf125 planted-offset
+    collision): two distinct rows sharing an id must not pair with
+    each other, and a batch row must not pair with itself through the
+    member side."""
+    monkeypatch.setattr(ps, "PAIR_GROUP_TARGET", 2)
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(7, v, 0), (7, v, 0), (9, v, 0)]  # ids 7, 7, 9 — identical vectors
+    got = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in ps.pair_scan(
+            _vb(spark, rows),
+            ["blk"],
+            0.9,
+            "delta",
+            query_pred=F.col("vec_id") % 2 == 1,  # everything is batch
+        ).collect()
+    )
+    # the only legal pair is (7, 9) — emitted once per id-7 ROW (two
+    # distinct rows carry id 7, exactly as the oracle's self-join
+    # yields two (7, 9) rows)
+    assert got == [(7, 9), (7, 9)]
+
+
+def test_delta_mode_requires_query_pred(spark, corpus):
+    rows, _ = corpus
+    with pytest.raises(ValueError, match="query_pred"):
+        ps.pair_scan(_vb(spark, rows), ["blk"], 0.9, "delta")
+    with pytest.raises(ValueError, match="query_pred"):
+        ps.pair_scan(
+            _vb(spark, rows), ["blk"], 0.9, "pairs",
+            query_pred=F.col("vec_id") % 2 == 0,
+        )

@@ -1344,18 +1344,13 @@ def _delta_embedding(spark, t):
     Engine shape: the (vec_id, uv, label, cell) assignment frame is
     the standing artifact (``_cosine_vb`` — persisted in-session; at
     production scale a parquet table partitioned by cell).  A batch
-    query pays:
-
-    - the batch's cell set — one distinct over the batch rows,
-      broadcast (bounded: <= labels x 2^IVF_MAX_BITS rows);
-    - the bucket-pair run scan over ONLY the (label, cell) blocks the
-      batch touches — a cold block the batch never lands in is never
-      read, so scan cost follows the batch's block occupancy, not the
-      corpus;
-    - a post-filter keeping pairs with >= 1 batch side (the scan of a
-      touched block still scores its corpus-corpus pairs; at
-      production delta sizes most blocks are untouched, which is
-      where the saving lives).
+    query runs the BIPARTITE delta scan (``pair_scan mode="delta"``,
+    r14): corpus x corpus pairs are never scored — per touched block
+    the kernel crosses members against BATCH queries only, so total
+    scored elements follow Σ occ·occ_batch (not Σ occ²), the corpus
+    side ships un-replicated when the batch is small (query grid
+    sized from batch occupancy), and blocks the batch never lands in
+    drop at the occupancy join without being read.
 
     Oracle = the full-corpus cosine pair set restricted to pairs
     touching the batch — a from-scratch recompute certifying the
@@ -1365,13 +1360,10 @@ def _delta_embedding(spark, t):
 
     vb = _cosine_vb(spark, t)
     is_delta = F.col("vec_id") % _EDELTA_MOD == _EDELTA_REM
-    touched = vb.filter(is_delta).select("label", "cell").distinct()
-    vbc = vb.join(F.broadcast(touched), ["label", "cell"])
-    scan = pair_scan(vbc, ["label", "cell"], _COSINE_TAU, mode="pairs")
-    return scan.filter(
-        (F.col("vec_a") % _EDELTA_MOD == _EDELTA_REM)
-        | (F.col("vec_b") % _EDELTA_MOD == _EDELTA_REM)
-    ).select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    scan = pair_scan(
+        vb, ["label", "cell"], _COSINE_TAU, mode="delta", query_pred=is_delta
+    )
+    return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
 # --- duplicate-cluster canonicalization --------------------------------------

@@ -183,6 +183,7 @@ def pair_scan(
     mode: str,
     id_col: str = "vec_id",
     vec_col: str = "uv",
+    query_pred: F.Column | None = None,
 ) -> DataFrame:
     """The bucket-pair run scan (module docstring).
 
@@ -193,10 +194,30 @@ def pair_scan(
     ``mode="pairs"`` returns (vec_a, vec_b, cos) with vec_a < vec_b;
     ``mode="counts"`` returns per-unit PARTIAL (vec_id, n) lower-id
     duplicate counts — callers sum across units.
+
+    ``mode="delta"`` (r14, the incremental-dedup scan): exact pairs
+    TOUCHING the batch ``query_pred`` selects — batch x corpus crosses
+    plus the batch-internal triangle, never corpus x corpus.  The scan
+    units are ORDERED bucket pairs (mb, qb) over two INDEPENDENTLY
+    sized grids: member buckets from full block occupancy, query
+    buckets from BATCH occupancy — so with a small batch nb_q is 1 and
+    the corpus side never replicates; total stream bytes are
+    Σ occ·nb_q + occ_q·nb_m and total scored elements Σ occ·occ_q —
+    both follow the batch, not the corpus².  Blocks the batch never
+    touches drop at the occupancy join and are never read.  Coverage:
+    a (batch, corpus) pair is scored exactly once (corpus row as
+    member); a (batch, batch) pair is scored twice (each side once as
+    member) and the kernel's ``m_id < q_id`` mask on BATCH members
+    keeps exactly one; equal-id rows never pair (duplicate ids are
+    legal input).  Output schema matches ``mode="pairs"``.
     """
-    if mode not in ("pairs", "counts"):
+    if mode not in ("pairs", "counts", "delta"):
         raise ValueError(f"pair_scan: unknown mode {mode!r}")
+    if (query_pred is None) != (mode != "delta"):
+        raise ValueError("pair_scan: query_pred is required iff mode='delta'")
     blocks = list(block_cols)
+    if mode == "delta":
+        return _delta_scan(vb, blocks, tau, id_col, vec_col, query_pred)
     occ = vb.groupBy(*blocks).agg(F.count(F.lit(1)).alias("occ"))
     nb = occ.select(
         *blocks, _nb_for_occupancy_col(F.col("occ"), mode).alias("nb")
@@ -248,6 +269,66 @@ def pair_scan(
         else "vec_id long, n long"
     )
     return runs.mapInPandas(_run_scan(tau, mode, gcols), schema)
+
+
+def _delta_scan(
+    vb: DataFrame,
+    blocks: list,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    query_pred: F.Column,
+) -> DataFrame:
+    """mode="delta" plan construction (pair_scan docstring)."""
+    occ = vb.groupBy(*blocks).agg(F.count(F.lit(1)).alias("occ"))
+    qocc = (
+        vb.filter(query_pred)
+        .groupBy(*blocks)
+        .agg(F.count(F.lit(1)).alias("qocc"))
+    )
+    # INNER join: a block with zero batch rows yields no units at all —
+    # the incremental saving's first term.  Broadcast: #blocks rows.
+    grids = occ.join(qocc, blocks).select(
+        *blocks,
+        _pow2_case(F.col("occ"), PAIR_GROUP_TARGET, 1, PAIR_MAX_BUCKETS)
+        .cast("int")
+        .alias("nbm"),
+        _pow2_case(F.col("qocc"), PAIR_GROUP_TARGET, 1, PAIR_MAX_BUCKETS)
+        .cast("int")
+        .alias("nbq"),
+    )
+    vbb = vb.select(
+        id_col, vec_col, *blocks, query_pred.alias("isq")
+    ).join(F.broadcast(grids), blocks)
+    # member side: EVERY row of the block, replicated over the query
+    # grid; side 1 marks batch rows (the kernel's m_id < q_id dedup
+    # mask applies to them only).  query side: batch rows replicated
+    # over the member grid.
+    members = vbb.select(
+        *blocks,
+        F.pmod(F.col(id_col), F.col("nbm")).cast("int").alias("lo"),
+        F.explode(F.expr("sequence(0, nbq - 1)")).alias("hi"),
+        F.when(F.col("isq"), F.lit(1)).otherwise(F.lit(0)).alias("side"),
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("uv"),
+    )
+    qs = vbb.filter(F.col("isq")).select(
+        *blocks,
+        F.explode(F.expr("sequence(0, nbm - 1)")).alias("lo"),
+        F.pmod(F.col(id_col), F.col("nbq")).cast("int").alias("hi"),
+        F.lit(2).alias("side"),
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("uv"),
+    )
+    gcols = blocks + ["lo", "hi"]
+    runs = (
+        members.unionByName(qs)
+        .repartition(*gcols)
+        .sortWithinPartitions(*gcols, "side", "pid")
+    )
+    return runs.mapInPandas(
+        _run_scan(tau, "delta", gcols), "vec_a long, vec_b long, cos double"
+    )
 
 
 #: scratch-element budget for one score matrix, with a floor and cap
@@ -349,6 +430,11 @@ class _ChunkCos:
             self._b1[: n * mh].reshape(n, mh),
             self._b2[: n * mh].reshape(n, mh),
         )
+
+    def bools3(self, n, mh):
+        """A third bool scratch view (delta mode's m>q mask) — pooled
+        lazily so the two-mask modes never allocate it."""
+        return _scratch(self._np, "cc_b3", n * mh, bool).reshape(n, mh)
 
 
 class _PairSink:
@@ -556,13 +642,71 @@ def _scan_unit(np, sink, tau, pairs, lo, hi, ids, side, U32g):
             yield sink.flush()
 
 
+def _scan_unit_delta(np, sink, tau, ids, side, U32g):
+    """Score ONE delta-mode run: members (side 0 = corpus, 1 = batch)
+    x queries (side 2 = batch), full cross.  Keep mask per the
+    coverage proof in pair_scan's docstring: a hit survives iff
+    ``m_id < q_id`` OR (the member is a CORPUS row AND ``m_id >
+    q_id``) — batch-batch pairs dedup to their one lower-id-member
+    unit, batch-corpus pairs keep their single scoring whichever side
+    has the lower id, self-pairs and equal-id rows never pair.
+    Arithmetic contract identical to _scan_unit (same pooled scorer).
+    """
+    n, dim = U32g.shape
+    s2 = int(np.searchsorted(side, 2))
+    nq = n - s2
+    if nq == 0 or s2 == 0:
+        return
+    s1 = int(np.searchsorted(side, 1))  # first BATCH member
+    umax = int(np.abs(U32g).max(initial=0))
+    if umax * umax * dim >= 2**62:
+        raise ValueError(
+            "pairscan: |u|^2 * DIM exceeds int64 headroom;"
+            " the kernel would wrap where the BIGINT oracle errors"
+        )
+    fast = umax * umax * dim < 2.0**53
+    Uf = _scratch(np, "g_f64", n * dim, np.float64).reshape(n, dim)
+    np.copyto(Uf, U32g)
+    n2 = _scratch(np, "g_n2", n, np.float64)
+    if fast:
+        np.einsum("ij,ij->i", Uf, Uf, out=n2)
+    else:
+        n2[...] = np.einsum(
+            "ij,ij->i", U32g.astype(np.int64), U32g.astype(np.int64)
+        )
+    qid, mid = ids[s2:], ids[:s2]
+    allow_gt = _scratch(np, "gd_allow", s2, bool)
+    allow_gt[:s1] = True  # corpus members
+    allow_gt[s1:s2] = False  # batch members: lower-id-only
+    ch = min(nq, _CHUNK_CAP, max(_CHUNK_FLOOR, _AREA // s2))
+    sc = _ChunkCos(np, Uf[s2:], n2[s2:], Uf[:s2], n2[:s2], fast, ch)
+    for clo in range(0, nq, ch):
+        chi = min(clo + ch, nq)
+        cos = sc.cos(clo, chi, s2)
+        hit, less = sc.bools(chi - clo, s2)
+        np.greater_equal(cos, tau, out=hit)
+        np.less(mid[None, :], qid[clo:chi, None], out=less)
+        gt = sc.bools3(chi - clo, s2)
+        np.greater(mid[None, :], qid[clo:chi, None], out=gt)
+        gt &= allow_gt[None, :s2]
+        less |= gt
+        hit &= less
+        r, c = np.nonzero(hit)
+        if len(r):
+            qi, mi = qid[clo + r], mid[c]
+            sink.add(np.minimum(qi, mi), np.maximum(qi, mi), cos[r, c])
+        if sink.ready():
+            yield sink.flush()
+
+
 def _run_scan(tau: float, mode: str, gcols: Sequence[str]):
     """mapInPandas kernel factory: walk a partition's Arrow batches
     once, stack each batch's vectors ONCE, split it into bucket-pair
     runs at key-change boundaries, and score each run as row slices —
     per-run cost is a few numpy views, per-batch cost is one stack
     (module docstring: the r12 per-group-overhead fix)."""
-    pairs = mode == "pairs"
+    pairs = mode in ("pairs", "delta")
+    delta = mode == "delta"
     gcols = list(gcols)
 
     def fn(batches):
@@ -580,8 +724,10 @@ def _run_scan(tau: float, mode: str, gcols: Sequence[str]):
                 ids = np.concatenate([p[0] for p in parts])
                 side = np.concatenate([p[1] for p in parts])
                 U32 = np.vstack([p[2] for p in parts])
+            if delta:
+                return _scan_unit_delta(np, sink, tau, ids, side, U32)
             return _scan_unit(
-                np, sink, tau, pairs, int(key[-2]), int(key[-1]),
+                np, sink, tau, mode == "pairs", int(key[-2]), int(key[-1]),
                 ids, side, U32,
             )
 
