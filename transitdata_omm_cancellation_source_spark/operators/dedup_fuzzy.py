@@ -839,6 +839,12 @@ def _stream_incremental(spark, t):
         "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t))
     )
     root = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    # Registered BEFORE any write: the state dirs must outlive the
+    # (lazy) returned plan, so eager deletion is wrong, but a build
+    # that dies mid-loop must still get swept at session exit.
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     per_batch = []
     inter = F.size(
         F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
@@ -902,11 +908,6 @@ def _stream_incremental(spark, t):
     out = per_batch[0]
     for df in per_batch[1:]:
         out = out.unionAll(df)
-    # The state dirs must outlive this (lazy) plan; register a
-    # session-exit sweep instead of deleting eagerly.
-    import atexit
-
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return out
 
 
