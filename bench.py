@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
+    "dedup_delta_batch",
+    "dedup_delta_embedding",
+    "dedup_stream_incremental",
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
