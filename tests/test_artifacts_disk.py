@@ -233,3 +233,13 @@ def test_closure_cell_edits_are_key_misses(spark):
     kb = artifacts.artifact_disk_key("dummy", src, make(0.9))
     assert ka != kb
     assert artifacts.artifact_disk_key("dummy", src, make(0.5)) == ka
+
+
+def test_mixed_type_set_binding_falls_back_to_type_grain():
+    """ADVICE r14: a mixed-type (unsortable) set referenced by a trainer
+    must fall back to the type-grain repr, not raise TypeError out of
+    the fingerprint (sorted() sits inside the try for exactly this)."""
+    rendered = artifacts._binding_repr({1, "a"})
+    assert rendered.startswith("<builtins.set")
+    # sortable sets still render by value (order-normalized)
+    assert artifacts._binding_repr({3, 1, 2}) == "[1,2,3]"

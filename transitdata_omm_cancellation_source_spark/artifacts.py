@@ -108,8 +108,11 @@ def _binding_repr(val, depth: int = 0) -> str:
     if val is None or isinstance(val, (bool, int, float, complex, str, bytes)):
         return repr(val)
     if depth < 2 and isinstance(val, (tuple, list, frozenset, set)):
-        items = sorted(val) if isinstance(val, (set, frozenset)) else val
         try:
+            # sorted() must sit INSIDE the try: a mixed-type set raises
+            # TypeError from the sort itself, and that case wants the
+            # type-grain fallback, not a crash out of the fingerprint.
+            items = sorted(val) if isinstance(val, (set, frozenset)) else val
             return "[" + ",".join(_binding_repr(v, depth + 1) for v in items) + "]"
         except TypeError:  # unsortable set — type-grain is enough
             pass
