@@ -238,6 +238,123 @@ def _invoke_trainer(train):
     return train()
 
 
+#: digests kept per frame-artifact name before publish-time eviction.
+#: Corpus-sized frames (unlike the ≤4096-row trained relations) cost
+#: real disk, and every regenerated scale corpus mints a new digest —
+#: without a bound the warehouse grows one dead multi-GB index per
+#: rewrite.  4 keeps the working set (bench sf0.1 + a couple of scale
+#: corpora) warm while bounding the root.
+_FRAME_KEEP_DIGESTS = 4
+
+
+def load_or_build_frame(
+    spark: SparkSession, name: str, source_df: DataFrame, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Disk layer for CORPUS-SIZED standing artifact frames (r14
+    verdict #1: the incremental-dedup family's band index, shingle
+    sets and IVF assignment frame).
+
+    Same key discipline as ``load_or_train`` (``artifact_disk_key``:
+    format version + source-file fingerprints + schema + the builder's
+    bindings-closure fingerprint) but the artifact is a corpus-sized
+    parquet DIRECTORY served back as a lazy scan, never collected:
+
+    - hit: ``spark.read.parquet(path)`` — a fresh session's first
+      delta batch LOADS the standing index instead of re-paying the
+      full corpus build (tokenize + 64 minhashes, or the IVF
+      assignment);
+    - miss: ``build()``'s plan is written to a temp dir and atomically
+      renamed into place (concurrent builders race benignly — the key
+      guarantees both built identical bytes).
+
+    The write keeps the built plan's own partitioning; on a cluster
+    deployment the same artifact would be published as a bucketed
+    table (band_key / cell) so the delta probe join is partition-
+    pruned — the local parquet dir is the single-node rendering of
+    that layout.  Publish-time eviction keeps the newest
+    ``_FRAME_KEEP_DIGESTS`` digests per name so regenerated corpora
+    (new mtimes → new digests) can't grow the root unboundedly.
+
+    CONTRACT: ``source_df`` must be the RAW source table — the key
+    identifies the data by its input-file fingerprints and schema
+    (deliberately no plan hash: semanticHash bakes in session confs,
+    so it would never hit across sessions), so a DERIVED frame over
+    the same files (a filter/limit of the table) would collide with
+    the table itself.  Every corpus construction difference must live
+    in ``build``, whose bindings-closure fingerprint IS part of the
+    key.
+    """
+    from .caching import input_fingerprints
+
+    if not input_fingerprints(source_df):
+        # A fileless source (local relation) has no data identity the
+        # key can see — two distinct corpora would collide on one
+        # digest and the second would be served the first's index.
+        raise ValueError(
+            f"load_or_build_frame({name!r}): source_df has no input files; "
+            "standing frames require a file-backed source table"
+        )
+    path = os.path.join(
+        _artifact_root(spark), name, artifact_disk_key(name, source_df, build)
+    )
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        _write_frame(_invoke_frame_builder(build), path)
+    else:
+        try:  # refresh recency so publish-time eviction is LRU-ish
+            os.utime(path)
+        except OSError:
+            pass
+    return spark.read.parquet(path)
+
+
+def _invoke_frame_builder(build):
+    """Hit/miss seam for frame artifacts — the ``_invoke_trainer``
+    contract: tests patch THIS to prove a disk hit never rebuilds."""
+    return build()
+
+
+def _write_frame(df: DataFrame, path: str) -> None:
+    import shutil
+    import uuid
+
+    parent = os.path.dirname(path)
+    os.makedirs(parent, exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise
+    _evict_old_digests(parent, keep=_FRAME_KEEP_DIGESTS)
+
+
+def _evict_old_digests(parent: str, keep: int) -> None:
+    """Drop all but the ``keep`` most-recently-published digest dirs
+    under one frame-artifact name (publish order by dir mtime; the
+    just-renamed dir is always newest).  Leftover ``.tmp-*`` dirs from
+    a crashed writer are swept unconditionally."""
+    import shutil
+
+    try:
+        entries = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if os.path.isdir(os.path.join(parent, d))
+        ]
+    except OSError:
+        return
+    tmps = [p for p in entries if ".tmp-" in os.path.basename(p)]
+    published = sorted(
+        (p for p in entries if p not in tmps),
+        key=lambda p: os.path.getmtime(p),
+        reverse=True,
+    )
+    for p in tmps + published[keep:]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _read_rows(spark: SparkSession, path: str):
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         return None

@@ -65,17 +65,43 @@ from ..plans.queries import registered_query as _q
 _FRAME_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
 
 
-def _family_frame(name: str, t, build):
-    """Build-once, serve-per-session for the family's shared frames."""
-    spark = t["documents"].sparkSession
-    app_id, plan_hash, files = artifact_cache_key(spark, t["documents"])
+def _family_frame(name: str, t, build, *, disk: bool = False, source: str = "documents"):
+    """Build-once, serve-per-session for the family's shared frames.
+
+    ``disk=True`` marks a STANDING INDEX (r14 verdict #1): the frame
+    additionally lives as a parquet artifact on disk
+    (``artifacts.load_or_build_frame``, keyed by source-file
+    fingerprints + the builder's bindings-closure fingerprint), so a
+    FRESH session's first incremental-dedup batch LOADS the corpus
+    index instead of re-paying its build — fresh-session steady state
+    ≈ warm steady state.  Only the true standing indexes carry the
+    flag (the band index, the shingle verification sets, the embedding
+    assignment frame); full-scan intermediates (candidates, verified
+    pairs) remain in-session only — they are query OUTPUT mass, not
+    reusable state.
+    """
+    spark = t[source].sparkSession
+    app_id, plan_hash, files = artifact_cache_key(spark, t[source])
     # key[:2] is replace_plan_artifact's eviction scope — fold the
     # artifact name INTO the first element so a rewrite evicts only
     # THIS artifact for THIS plan, never a different corpus' frames.
     key = ((name, app_id), plan_hash, files)
     df = _FRAME_CACHE.get(key)
     if df is None:
-        df = persist_tracked(build())
+        # The disk key identifies the corpus by its input-file
+        # fingerprints — a FILELESS source (createDataFrame corpora in
+        # tests, views over literals) has none, so two distinct
+        # synthetic corpora would collide on one digest.  Those build
+        # in-session only (the plan-hash-keyed cache still separates
+        # them).
+        if disk and files:
+            from ..artifacts import load_or_build_frame
+
+            df = persist_tracked(
+                load_or_build_frame(spark, name, t[source], build)
+            )
+        else:
+            df = persist_tracked(build())
         replace_plan_artifact(_FRAME_CACHE, key, df)
     return df
 
@@ -512,6 +538,7 @@ def _minhash_shingles(t) -> DataFrame:
             .cast("array<int>")
             .alias("shingles"),
         ),
+        disk=True,
     )
 
 
@@ -718,7 +745,7 @@ def _delta_batch(spark, t):
     """
     sh = _minhash_shingles(t)
     bands = _family_frame(
-        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t))
+        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t)), disk=True
     )
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     delta_b = bands.filter(is_delta)
@@ -836,7 +863,7 @@ def _stream_incremental(spark, t):
 
     sh_all = _minhash_shingles(t)
     bands_all = _family_frame(
-        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t))
+        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t)), disk=True
     )
     root = tempfile.mkdtemp(prefix="graft_dedup_stream_")
     # Registered BEFORE any write: the state dirs must outlive the
@@ -1190,25 +1217,36 @@ def _cosine_vb(spark, t) -> DataFrame:
     payload (quantized once, before the persist barrier — the
     pipeline_prep explode/HOF lesson).  Three consumers read it (the
     occupancy count and both run-scan sides); the delta-batch query
-    treats it as the persisted index a new batch probes."""
+    treats it as the persisted index a new batch probes.
+
+    STANDING INDEX (r14 verdict #1): disk-backed via ``_family_frame
+    (disk=True)`` so a fresh session's delta batch loads the
+    assignment instead of re-running quantize+assign over the corpus;
+    the helpers are closed over (freevars) so their bodies fold into
+    the disk key — an assignment-recipe edit is a cache miss."""
     from .pairscan import micro_unit_col
     from .similarity import assign_to_centroids, ivf_quantizer
 
-    corpus = t["embeddings"].unionAll(
-        t["embeddings"]
-        .filter(F.col("vec_id") % 20 == 0)
-        .select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    def build() -> DataFrame:
+        corpus = t["embeddings"].unionAll(
+            t["embeddings"]
+            .filter(F.col("vec_id") % 20 == 0)
+            .select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            )
         )
-    )
-    vecs = corpus.select(
-        "vec_id", "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    )
-    return persist_tracked(
-        vecs.join(
+        vecs = corpus.select(
+            "vec_id",
+            "label",
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v"),
+        )
+        return vecs.join(
             assign_to_centroids(vecs, ivf_quantizer(spark, t)), "vec_id"
         ).select("vec_id", micro_unit_col("v").alias("uv"), "label", "cell")
-    )
+
+    return _family_frame("cosine_vb", t, build, disk=True, source="embeddings")
 
 
 def _embedding_oracle() -> str:
