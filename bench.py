@@ -102,8 +102,17 @@ FLAGSHIPS = ("cancellation_pipeline_now", "cancellation_pipeline_past")
 #: amortized one-time stream startup, so it OVERSTATES steady state).
 #: Pinned against the query's own constant below so a cycle-count
 #: change in the builder can't silently mislabel ``per_cycle_sec``.
-STREAMING_CYCLE_QUERIES = {"a3_stateful_two_cycle_poll": 2}
+STREAMING_CYCLE_QUERIES = {
+    "a3_stateful_two_cycle_poll": 2,
+    # r15: the incremental-dedup leg now runs REAL Structured Streaming
+    # (one availableNow query start + checkpoint recovery per batch),
+    # so its wall is dominated by the same fixed per-cycle machinery.
+    "dedup_stream_incremental": 2,
+}
 
+from transitdata_omm_cancellation_source_spark.operators.dedup_fuzzy import (  # noqa: E402
+    _STREAM_BATCHES,
+)
 from transitdata_omm_cancellation_source_spark.plans.lifecycle_queries import (  # noqa: E402
     TWO_CYCLE_POLL_CYCLES,
 )
@@ -111,6 +120,12 @@ from transitdata_omm_cancellation_source_spark.plans.lifecycle_queries import ( 
 assert STREAMING_CYCLE_QUERIES["a3_stateful_two_cycle_poll"] == TWO_CYCLE_POLL_CYCLES, (
     "bench per_cycle_sec divisor out of sync with the poll query's "
     f"cycle count ({TWO_CYCLE_POLL_CYCLES})"
+)
+assert (
+    STREAMING_CYCLE_QUERIES["dedup_stream_incremental"] == _STREAM_BATCHES
+), (
+    "bench per_cycle_sec divisor out of sync with the dedup stream's "
+    f"batch count ({_STREAM_BATCHES})"
 )
 
 #: The driver keeps only the last 2000 chars of bench output and parses

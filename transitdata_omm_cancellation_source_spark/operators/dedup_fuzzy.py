@@ -493,6 +493,27 @@ _BANDS_D = (
 )
 
 
+def _wh_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, wh ARRAY<INT>): THE tokenize+hash
+    recipe — single spelling shared by the standing corpus frame and
+    the streaming per-batch feature compute, so the two paths cannot
+    drift (values < HASH_MOD = 2^31 - 1, exact narrowing)."""
+    return docs.select(
+        "doc_id", X.word_hashes("text").cast("array<int>").alias("wh")
+    )
+
+
+def _shingles_of(wh_frame: DataFrame) -> DataFrame:
+    """(doc_id, wh) -> canonical sorted INT shingle sets — the single
+    shingle spelling (same sharing rationale as ``_wh_of``)."""
+    return wh_frame.select(
+        "doc_id",
+        F.array_sort(X.shingles_from_word_hashes("wh"))
+        .cast("array<int>")
+        .alias("shingles"),
+    )
+
+
 def _word_hash_frame(t) -> DataFrame:
     """Persisted per-doc word-hash arrays of the planted corpus — the
     ONE tokenize-and-hash pass the whole fuzzy-dedup family derives
@@ -508,9 +529,7 @@ def _word_hash_frame(t) -> DataFrame:
     return _family_frame(
         "word_hashes",
         t,
-        lambda: planted_corpus(t["documents"]).select(
-            "doc_id", X.word_hashes("text").cast("array<int>").alias("wh")
-        ),
+        lambda: _wh_of(planted_corpus(t["documents"])),
     )
 
 
@@ -532,12 +551,7 @@ def _minhash_shingles(t) -> DataFrame:
     return _family_frame(
         "shingle_sets",
         t,
-        lambda: _word_hash_frame(t).select(
-            "doc_id",
-            F.array_sort(X.shingles_from_word_hashes("wh"))
-            .cast("array<int>")
-            .alias("shingles"),
-        ),
+        lambda: _shingles_of(_word_hash_frame(t)),
         disk=True,
     )
 
@@ -833,18 +847,27 @@ def _stream_batch_col(col: str) -> F.Column:
     """,
 )
 def _stream_incremental(spark, t):
-    """Micro-batch streaming dedup with persistent index state (r14,
-    the streaming leg of the incremental family).
+    """Micro-batch streaming dedup with persistent index state — now a
+    REAL Structured Streaming pipeline (r15, closing the r14 verdict's
+    driver-loop residual): a parquet file source supplies the batches,
+    ``foreachBatch`` runs the incremental body, and consecutive
+    batches are drained by separate availableNow runs sharing one
+    checkpoint, so every inter-batch boundary is a checkpoint-recovered
+    query restart (see ``streaming/dedup_stream.py`` for the full
+    machinery, including the at-least-once idempotence layout the
+    redelivery test pins).
 
-    The loop below is the ``foreachBatch`` body of a readStream
-    pipeline — exactly the discipline the certified two-cycle poll
-    uses (``lifecycle_queries._build_two_cycle`` / SnapshotStore):
-    per micro-batch b,
+    EXECUTION CONTRACT: like the certified two-cycle poll
+    (``lifecycle_queries._build_two_cycle``), this builder EXECUTES
+    the streaming pipeline — the streaming run IS the query — and
+    returns a frame over its sink.  Per micro-batch b,
 
-    - shingle/band compute runs for batch b's NEW docs only;
-    - the batch's band+shingle frames are APPENDED to a disk-persisted
-      index (one immutable parquet dir per batch — the streaming-state
-      layout; a production pipeline would bucket these by band_key);
+    - shingle/band compute runs for batch b's NEW docs only (the same
+      ``_wh_of``/``_shingles_of``/``_band_keys_frame`` recipe the
+      standing corpus frames use — one spelling, no drift);
+    - the batch's band+shingle frames land in per-batch immutable
+      parquet state dirs (mode=overwrite keyed by the stream's own
+      batchId — idempotent under foreachBatch's at-least-once);
     - candidates = (new bands x state bands) ∪ (new self-join) — the
       pairs whose arrival this batch completes, each emitted exactly
       once across the stream (a pair's emission batch is the max of
@@ -857,85 +880,25 @@ def _stream_incremental(spark, t):
     DuckDB oracle, so the hash match certifies cross-batch exactness
     (no pair lost at a boundary, none emitted twice).
     """
-    import os
+    import atexit
     import shutil
     import tempfile
 
-    sh_all = _minhash_shingles(t)
-    bands_all = _family_frame(
-        "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t)), disk=True
-    )
-    root = tempfile.mkdtemp(prefix="graft_dedup_stream_")
-    # Registered BEFORE any write: the state dirs must outlive the
-    # (lazy) returned plan, so eager deletion is wrong, but a build
-    # that dies mid-loop must still get swept at session exit.
-    import atexit
+    from ..streaming.dedup_stream import run_band_stream
 
+    root = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    # Registered BEFORE any write: the sink dirs must outlive the
+    # (lazy) returned plan, so eager deletion is wrong, but a run that
+    # dies mid-stream must still get swept at session exit.
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    per_batch = []
-    inter = F.size(
-        F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
-    )
-    jac = inter / (
-        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
-    )
-    for b in range(1, _STREAM_BATCHES + 1):
-        new_pred = _stream_batch_col("doc_id") == b
-        sh_all.filter(new_pred).write.parquet(os.path.join(root, f"sh{b}"))
-        bands_all.filter(new_pred).write.parquet(os.path.join(root, f"bk{b}"))
-        new_b = spark.read.parquet(os.path.join(root, f"bk{b}"))
-        within = (
-            new_b.alias("x")
-            .join(
-                new_b.alias("y"),
-                (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
+    planted = planted_corpus(t["documents"])
+    batches = [
+        planted.filter(_stream_batch_col("doc_id") == b).select(
+            "doc_id", "text"
         )
-        if b > 1:
-            state_b = spark.read.parquet(
-                *[os.path.join(root, f"bk{i}") for i in range(1, b)]
-            )
-            cross = (
-                new_b.alias("n")
-                .join(
-                    state_b.alias("s"),
-                    F.col("n.band_key") == F.col("s.band_key"),
-                )
-                .select(
-                    F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias(
-                        "doc_a"
-                    ),
-                    F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias(
-                        "doc_b"
-                    ),
-                )
-            )
-            cand = within.unionAll(cross).distinct()
-        else:
-            cand = within.distinct()
-        seen_sh = spark.read.parquet(
-            *[os.path.join(root, f"sh{i}") for i in range(1, b + 1)]
-        )
-        per_batch.append(
-            cand.join(seen_sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-            .join(seen_sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-            .filter(jac >= _JACCARD_TAU)
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(jac, 6).alias("jaccard"),
-                F.lit(b).cast("int").alias("batch"),
-            )
-        )
-    out = per_batch[0]
-    for df in per_batch[1:]:
-        out = out.unionAll(df)
-    return out
+        for b in range(1, _STREAM_BATCHES + 1)
+    ]
+    return run_band_stream(spark, batches, root, _JACCARD_TAU)
 
 
 # --- edit-distance verification on the LSH candidates -----------------------

@@ -335,24 +335,27 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
 #: the tuple in the next round once CORRECTNESS_r{N}.json has their
 #: green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # (r13 tuple cleared per the contract: all six entries got green
-    # rows in CORRECTNESS_r13.)
-    # round-14 executed-plan / builder-path changes:
-    # the band-key kernel was extracted into _band_keys_frame (shared
-    # with the new delta-batch query's standing index) — the self-join
-    # plan should be identical, but certify the consumers of the
-    # touched build path:
+    # (r14 tuple cleared per the contract: all five entries got green
+    # rows in CORRECTNESS_r14.)
+    # round-15 executed-plan / builder-path changes:
+    # the standing indexes (shingle_sets, band_frame, cosine_vb) are
+    # now DISK-backed artifacts (_family_frame disk=True) — every
+    # consumer's executed plan can start from a parquet artifact scan
+    # instead of the in-session build subtree:
+    "dedup_delta_batch",
+    "dedup_delta_embedding",
+    "dedup_embedding_cosine",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "dedup_cluster_canonical",
-    # pagerank's builder gained the broadcast-budget guard, the
-    # memo-before-proxy skip and the try/finally scratch cleanup
-    # (below-budget plan unchanged, but certify the touched path):
-    "parts_copurchase_pagerank",
-    # r14: the Lloyd loop's corpus partitioning is occupancy-sized
-    # (values partition-independent by construction, but the executed
-    # plan changed):
-    "kmeans_lloyd_centroids",
+    # the shared tokenize/shingle recipe was factored into
+    # _wh_of/_shingles_of (word_hashes/simhash consumers ride the
+    # touched build path even though the plan is value-identical):
+    "dedup_simhash",
+    # full rewrite: the streaming leg now runs REAL Structured
+    # Streaming (file source + foreachBatch + checkpoint restarts):
+    "dedup_stream_incremental",
 )
 
 
