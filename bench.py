@@ -210,6 +210,74 @@ def gemm_bracket(start: float, end: float, floor: float = None) -> dict:
     }
 
 
+#: bounded healthy-window wait before each timed pass: the r14 round
+#: labeled every committed bench degraded but never dodged the steal —
+#: the probe now GATES the timed region (r14 verdict #3).  10 min per
+#: pass bounds the total wait; past it the pass runs anyway
+#: (annotated, never silently — driver runs must always produce a
+#: JSON line).
+GEMM_WAIT_MAX_SEC = 600.0
+GEMM_WAIT_INTERVAL_SEC = 15.0
+#: pass budget: 2 healthy passes wanted (per-query best-of), up to 4
+#: attempts — a pass whose closing probe collapsed mid-run is
+#: discarded and retried while budget remains.
+HEALTHY_PASSES_WANTED = 2
+MAX_PASSES = 4
+
+
+def wait_for_healthy_gemm(
+    probe=gemm_gflops,
+    sleep=time.sleep,
+    floor: float = None,
+    wait_max: float = GEMM_WAIT_MAX_SEC,
+    interval: float = GEMM_WAIT_INTERVAL_SEC,
+) -> dict:
+    """Wait (bounded) for delivered compute to clear the floor.
+
+    Steal storms on this box last minutes, not hours (r13/r14 logs),
+    so a short bounded wait usually finds a healthy window; if the
+    budget expires below the floor the caller proceeds anyway with
+    ``healthy: False`` recorded — the flag that says 'no healthy
+    window was on offer', the documented-negative branch of the
+    verdict's done-bar.
+    """
+    if floor is None:
+        floor = GEMM_FLOOR_GFLOPS
+    waited = 0.0
+    g = probe()
+    probes = [g]
+    while g < floor and waited < wait_max:
+        sleep(interval)
+        waited += interval
+        g = probe()
+        probes.append(g)
+    return {
+        "gflops": g,
+        "probes": len(probes),
+        "waited_sec": round(waited, 1),
+        "healthy": g >= floor,
+    }
+
+
+def select_passes(passes: list) -> tuple:
+    """Merge per-pass timings into per-query best-of, preferring
+    HEALTHY passes (both bracketing probes at/above floor).
+
+    ``passes`` is [(timings_dict, bracket_dict), ...].  Returns
+    (timings, degraded, used_count): when at least one pass is
+    healthy, only healthy passes contribute and ``degraded`` is False;
+    otherwise every pass contributes and ``degraded`` is True — the
+    numbers carry steal and say so.
+    """
+    healthy = [p for p in passes if not p[1]["degraded"]]
+    use = healthy or passes
+    timings: dict[str, float] = {}
+    for pass_timings, _ in use:
+        for name, t in pass_timings.items():
+            timings[name] = min(timings.get(name, t), t)
+    return timings, not healthy, len(use)
+
+
 def preflight_idle(
     read=read_load1,
     sleep=time.sleep,
@@ -243,7 +311,6 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
     preflight = preflight_idle()
-    gemm_start = gemm_gflops()
     spark = get_spark(app_name="transitdata-omm-bench")
 
     # Warm-up outside the timed region: parquet footers, then one full
@@ -259,26 +326,47 @@ def main() -> None:
     known = set(HEADLINE)
     workload = HEADLINE + [n for n in registry.queries() if n not in known]
     _materialize(specs["cancellation_pipeline_now"].build(spark, sf_dir))
-    # Two timed passes of the whole workload, per-query best-of: a
-    # single local[32] pass is exposed to one-off GC/scheduling spikes
+    # Timed passes of the whole workload, per-query best-of: a single
+    # local[32] pass is exposed to one-off GC/scheduling spikes
     # (observed 2-10x outliers on individual queries run-to-run); the
     # per-query minimum is the standard steady-state estimator.  The
     # cache is cleared between passes so each pass is an independent
     # full-workload run — intra-workload sharing (shingle sets, pair
     # frames) is rebuilt and paid inside every pass, never carried
     # across passes.
-    timings: dict[str, float] = {}
-    for pass_no in range(2):
+    #
+    # GATED ON THE GEMM PROBE (r14 verdict #3): each pass starts only
+    # after a bounded wait for delivered compute above the floor, and
+    # is bracketed by probes — a pass whose closing probe collapsed
+    # carried steal, so it is discarded and retried while the pass
+    # budget lasts; per-query best-of then merges HEALTHY passes only.
+    # If no healthy window was on offer inside the budget, every pass
+    # contributes and ``degraded: true`` says so.
+    passes: list = []
+    waits: list = []
+    pass_no = 0
+    while pass_no < MAX_PASSES:
+        healthy_done = sum(1 for _, br in passes if not br["degraded"])
+        if healthy_done >= HEALTHY_PASSES_WANTED:
+            break
+        if pass_no >= 2 and healthy_done == 0 and not waits[-1]["healthy"]:
+            break  # box never offered a window: 2 degraded passes recorded
+        wait = wait_for_healthy_gemm()
+        waits.append(wait)
+        gemm_start = wait["gflops"]
         if pass_no:
             release_tracked()  # deterministic release of tracked persists
             spark.catalog.clearCache()
+        pass_timings: dict[str, float] = {}
         for name in workload:
             if name not in specs:
                 continue
             t0 = time.perf_counter()
             _materialize(specs[name].build(spark, sf_dir))
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            pass_timings[name] = round(time.perf_counter() - t0, 3)
+        passes.append((pass_timings, gemm_bracket(gemm_start, gemm_gflops())))
+        pass_no += 1
+    timings, degraded, passes_used = select_passes(passes)
     # NOTE: persisted intermediates (shingle sets, norms) are shared
     # across the dedup family via Spark's cached-plan matching — kept
     # intentionally: the headline set is timed as one workload, and a
@@ -324,11 +412,32 @@ def main() -> None:
         "flagship_slo_ok": slowest_flagship <= FLAGSHIP_SLO_SEC,
         "preflight": preflight,
         # bracketing compute probes: loadavg can't see hypervisor
-        # steal; these can (gemm_bracket docstring).
-        "gemm_probe": gemm_bracket(gemm_start, gemm_gflops()),
+        # steal; these can (gemm_bracket docstring) — and since r15
+        # they GATE the timed region: ``degraded`` is False iff the
+        # reported timings come exclusively from passes whose both
+        # bracketing probes cleared the floor.
+        # compact form (the final line is byte-budgeted); per-pass
+        # brackets + wait details go to BENCH_FULL.json below.
+        "gemm_probe": {
+            "floor_gflops": GEMM_FLOOR_GFLOPS,
+            "degraded": degraded,
+            "passes_run": len(passes),
+            "passes_used": passes_used,
+            "min_used_gflops": min(
+                (
+                    min(br["start_gflops"], br["end_gflops"])
+                    for _, br in passes
+                    if not (degraded is False and br["degraded"])
+                ),
+                default=0.0,
+            ),
+        },
     }
     full = dict(summary)
     full["queries"] = dict(sorted(timings.items()))
+    full["gemm_probe"] = dict(
+        summary["gemm_probe"], brackets=[br for _, br in passes], waits=waits
+    )
     detail_line = json.dumps(full)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

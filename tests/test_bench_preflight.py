@@ -81,3 +81,70 @@ def test_gemm_bracket_default_floor_from_module():
 def test_real_gemm_probe_measures_positive_throughput():
     # tiny shape: this asserts the probe RUNS, not the box's health.
     assert bench.gemm_gflops(n=128, reps=1) > 0.0
+
+
+# --- r15: the probe GATES the timed region ----------------------------------
+
+
+def test_wait_for_healthy_gemm_immediate():
+    out = bench.wait_for_healthy_gemm(
+        probe=lambda: 400.0, sleep=lambda s: None, floor=150.0
+    )
+    assert out == {
+        "gflops": 400.0, "probes": 1, "waited_sec": 0.0, "healthy": True,
+    }
+
+
+def test_wait_for_healthy_gemm_waits_out_a_storm():
+    readings = iter([20.0, 35.0, 180.0])
+    slept = []
+    out = bench.wait_for_healthy_gemm(
+        probe=lambda: next(readings), sleep=slept.append, floor=150.0
+    )
+    assert out["healthy"] is True and out["gflops"] == 180.0
+    assert out["probes"] == 3 and slept == [15.0, 15.0]
+
+
+def test_wait_for_healthy_gemm_bounded_negative():
+    """Budget expires below the floor: proceed anyway, annotated —
+    driver runs must always produce a JSON line."""
+    out = bench.wait_for_healthy_gemm(
+        probe=lambda: 20.0, sleep=lambda s: None, floor=150.0,
+        wait_max=45.0, interval=15.0,
+    )
+    assert out["healthy"] is False
+    assert out["waited_sec"] == 45.0
+
+
+def _bracket(lo, hi, floor=150.0):
+    return bench.gemm_bracket(lo, hi, floor)
+
+
+def test_select_passes_prefers_healthy():
+    """A pass whose closing probe collapsed is excluded from the
+    best-of when any healthy pass exists — steal can only SLOW a
+    query, so a degraded pass's smaller timing would be a lie only in
+    the other direction; exclusion keeps the estimator clean."""
+    degraded_pass = ({"q1": 1.0, "q2": 9.9}, _bracket(400.0, 20.0))
+    healthy_pass = ({"q1": 2.0, "q2": 3.0}, _bracket(400.0, 380.0))
+    timings, degraded, used = bench.select_passes(
+        [degraded_pass, healthy_pass]
+    )
+    assert timings == {"q1": 2.0, "q2": 3.0}
+    assert degraded is False and used == 1
+
+
+def test_select_passes_merges_multiple_healthy():
+    a = ({"q1": 2.0, "q2": 3.0}, _bracket(400.0, 380.0))
+    b = ({"q1": 1.5, "q2": 3.5}, _bracket(300.0, 350.0))
+    timings, degraded, used = bench.select_passes([a, b])
+    assert timings == {"q1": 1.5, "q2": 3.0}
+    assert degraded is False and used == 2
+
+
+def test_select_passes_all_degraded_is_flagged():
+    a = ({"q1": 2.0}, _bracket(20.0, 30.0))
+    b = ({"q1": 1.8}, _bracket(25.0, 10.0))
+    timings, degraded, used = bench.select_passes([a, b])
+    assert timings == {"q1": 1.8}
+    assert degraded is True and used == 2

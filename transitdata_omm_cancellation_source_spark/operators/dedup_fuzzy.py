@@ -756,14 +756,33 @@ def _delta_batch(spark, t):
     touching the batch — the DuckDB oracle recomputes from scratch and
     restricts, so a hash match certifies the incremental path against
     the batch-recompute semantics.
+
+    The registry entry pins the mod-residue certification FIXTURE;
+    the public operator shape is ``delta_batch_pairs`` (r14 verdict
+    #7), which takes an arbitrary caller-supplied batch predicate.
     """
+    return delta_batch_pairs(
+        t, F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    )
+
+
+def delta_batch_pairs(t, batch_pred) -> DataFrame:
+    """Public incremental-dedup entry: deduplicate an arbitrary BATCH
+    — any boolean Column over the planted corpus' ``doc_id`` space —
+    against the standing corpus band index (``_delta_batch`` docstring
+    for the full plan shape and scale rationale).  Production callers
+    pass their real batch spec (an ingest-date equality, an id range,
+    a semi-join against a batch id table); the certification fixture
+    is just one such predicate.  Cost follows the batch: the corpus
+    side is the disk-persisted standing index (loaded, never rebuilt,
+    in a fresh session) and the candidate join's batch side stays
+    batch-sized."""
     sh = _minhash_shingles(t)
     bands = _family_frame(
         "band_frame", t, lambda: _band_keys_frame(_minhash_shingles(t)), disk=True
     )
-    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
-    delta_b = bands.filter(is_delta)
-    corpus_b = bands.filter(~is_delta)
+    delta_b = bands.filter(batch_pred)
+    corpus_b = bands.filter(~batch_pred)
     cross = (
         delta_b.alias("d")
         .join(
@@ -1357,13 +1376,28 @@ def _delta_embedding(spark, t):
     Oracle = the full-corpus cosine pair set restricted to pairs
     touching the batch — a from-scratch recompute certifying the
     incremental path's exactness (same pairs, same cosines).
+
+    The registry entry pins the mod-residue certification FIXTURE;
+    the public operator shape is ``delta_embedding_pairs`` (r14
+    verdict #7), which takes an arbitrary caller-supplied batch
+    predicate.
     """
+    return delta_embedding_pairs(
+        spark, t, F.col("vec_id") % _EDELTA_MOD == _EDELTA_REM
+    )
+
+
+def delta_embedding_pairs(spark, t, query_pred) -> DataFrame:
+    """Public incremental embedding-dedup entry: scan an arbitrary
+    BATCH — any boolean Column over ``vec_id`` — against the standing
+    IVF assignment frame via the bipartite delta kernel
+    (``_delta_embedding`` docstring for plan shape; cost follows
+    Σ occ·occ_batch, untouched blocks never read)."""
     from .pairscan import pair_scan
 
     vb = _cosine_vb(spark, t)
-    is_delta = F.col("vec_id") % _EDELTA_MOD == _EDELTA_REM
     scan = pair_scan(
-        vb, ["label", "cell"], _COSINE_TAU, mode="delta", query_pred=is_delta
+        vb, ["label", "cell"], _COSINE_TAU, mode="delta", query_pred=query_pred
     )
     return scan.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
