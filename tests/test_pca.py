@@ -253,3 +253,119 @@ def test_quantize_ceiling_still_fails_loud(spark):
     assert _pca.corpus_max_abs_u(spark, emb) > _pca._U_QUANTIZE_BOUND
     with _pytest.raises(ValueError, match="saturate"):
         _pca._pca_top_component(spark, {"embeddings": emb})
+
+
+def test_chain_matches_ferried_form(spark):
+    """The r15 lazy single-row chain (``pca_square_and_project``) must
+    produce the SAME DOUBLES as the r14 per-level collect/reship ferry
+    it replaced: both run the identical engine ops (left-associative
+    add chains, engine-side round(…/max, 12) rescale, round(…/nrm, 9)
+    normalize, round(lam, 6)), so the comparison is exact ``==``, not
+    approximate.  The reference below IS the retired r14 implementation
+    verbatim (posexplode + window max + ordered-fold tail)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from transitdata_omm_cancellation_source_spark.operators import pca as _pca
+
+    DIM = _pca.DIM
+    # deterministic symmetric fixture in the post-rescale range
+    # ([-1, 1], 12 decimal places) every squaring level inhabits
+    rng = random.Random(0x5EED)
+    mat0 = [[0.0] * DIM for _ in range(DIM)]
+    for j in range(DIM):
+        for k in range(j, DIM):
+            v = round(rng.uniform(-1.0, 1.0), 12)
+            mat0[j][k] = v
+            mat0[k][j] = v
+
+    F = _pca.F
+
+    def ferried(mat):
+        _fold_chain = "CAST(0.0 AS DOUBLE)" + "".join(
+            f" + av[{i}] * bv[{i}]" for i in range(DIM)
+        )
+        w_all = Window.partitionBy()
+
+        def _reshape(rows):
+            grid = {(r["j"], r["k"]): r[-1] for r in rows}
+            return [[grid[(j, k)] for k in range(DIM)] for j in range(DIM)]
+
+        cov_mat = mat
+        for _ in range(_pca.PCA_SQUARINGS):
+            one = spark.createDataFrame([(mat,)], "mat array<array<double>>")
+            d = one.select("mat", F.posexplode("mat").alias("j", "av")).select(
+                "j", "av", F.posexplode("mat").alias("k", "bv")
+            )
+            sq = d.select("j", "k", F.expr(_fold_chain).alias("raw"))
+            level = sq.select(
+                "j",
+                "k",
+                F.round(
+                    F.col("raw") / F.max(F.abs(F.col("raw"))).over(w_all), 12
+                ).alias("m"),
+            )
+            mat = _reshape(level.collect())
+        m = spark.createDataFrame(
+            [(j, k, mat[j][k]) for j in range(DIM) for k in range(DIM)],
+            "j int, k int, m double",
+        )
+        cov = spark.createDataFrame(
+            [(j, k, cov_mat[j][k]) for j in range(DIM) for k in range(DIM)],
+            "j int, k int, cov double",
+        )
+        y = m.groupBy("j").agg(
+            _pca._ordered_fold(
+                F.struct(
+                    F.col("k").alias("ord"),
+                    (F.col("m") * F.lit(_pca._X0)).alias("t"),
+                )
+            ).alias("y")
+        )
+        nrm = y.agg(
+            F.sqrt(
+                _pca._ordered_fold(
+                    F.struct(
+                        F.col("j").alias("ord"),
+                        (F.col("y") * F.col("y")).alias("t"),
+                    )
+                )
+            ).alias("nrm")
+        )
+        xf = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("j", F.round(F.col("y") / F.col("nrm"), 9).alias("x"))
+            .collect()
+        )
+        x_rows = sorted((r.j, r.x) for r in xf)
+        x_df = spark.createDataFrame(x_rows, "k int, xv double")
+        ray = (
+            cov.join(F.broadcast(x_df), "k")
+            .groupBy("j")
+            .agg(
+                _pca._ordered_fold(
+                    F.struct(
+                        F.col("k").alias("ord"),
+                        (F.col("cov") * F.col("xv")).alias("t"),
+                    )
+                ).alias("ry")
+            )
+        )
+        lam_val = ray.agg(
+            F.sqrt(
+                _pca._ordered_fold(
+                    F.struct(
+                        F.col("j").alias("ord"),
+                        (F.col("ry") * F.col("ry")).alias("t"),
+                    )
+                )
+            ).alias("lam")
+        ).collect()[0][0]
+        return x_rows, round(lam_val, 6)
+
+    ref_x, ref_lam = ferried(mat0)
+    got = _pca.pca_square_and_project(spark, mat0).collect()
+    got_x = sorted((r.dim, r.component) for r in got)
+    assert got_x == ref_x  # exact doubles, no tolerance
+    assert {r.eigenvalue for r in got} == {ref_lam}

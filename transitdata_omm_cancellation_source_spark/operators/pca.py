@@ -63,7 +63,6 @@ north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM
@@ -395,33 +394,36 @@ def _pca_top_component(spark, t):
             _COV.format(c="c", n=str(n_corpus), sj="sj", sk="sk")
         ).alias("cov"),
     ).collect()
-    # Repeated squaring on the bounded artifact — per level ONE
-    # single-partition job, no join, no broadcast, no shuffle: the
-    # matrix ships as a single-row nested-array literal, a double
-    # posexplode enumerates all (j, k) pairs carrying row j's array
-    # ``av`` and row k's array ``bv``, and the product is an EXPLICIT
-    # left-associative add chain — SQL ``+`` is left-associative, so
-    # ((0 + t0) + t1) + … is the same IEEE op sequence as the
-    # previous aggregate() fold and the oracle's list_reduce, but
-    # whole-stage codegen compiles it (the interpreted HOF form
-    # measured ~30 µs/element, 8 s per level; the chain runs in ms).
-    # The covariance (and hence every level — products commute, the
-    # fold order is fixed) is EXACTLY symmetric, so row k IS column k
-    # and the oracle's m[j,i]·m[i,k] operands are the same doubles as
-    # this form's M[j,i]·M[k,i]; the reshape below asserts the
-    # invariant.  The per-level rescale max rides the same plan as an
-    # unpartitioned window (max/abs select existing doubles, no new
-    # arithmetic); division + round(12) stay ENGINE-side.  The driver
-    # only RESHAPES already-rounded doubles between levels (list
-    # restructuring, zero float arithmetic) — the bounded ferry that
-    # cuts the self-join's doubling logical lineage (a fully chained
-    # plan measured 1.6 s -> 10 s of Catalyst analysis by level 6).
-    # Net: 11 s -> ~5 s at sf0.1 with identical output hashes.
-    _fold_chain = "CAST(0.0 AS DOUBLE)" + "".join(
-        f" + av[{i}] * bv[{i}]" for i in range(DIM)
-    )
-    w_all = Window.partitionBy()
-
+    # Repeated squaring on the bounded artifact — since r15 ONE LAZY
+    # single-row plan for the whole post-moment phase (squaring levels,
+    # final matvec, normalize, Rayleigh), replacing the per-level
+    # collect/reship ferry: the 64×64 matrix lives in ONE array<array>
+    # cell and each level is a nested-transform projection whose inner
+    # product is the same EXPLICIT left-associative add chain as before
+    # (SQL ``+`` is left-associative, so ((0 + t0) + t1) + … is the
+    # same IEEE op sequence as the oracle's list_reduce).  The level's
+    # rescale is array_max over |entries| — the same max aggregate
+    # value as the former unpartitioned window (max is order-
+    # independent); division + round(12) stay ENGINE-side, so every
+    # double is produced by the same engine ops as the ferried form
+    # (pinned by tests/test_pca.py::test_chain_matches_ferried_form).
+    # Levels chain as SEPARATE projections each consuming the previous
+    # level's column once (CollapseProject keeps multi-referenced
+    # non-cheap producers standing, so the expression tree grows
+    # LINEARLY in levels — the exponential-lineage blowup belonged to
+    # the old self-JOIN form, not to column chaining).  Net: the 6
+    # level jobs + 2 final collects (each a createDataFrame + ship +
+    # single-partition job, ~5 s of driver fixed cost at sf0.1) leave
+    # the build; the matrix math itself folds into the one downstream
+    # action.
+    #
+    # SYMMETRY (the row-as-column substitution the oracle needs): the
+    # initial covariance is exactly symmetric (mirrored upper triangle
+    # — asserted below), and every level preserves EXACT symmetry by
+    # construction: raw[j][k] = Σ_i m[j][i]·m[k][i] and raw[k][j]
+    # swap only the operands of each product (a·b ≡ b·a in IEEE), so
+    # the former per-level driver assert was redundant belt-and-braces
+    # and is retired with the ferry.
     def _reshape(rows) -> list[list[float]]:
         grid: dict[tuple[int, int], float] = {
             (r["j"], r["k"]): r[-1] for r in rows
@@ -431,83 +433,109 @@ def _pca_top_component(spark, t):
             for k in range(j + 1, DIM):
                 if mat[j][k] != mat[k][j]:
                     raise AssertionError(
-                        "PCA iterate lost exact symmetry — the row-as-"
+                        "PCA covariance lost exact symmetry — the row-as-"
                         "column substitution would diverge from the oracle"
                     )
         return mat
 
     mat = _reshape(cov_rows)
+    return pca_square_and_project(spark, mat)
+
+
+def _chain(terms) -> str:
+    """Explicit left-associative IEEE add chain: ((0 + t0) + t1) + …"""
+    return "CAST(0.0 AS DOUBLE)" + "".join(f" + {t}" for t in terms)
+
+
+def _sql_matrix_literal(mat: list[list[float]]) -> str:
+    """The bounded matrix as ONE SQL array<array<double>> literal.
+
+    ``repr(float)`` is the shortest round-tripping decimal and Spark's
+    string→double cast is correctly rounded (Double.parseDouble), so
+    every cell ships BIT-EXACTLY.  One ~120 KB expression parsed once
+    JVM-side: measured ~60 ms vs ~4.3 s for an F.lit nested list
+    (4096 py4j round-trips) and ~4.6 s for a createDataFrame +
+    coalesce(1) base (32 Python-RDD slices evaluated serially in one
+    task, each paying a Python-worker round-trip)."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+            + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def pca_square_and_project(spark, mat: list[list[float]]):
+    """Lazy single-row plan: PCA_SQUARINGS exact squaring levels, final
+    matvec against x0, normalization, Rayleigh eigenvalue — all from
+    one bounded matrix literal, no join/shuffle/collect.  Split out so
+    tests can pin it against the ferried reference form.
+
+    Each level (and each 64-fan scalar consumer below) ends in a LAZY
+    ``localCheckpoint``: without the barrier the optimizer inlines the
+    64-reference chains across projections and the expression tree
+    compounds ~64× per boundary — measured as a task-serialization
+    OOM at even one level.  The barrier is an RDD scan the optimizer
+    cannot see through, it truncates the tree at each boundary, and
+    being lazy it adds NO driver job: all levels still materialize
+    inside the one downstream action (values are untouched — the
+    checkpoint stores the already-computed doubles)."""
+    lit = _sql_matrix_literal(mat)
+    one = spark.range(0, 1, 1, 1).select(
+        F.expr(lit).alias("mat"), F.expr(lit).alias("cov")
+    )
+    prod_chain = _chain(f"av[{i}] * bv[{i}]" for i in range(DIM))
+    df = one
     for _ in range(PCA_SQUARINGS):
-        one = spark.createDataFrame([(mat,)], "mat array<array<double>>")
-        d = one.select("mat", F.posexplode("mat").alias("j", "av")).select(
-            "j", "av", F.posexplode("mat").alias("k", "bv")
+        df = df.select(
+            F.expr(
+                f"transform(mat, av -> transform(mat, bv -> {prod_chain}))"
+            ).alias("raw"),
+            "cov",
         )
-        sq = d.select("j", "k", F.expr(_fold_chain).alias("raw"))
-        level = sq.select(
-            "j",
-            "k",
-            F.round(
-                F.col("raw") / F.max(F.abs(F.col("raw"))).over(w_all), 12
-            ).alias("m"),
+        df = df.select(
+            "raw",
+            F.expr("array_max(transform(flatten(raw), v -> abs(v)))").alias(
+                "s"
+            ),
+            "cov",
         )
-        mat = _reshape(level.collect())
-    m = spark.createDataFrame(
-        [(j, k, mat[j][k]) for j in range(DIM) for k in range(DIM)],
-        "j int, k int, m double",
+        df = df.select(
+            F.expr(
+                "transform(raw, row -> transform(row, v -> round(v / s, 12)))"
+            ).alias("mat"),
+            "cov",
+        ).localCheckpoint(eager=False)
+    x0 = "CAST(0.125 AS DOUBLE)"  # _X0, exactly representable
+    y_chain = _chain(f"row[{k}] * {x0}" for k in range(DIM))
+    df = df.select(
+        F.expr(f"transform(mat, row -> {y_chain})").alias("y"), "cov"
+    ).localCheckpoint(eager=False)
+    df = df.select(
+        "y",
+        F.expr(f"sqrt({_chain(f'y[{j}] * y[{j}]' for j in range(DIM))})").alias(
+            "nrm"
+        ),
+        "cov",
     )
-    cov = spark.createDataFrame(
-        [(r["j"], r["k"], r["cov"]) for r in cov_rows],
-        "j int, k int, cov double",
+    df = df.select(
+        F.expr("transform(y, v -> round(v / nrm, 9))").alias("x"), "cov"
+    ).localCheckpoint(eager=False)
+    ray_chain = _chain(f"row[{k}] * x[{k}]" for k in range(DIM))
+    df = df.select(
+        "x", F.expr(f"transform(cov, row -> {ray_chain})").alias("ry")
+    ).localCheckpoint(eager=False)
+    df = df.select(
+        "x",
+        F.expr(
+            f"sqrt({_chain(f'ry[{j}] * ry[{j}]' for j in range(DIM))})"
+        ).alias("lam"),
     )
-    # final matvec against x0, normalize, then one Rayleigh matvec
-    # against the ORIGINAL covariance for the eigenvalue.
-    y = m.groupBy("j").agg(
-        _ordered_fold(
-            F.struct(
-                F.col("k").alias("ord"), (F.col("m") * F.lit(_X0)).alias("t")
-            )
-        ).alias("y")
-    )
-    nrm = y.agg(
-        F.sqrt(
-            _ordered_fold(
-                F.struct(
-                    F.col("j").alias("ord"),
-                    (F.col("y") * F.col("y")).alias("t"),
-                )
-            )
-        ).alias("nrm")
-    )
-    xf = (
-        y.crossJoin(F.broadcast(nrm))
-        .select("j", F.round(F.col("y") / F.col("nrm"), 9).alias("x"))
-        .collect()
-    )
-    x_rows = sorted((r.j, r.x) for r in xf)
-    x_df = spark.createDataFrame(x_rows, "k int, xv double")
-    ray = (
-        cov.join(F.broadcast(x_df), "k")
-        .groupBy("j")
-        .agg(
-            _ordered_fold(
-                F.struct(
-                    F.col("k").alias("ord"),
-                    (F.col("cov") * F.col("xv")).alias("t"),
-                )
-            ).alias("ry")
-        )
-    )
-    lam_val = ray.agg(
-        F.sqrt(
-            _ordered_fold(
-                F.struct(
-                    F.col("j").alias("ord"),
-                    (F.col("ry") * F.col("ry")).alias("t"),
-                )
-            )
-        ).alias("lam")
-    ).collect()[0][0]
-    out = spark.createDataFrame(x_rows, "dim int, component double")
-    return out.select(
-        "dim", "component", F.round(F.lit(lam_val), 6).alias("eigenvalue")
-    )
+    return df.select(
+        F.posexplode("x").alias("dim", "component"),
+        F.round(F.col("lam"), 6).alias("eigenvalue"),
+    ).select("dim", "component", "eigenvalue")
