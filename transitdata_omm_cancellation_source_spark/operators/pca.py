@@ -63,6 +63,7 @@ north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM
@@ -395,27 +396,17 @@ def _pca_top_component(spark, t):
         ).alias("cov"),
     ).collect()
     # Repeated squaring on the bounded artifact — since r15 ONE LAZY
-    # single-row plan for the whole post-moment phase (squaring levels,
-    # final matvec, normalize, Rayleigh), replacing the per-level
-    # collect/reship ferry: the 64×64 matrix lives in ONE array<array>
-    # cell and each level is a nested-transform projection whose inner
-    # product is the same EXPLICIT left-associative add chain as before
-    # (SQL ``+`` is left-associative, so ((0 + t0) + t1) + … is the
-    # same IEEE op sequence as the oracle's list_reduce).  The level's
-    # rescale is array_max over |entries| — the same max aggregate
-    # value as the former unpartitioned window (max is order-
-    # independent); division + round(12) stay ENGINE-side, so every
-    # double is produced by the same engine ops as the ferried form
-    # (pinned by tests/test_pca.py::test_chain_matches_ferried_form).
-    # Levels chain as SEPARATE projections each consuming the previous
-    # level's column once (CollapseProject keeps multi-referenced
-    # non-cheap producers standing, so the expression tree grows
-    # LINEARLY in levels — the exponential-lineage blowup belonged to
-    # the old self-JOIN form, not to column chaining).  Net: the 6
-    # level jobs + 2 final collects (each a createDataFrame + ship +
-    # single-partition job, ~5 s of driver fixed cost at sf0.1) leave
-    # the build; the matrix math itself folds into the one downstream
-    # action.
+    # plan for the whole post-moment phase (squaring levels, final
+    # matvec, normalize, Rayleigh), replacing the per-level
+    # collect/reship ferry: the 64×64 matrix ships once as a SQL
+    # array<array<double>> literal and ``pca_square_and_project``
+    # below runs every level engine-side with the same IEEE op
+    # sequence as the oracle's list_reduce (explicit left-associative
+    # add chains under whole-stage codegen; engine-side round).  Net:
+    # the 6 level jobs + 2 final collects (each a createDataFrame +
+    # ship + single-partition job, ~5 s of driver fixed cost at
+    # sf0.1) leave the build; the matrix math folds into the one
+    # downstream action (~2 s warm).
     #
     # SYMMETRY (the row-as-column substitution the oracle needs): the
     # initial covariance is exactly symmetric (mirrored upper triangle
@@ -470,51 +461,65 @@ def _sql_matrix_literal(mat: list[list[float]]) -> str:
 
 
 def pca_square_and_project(spark, mat: list[list[float]]):
-    """Lazy single-row plan: PCA_SQUARINGS exact squaring levels, final
-    matvec against x0, normalization, Rayleigh eigenvalue — all from
-    one bounded matrix literal, no join/shuffle/collect.  Split out so
-    tests can pin it against the ferried reference form.
+    """Lazy plan: PCA_SQUARINGS exact squaring levels, final matvec
+    against x0, normalization, Rayleigh eigenvalue — all from one
+    bounded matrix literal, no driver ferry.  Split out so tests can
+    pin it against the ferried reference form.
 
-    Each level (and each 64-fan scalar consumer below) ends in a LAZY
-    ``localCheckpoint``: without the barrier the optimizer inlines the
-    64-reference chains across projections and the expression tree
-    compounds ~64× per boundary — measured as a task-serialization
-    OOM at even one level.  The barrier is an RDD scan the optimizer
-    cannot see through, it truncates the tree at each boundary, and
-    being lazy it adds NO driver job: all levels still materialize
-    inside the one downstream action (values are untouched — the
-    checkpoint stores the already-computed doubles)."""
+    Per level the 4096 inner products run CODEGEN-side: a double
+    posexplode enumerates (j, av) × (k, bv) pairs and the explicit
+    left-associative add chain compiles under whole-stage codegen
+    (the all-HOF form — nested ``transform`` lambdas — is interpreted
+    expression eval with no codegen and measured ~0.7 s/level warm
+    plus multi-second HotSpot warm-up on the first two runs; this form
+    is ~2.0 s warm / 3.8 s cold for the whole 6-level phase).  The
+    per-level rescale max and round(…/s, 12) ride the same engine ops
+    as the ferried form (max over the same doubles via window; the
+    division/round inputs are identical doubles), so every produced
+    double is bit-identical — pinned by
+    tests/test_pca.py::test_chain_matches_ferried_form.  The level's
+    matrix is re-assembled into one array<array> row by two tiny
+    ordered aggregations (sort_array(collect_list(struct(…)))) — pure
+    restructuring of already-rounded doubles, no float arithmetic —
+    whose Aggregate nodes also act as the projection-collapse barriers
+    that keep the expression tree LINEAR in levels (the fully-inlined
+    chained form compounded ~64×/level into a task-serialization OOM;
+    the r14 ferry solved that with driver collects, this solves it
+    plan-side with zero extra driver jobs)."""
     lit = _sql_matrix_literal(mat)
-    one = spark.range(0, 1, 1, 1).select(
-        F.expr(lit).alias("mat"), F.expr(lit).alias("cov")
-    )
     prod_chain = _chain(f"av[{i}] * bv[{i}]" for i in range(DIM))
-    df = one
+    w_all = Window.partitionBy()
+    df = spark.range(0, 1, 1, 1).select(F.expr(lit).alias("mat"))
     for _ in range(PCA_SQUARINGS):
-        df = df.select(
-            F.expr(
-                f"transform(mat, av -> transform(mat, bv -> {prod_chain}))"
-            ).alias("raw"),
-            "cov",
+        d = df.select("mat", F.posexplode("mat").alias("j", "av")).select(
+            "j", "av", F.posexplode("mat").alias("k", "bv")
         )
-        df = df.select(
-            "raw",
-            F.expr("array_max(transform(flatten(raw), v -> abs(v)))").alias(
-                "s"
-            ),
-            "cov",
+        sq = d.select("j", "k", F.expr(prod_chain).alias("raw"))
+        lev = sq.select(
+            "j",
+            "k",
+            F.round(
+                F.col("raw") / F.max(F.abs(F.col("raw"))).over(w_all), 12
+            ).alias("m"),
         )
-        df = df.select(
-            F.expr(
-                "transform(raw, row -> transform(row, v -> round(v / s, 12)))"
-            ).alias("mat"),
-            "cov",
-        ).localCheckpoint(eager=False)
+        rows = (
+            lev.groupBy("j")
+            .agg(F.expr("sort_array(collect_list(struct(k, m)))").alias("kr"))
+            .select("j", F.expr("transform(kr, s -> s.m)").alias("row"))
+        )
+        df = rows.agg(
+            F.expr("sort_array(collect_list(struct(j, row)))").alias("jr")
+        ).select(F.expr("transform(jr, s -> s.row)").alias("mat"))
+    # Bounded tail (64-element transforms with 64-term chains — ~4k
+    # interpreted ops, negligible): matvec against x0, normalize, one
+    # Rayleigh matvec against the ORIGINAL covariance (re-attached as
+    # the same literal — it is a constant, no join needed).
     x0 = "CAST(0.125 AS DOUBLE)"  # _X0, exactly representable
     y_chain = _chain(f"row[{k}] * {x0}" for k in range(DIM))
     df = df.select(
-        F.expr(f"transform(mat, row -> {y_chain})").alias("y"), "cov"
-    ).localCheckpoint(eager=False)
+        F.expr(f"transform(mat, row -> {y_chain})").alias("y"),
+        F.expr(lit).alias("cov"),
+    )
     df = df.select(
         "y",
         F.expr(f"sqrt({_chain(f'y[{j}] * y[{j}]' for j in range(DIM))})").alias(
@@ -524,11 +529,11 @@ def pca_square_and_project(spark, mat: list[list[float]]):
     )
     df = df.select(
         F.expr("transform(y, v -> round(v / nrm, 9))").alias("x"), "cov"
-    ).localCheckpoint(eager=False)
+    )
     ray_chain = _chain(f"row[{k}] * x[{k}]" for k in range(DIM))
     df = df.select(
         "x", F.expr(f"transform(cov, row -> {ray_chain})").alias("ry")
-    ).localCheckpoint(eager=False)
+    )
     df = df.select(
         "x",
         F.expr(
