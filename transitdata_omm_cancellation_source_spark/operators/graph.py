@@ -416,9 +416,19 @@ def _pagerank(spark, t):
             half = spark.read.parquet(
                 *[os.path.join(scratch_root, f"pass{k}") for k in range(passes)]
             ).select("src", "dst", "w")
-        edges = half.unionAll(
-            half.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        # Mirror via one generator over HALF instead of a self-union:
+        # the union form re-derived the whole half subtree (fact scan,
+        # items distinct, self-join, pair groupBy) once per branch, and
+        # wu/e below consume ``edges`` twice more — 16 parquet scans /
+        # 36 exchanges in the pre-AQE e-plan.  ``inline`` emits both
+        # directions from ONE pass over half, so the expensive subtree
+        # appears exactly once per consumer (measured cold e-build at
+        # sf0.1: 5.8 s -> 2.75 s, rows and values identical — exact
+        # BIGINT counts are order-independent).
+        edges = half.select(
+            F.expr(
+                "inline(array(named_struct('src', src, 'dst', dst, 'w', w),"
+                " named_struct('src', dst, 'dst', src, 'w', w)))"
             )
         )
         wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
