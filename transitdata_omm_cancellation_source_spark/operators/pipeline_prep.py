@@ -664,35 +664,56 @@ def _span_prune(docs: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
         )
         .select("doc_id", "p.i", "p.gram")
     )
-    cov = (
+    # Per-doc covered-position SETS, then an array-side rebuild (r15;
+    # guide §2.3 "shuffle keys and metadata instead of payloads" / §8):
+    # the former rebuild posexploded EVERY word of the corpus and
+    # shuffled those word-string rows twice — once through the
+    # (doc_id, pos) anti-join against the covered positions, once
+    # through the per-doc groupBy that re-assembled the text.  Covered
+    # positions are a pure (BIGINT, INT) metadata stream; aggregating
+    # them to one sorted array per doc (collect_set folds the old
+    # ``distinct`` into the same exchange) and joining that DOC-LEVEL
+    # frame back to ``w`` moves only metadata through every shuffle —
+    # the word payload stays in its source row and the rebuild is an
+    # engine-native array program (array_except of the position range,
+    # then an index-map transform).  Values are identical by
+    # construction: array_except(sequence, covp) IS the anti-join's
+    # kept-position set in position order, and element_at maps it to
+    # the same words the collect_list/array_sort path re-assembled
+    # (pinned bit-exact vs the old form at sf0.01 on both consumers).
+    # Measured at sf0.1: boilerplate 3.0 -> 2.3 s, substring
+    # 3.6 -> 3.0 s warm; at corpus scale the removed term is
+    # O(total words) rows of ~50-byte strings through two exchanges.
+    covp = (
         trigger(grams)
         .select(
             "doc_id",
             F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("pos"),
         )
-        .distinct()
-    )
-    words = w.select("doc_id", F.posexplode("ws").alias("pos", "word"))
-    kept = (
-        words.join(cov, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(struct(pos, word))), x -> x.word))"
-            ).alias(out_col),
-            F.count("*").alias("n_kept"),
-        )
+        .agg(F.sort_array(F.collect_set("pos")).alias("covp"))
     )
-    n_removed = F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0))
-    return w.join(kept, "doc_id", "left").select(
+    joined = w.join(covp, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.expr(
+            "array_except("
+            " CASE WHEN size(ws) > 0 THEN sequence(0, size(ws) - 1)"
+            " ELSE CAST(array() AS array<int>) END,"
+            " coalesce(covp, CAST(array() AS array<int>)))"
+        ).alias("keptp"),
+    )
+    n_removed = F.size("ws") - F.size("keptp")
+    return joined.select(
         "doc_id",
         F.size("ws").cast("bigint").alias("n_words"),
         n_removed.cast("bigint").alias("n_removed"),
         F.round(n_removed.cast("double") / F.size("ws"), 6).alias(
             "removed_frac"
         ),
-        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.expr(
+            "concat_ws(' ', transform(keptp, p -> element_at(ws, p + 1)))"
+        ).alias(out_col),
     )
 
 
