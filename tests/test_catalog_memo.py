@@ -2,8 +2,9 @@
 
 The memo must be invisible semantically: same plans served per
 (session, sf_dir, fingerprints), a rewrite under the same path is a
-MISS, and temp views are re-registered on every call (callers/tests
-drop or shadow them).
+MISS, and temp views are re-registered whenever the key changes or
+a view was dropped (the r15 fast path skips only when nothing could
+have changed).
 """
 
 import shutil
@@ -60,3 +61,38 @@ def test_rewrite_under_same_path_is_a_miss(spark, tmp_path):
         k for k in catalog._TABLE_CACHE if k[:2] == (app_id, sf_dir)
     ]
     assert len(live) == 1
+
+
+def test_sf_switch_repoints_views(spark):
+    """The spark.sql-text builders read the temp views, so an sf_dir
+    switch MUST re-register them even though all views exist — the
+    r15 skip fast-path keys on (sf_dir, fingerprints), never on bare
+    view existence."""
+    load_tables(spark, SF)
+    n_small = spark.table("lineitem").count()
+    load_tables(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("lineitem").count()
+    assert n_big > n_small
+    load_tables(spark, SF)
+    assert spark.table("lineitem").count() == n_small
+
+
+def test_unchanged_key_skips_reregistration(spark):
+    """Same session + sf_dir + fingerprints with all views present:
+    the ~100 ms re-registration is skipped (the r15 fast path; ~13 s
+    of the 110-query bench)."""
+    load_tables(spark, SF)
+    calls = []
+    orig = catalog.DataFrame.createOrReplaceTempView
+    try:
+        catalog.DataFrame.createOrReplaceTempView = (
+            lambda self, name: calls.append(name) or orig(self, name)
+        )
+        load_tables(spark, SF)
+    finally:
+        catalog.DataFrame.createOrReplaceTempView = orig
+    assert calls == []
+    # ... but a drop re-registers (existence half of the check)
+    spark.catalog.dropTempView("nation")
+    load_tables(spark, SF)
+    assert spark.table("nation").count() > 0
