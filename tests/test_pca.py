@@ -369,3 +369,37 @@ def test_chain_matches_ferried_form(spark):
     got_x = sorted((r.dim, r.component) for r in got)
     assert got_x == ref_x  # exact doubles, no tolerance
     assert {r.eigenvalue for r in got} == {ref_lam}
+
+
+def test_moment_kernel_matches_sql_path(spark):
+    """The r15 Arrow/numpy moment kernel (fast path) must produce the
+    SAME exact integer moments as the SQL explode path it replaced.
+    The comparison is against the retained wide-product SQL path over
+    the same corpus — products there run in DECIMAL, so its sums are
+    the same exact integers the BIGINT fast path produced; equality
+    is exact (these are integers, no tolerance).  Coordinates are
+    chosen so chunking engages (|u| large enough that several chunk
+    folds happen) and signs/magnitudes vary."""
+    import random
+
+    from transitdata_omm_cancellation_source_spark.operators import pca as _pca
+
+    rng = random.Random(7)
+    n, dim = 257, _pca.DIM  # odd count: uneven partitions
+    rows = [
+        (
+            i,
+            [
+                rng.uniform(-2000.0, 2000.0) * (1 if i % 3 else -1)
+                for _ in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = _pca._moment_rows_kernel(spark, emb, 4)
+    slow = _pca._moment_rows(spark, emb, wide_products=True)
+    fast_map = {(r["j"], r["k"]): int(r["c"]) for r in fast}
+    slow_map = {(r["j"], r["k"]): int(r["c"]) for r in slow}
+    assert fast_map == slow_map
+    assert len(fast_map) == dim * (dim + 1) // 2 + dim

@@ -63,7 +63,6 @@ north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hyperplane import DIM
@@ -269,6 +268,8 @@ def _moment_rows(spark, emb, wide_products: bool):
     returning a silently-saturated moment.
     """
     par = spark.sparkContext.defaultParallelism
+    if not wide_products:
+        return _moment_rows_kernel(spark, emb, par)
     u = (
         emb.select(
             "vec_id",
@@ -311,6 +312,113 @@ def _moment_rows(spark, emb, wide_products: bool):
         )
         .groupBy("j", "k")
         .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("c"))
+    )
+    rows = mom.collect()
+    for r in rows:
+        if r["c"] is None:
+            raise ValueError(
+                "embedding_pca_top_component: a moment sum overflowed "
+                "DECIMAL(38,0) — corpus mass exceeds the exact-arithmetic "
+                "contract; rescale the corpus or lower the micro-unit scale"
+            )
+    return rows
+
+
+#: moment-sum magnitude past which the exact-arithmetic contract is
+#: broken (DECIMAL(38,0) capacity) — the kernel path fail-louds at the
+#: same boundary the SQL path's NULL-on-overflow check enforces.
+_MOMENT_CONTRACT_BOUND = 10**38
+
+
+def _moment_rows_kernel(spark, emb, par: int):
+    """Fast-path moment sums via an Arrow-batched numpy kernel
+    (guide §4.2: hand whole batches to vectorized native code).
+
+    The SQL fast path exploded 2144 structs per vector through an
+    interpreted ``transform`` lambda and aggregated ~2144·N slim rows
+    (~214M at sf0.1, measured 1.9-4.5 s); here each task quantizes its
+    batch once (``floor(x·1e6 + 0.5)`` on float64 — the identical
+    IEEE ops the engine expression ran, so the same int64 u values),
+    computes the Gram matrix Uᵀ·U and column sums in int64 numpy, and
+    folds chunks into arbitrary-precision Python ints, emitting ONE
+    set of 2144 partial rows per task.  Exactness is preserved at
+    every step: the int64 matmul cannot wrap because chunks are sized
+    so rows·max|u|² ≤ 2⁶³-1 (the matmul's accumulation IS the chunk
+    sum), the Python-int fold is exact at any magnitude, and the final
+    DECIMAL(38,0) sum over the ≤``par`` partials is the same exact
+    integer total the one-level SQL aggregation produced — certified
+    by the unchanged oracle and pinned against the SQL path by
+    tests/test_pca.py.  Only the raw float arrays cross the Python
+    boundary (shuffled as 4-byte floats, cast to double after the
+    exchange), and per-partition output is 2144 rows, so the shuffle
+    into the final aggregation is ~par·2144 slim rows instead of
+    ~2144·N.
+    """
+    dim = DIM
+    src = (
+        emb.select("vec_id", "embedding")
+        # scan-partition-starvation remedy (see assign_to_centroids):
+        # at low decades the corpus is a handful of scan splits.
+        .repartition(par, "vec_id")
+        .select(F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("x"))
+    )
+
+    def kernel(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        C = np.zeros((dim, dim), dtype=object)
+        S = np.zeros(dim, dtype=object)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["x"].to_numpy())
+            U = np.floor(X * float(_SCALE) + 0.5).astype(np.int64)
+            seen = True
+            mu = int(np.abs(U).max())
+            if mu == 0:
+                continue
+            step = max(1, (2**63 - 1) // (mu * mu))
+            for lo in range(0, U.shape[0], step):
+                chunk = U[lo : lo + step]
+                C += (chunk.T @ chunk).astype(object)
+                S += chunk.sum(axis=0, dtype=np.int64).astype(object)
+        if not seen:
+            return
+        js, ks, ps = [], [], []
+        for j in range(dim):
+            for k in range(j, dim):
+                v = int(C[j, k])
+                if abs(v) >= _MOMENT_CONTRACT_BOUND:
+                    raise ValueError(
+                        "embedding_pca_top_component: a moment sum "
+                        "overflowed DECIMAL(38,0) — corpus mass exceeds "
+                        "the exact-arithmetic contract; rescale the corpus "
+                        "or lower the micro-unit scale"
+                    )
+                js.append(j)
+                ks.append(k)
+                ps.append(Decimal(v))
+            sv = int(S[j])
+            if abs(sv) >= _MOMENT_CONTRACT_BOUND:
+                raise ValueError(
+                    "embedding_pca_top_component: a moment sum overflowed "
+                    "DECIMAL(38,0) — corpus mass exceeds the "
+                    "exact-arithmetic contract; rescale the corpus or "
+                    "lower the micro-unit scale"
+                )
+            js.append(j)
+            ks.append(-1)
+            ps.append(Decimal(sv))
+        yield pd.DataFrame({"j": js, "k": ks, "p": ps})
+
+    mom = (
+        src.mapInPandas(kernel, "j int, k int, p decimal(38,0)")
+        .groupBy("j", "k")
+        .agg(F.sum("p").alias("c"))
     )
     rows = mom.collect()
     for r in rows:
@@ -375,61 +483,40 @@ def _pca_top_component(spark, t):
         return spark.createDataFrame(
             [], "dim int, component double, eigenvalue double"
         )
-    # Mirror the upper triangle driver-side (pure copying — C_kj = C_jk
-    # by definition) and compose the covariance ENGINE-side on the
-    # bounded local relation; n is the session-cached exact corpus
-    # count, inlined as an integer literal (same double division as
-    # the previous BIGINT-column crossJoin form).
-    cov_in = spark.createDataFrame(
-        [
-            (j, k, c_ut[(j, k) if j <= k else (k, j)], s_vals[j], s_vals[k])
-            for j in range(DIM)
-            for k in range(DIM)
-        ],
-        "j int, k int, c decimal(38,0), sj decimal(38,0), sk decimal(38,0)",
-    )
-    cov_rows = cov_in.select(
-        "j",
-        "k",
-        F.expr(
-            _COV.format(c="c", n=str(n_corpus), sj="sj", sk="sk")
-        ).alias("cov"),
-    ).collect()
-    # Repeated squaring on the bounded artifact — since r15 ONE LAZY
-    # plan for the whole post-moment phase (squaring levels, final
-    # matvec, normalize, Rayleigh), replacing the per-level
-    # collect/reship ferry: the 64×64 matrix ships once as a SQL
-    # array<array<double>> literal and ``pca_square_and_project``
-    # below runs every level engine-side with the same IEEE op
-    # sequence as the oracle's list_reduce (explicit left-associative
-    # add chains under whole-stage codegen; engine-side round).  Net:
-    # the 6 level jobs + 2 final collects (each a createDataFrame +
-    # ship + single-partition job, ~5 s of driver fixed cost at
-    # sf0.1) leave the build; the matrix math folds into the one
-    # downstream action (~2 s warm).
-    #
-    # SYMMETRY (the row-as-column substitution the oracle needs): the
-    # initial covariance is exactly symmetric (mirrored upper triangle
-    # — asserted below), and every level preserves EXACT symmetry by
-    # construction: raw[j][k] = Σ_i m[j][i]·m[k][i] and raw[k][j]
-    # swap only the operands of each product (a·b ≡ b·a in IEEE), so
-    # the former per-level driver assert was redundant belt-and-braces
-    # and is retired with the ferry.
-    def _reshape(rows) -> list[list[float]]:
-        grid: dict[tuple[int, int], float] = {
-            (r["j"], r["k"]): r[-1] for r in rows
-        }
-        mat = [[grid[(j, k)] for k in range(DIM)] for j in range(DIM)]
-        for j in range(DIM):
-            for k in range(j + 1, DIM):
-                if mat[j][k] != mat[k][j]:
-                    raise AssertionError(
-                        "PCA covariance lost exact symmetry — the row-as-"
-                        "column substitution would diverge from the oracle"
-                    )
-        return mat
+    # Compose the covariance ENGINE-side directly over the collected
+    # exact integer moments, inlined as DECIMAL(38,0) literals in ONE
+    # single-row ``SELECT`` (no FROM — a local one-row relation): one
+    # ~0.5 MB parse + one local evaluation + a 1-row collect of the
+    # 2080 upper-triangle doubles, replacing the former
+    # createDataFrame of 4096 decimal rows + single-partition job +
+    # 4096-row collect (two py4j row ships).  The per-cell expression
+    # is the SAME ``_COV`` text over the same decimal values and the
+    # same inlined integer n, evaluated by the same engine — identical
+    # doubles to the previous createDataFrame-column form, certified
+    # by the unchanged oracle.  The mirror to the full matrix stays
+    # driver-side pure copying (C_kj = C_jk by definition), so exact
+    # symmetry holds by construction; every squaring level preserves
+    # it (raw[j][k] and raw[k][j] swap only product operands, a·b ≡
+    # b·a in IEEE).
+    def lit38(v) -> str:
+        return f"CAST('{v}' AS DECIMAL(38,0))"
 
-    mat = _reshape(cov_rows)
+    cells = ", ".join(
+        _COV.format(
+            c=lit38(c_ut[(j, k)]),
+            n=str(n_corpus),
+            sj=lit38(s_vals[j]),
+            sk=lit38(s_vals[k]),
+        )
+        + f" AS c_{j}_{k}"
+        for j in range(DIM)
+        for k in range(j, DIM)
+    )
+    ut = spark.sql(f"SELECT {cells}").first()
+    mat = [
+        [ut[f"c_{min(j, k)}_{max(j, k)}"] for k in range(DIM)]
+        for j in range(DIM)
+    ]
     return pca_square_and_project(spark, mat)
 
 
@@ -485,7 +572,17 @@ def pca_square_and_project(spark, mat: list[list[float]]):
     that keep the expression tree LINEAR in levels (the fully-inlined
     chained form compounded ~64×/level into a task-serialization OOM;
     the r14 ferry solved that with driver collects, this solves it
-    plan-side with zero extra driver jobs)."""
+    plan-side with zero extra driver jobs).
+
+    A rejected r15 variant is recorded here: folding this chain into
+    ONE ``spark.sql`` CTE text made the warm plan-BUILD no faster
+    (~1.3 s either way — analysis cost is dominated by the matrix
+    literal, paid identically once per op or once per text) and the
+    EXECUTION consistently ~0.6-0.8 s slower in a same-session
+    interleaved A/B, so the DataFrame chain stays.
+    """
+    from pyspark.sql import Window
+
     lit = _sql_matrix_literal(mat)
     prod_chain = _chain(f"av[{i}] * bv[{i}]" for i in range(DIM))
     w_all = Window.partitionBy()
