@@ -23,13 +23,17 @@ same micro-unit pattern as ``pq.py``:
 The co-purchase graph is symmetric by construction, so every node has
 out-edges and the dangling-mass term vanishes.
 
-Scale notes (100 TB): edge building is the order-key-bounded
-self-join ``lineitem_basket_pairs`` already certifies (fan-out
-bounded by parts-per-order, never a cartesian); each PageRank round
-shuffles the EDGE list once on src (join) and once on dst
-(aggregate) — the textbook distributed PageRank cost, linear in
+Scale notes (100 TB): edge building shuffles the fact ONCE — a
+per-order ``collect_set`` groupBy (bounded by parts-per-order) whose
+sorted array generates the a < b pairs pipelined under codegen
+(r15; replacing the distinct + order-key self-join, which cost two
+additional fact-sized exchanges for the same pair stream); each
+PageRank round shuffles the EDGE list once on src (join) and once on
+dst (aggregate) — the textbook distributed PageRank cost, linear in
 |E| per round with map-side combine on the dst sum.  Ranks stay a
-slim (node, BIGINT) table.  Join strategy is deliberately LEFT TO
+slim (node, BIGINT) table; the mirrored edge list makes
+{src} = {dst} = nodes structurally, so each round's dst aggregate IS
+the next rank table (no per-round node left join, r15).  Join strategy is deliberately LEFT TO
 AQE: forcing SHUFFLE_HASH on the slim sides (rank / wu / contrib) to
 skip the edge-side sorts was measured WORSE at both sf5 (58.4 ->
 63.7 s) and sf25 (241 -> 365 s cold) — the hint also forbids AQE's
@@ -48,11 +52,12 @@ its lineage-pinned shuffle files surviving under the persisted ``e``,
 and each superstep's edge-sized join shuffles accumulating until job
 end.  When the estimated pair fan-out bytes exceed the configured
 budget (``spark.graft.pagerank.scratchBudgetGb``), the build runs in
-K disjoint hash-range passes over the DST part key: pass k restricts
-the higher-keyed join side to ``l_partkey % K == k``, aggregates its
-(src, dst, w) half-edges EXACTLY (the unfiltered lower side still
-sees every co-occurrence of those pairs, and a pair's dst lives in
-exactly one range — no cross-pass re-aggregation needed), and writes
+K disjoint hash-range passes over the DST part key: pass k filters
+the streamed pair generator to ``dst % K == k`` BEFORE the groupBy
+exchange, aggregates its (src, dst, w) half-edges EXACTLY (every
+order's full pair list is regenerated per pass, and a pair's dst
+lives in exactly one range — no cross-pass re-aggregation needed),
+and writes
 the output-sized result to PARQUET so the pass's shuffle files become
 unreferenced and ContextCleaner frees them before pass k+1 (parquet,
 not localCheckpoint: at sf125 the ~1e9-row half-edge relation is ~10x
@@ -214,20 +219,31 @@ def _known_pass_count(spark, items):
     return None
 
 
-def _pagerank_pass_count(spark, items) -> int:
+def _pagerank_pass_count(spark, frame) -> int:
     """ceil(estimated pair-fan-out bytes / budget), the estimate ONE
-    cheap aggregate (per-order distinct-part counts are already the
-    items frame's grain), memoized per (input files, budget).  Returns
-    1 below the budget — the certified byte-identical plan."""
-    known = _known_pass_count(spark, items)
+    cheap aggregate, memoized per (input files, budget).  Accepts
+    either grain — the item-level (l_orderkey, l_partkey) frame
+    (countDistinct per order, so raw fact rows estimate the same as a
+    distinct'd frame) or the per-order ``ps`` array frame the r15
+    edge build aggregates first (size(ps) is the degree directly, and
+    running the estimate over the PERSISTED array frame fills the
+    cache the build's passes reuse).  Both spellings share one memo
+    key: the input fingerprints are the source parquet files, which
+    are identical for both frames.  Returns 1 below the budget — the
+    certified byte-identical plan."""
+    known = _known_pass_count(spark, frame)
     if known is not None:
         return known
-    memo_key = _pass_memo_key(spark, items)
+    memo_key = _pass_memo_key(spark, frame)
     budget_bytes = _scratch_budget_bytes(spark)
+    if "ps" in frame.columns:
+        degrees = frame.select(F.size("ps").alias("d"))
+    else:
+        degrees = frame.groupBy("l_orderkey").agg(
+            F.countDistinct("l_partkey").alias("d")
+        )
     pair_rows = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.expr("d * (d - 1) div 2")).cast("long"))
+        degrees.agg(F.sum(F.expr("d * (d - 1) div 2")).cast("long"))
         .first()[0]
         or 0
     )
@@ -251,21 +267,44 @@ def _pagerank_scratch_dir(spark, token: str) -> str:
     )
 
 
-def _half_edges(a, b):
-    """Aggregated a < b half of the co-purchase pair fan-out (the
-    symmetrize-after-agg build — see the in-function notes below)."""
-    return (
-        a.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+def _per_order_parts(items):
+    """One sorted distinct part array per order — the SINGLE shuffle
+    of the fact the r15 edge build keeps.  ``collect_set`` folds the
+    old separate ``.distinct()`` into the same exchange, so the
+    pre-r15 plan's three fact-sized stages (distinct shuffle,
+    order-key re-exchange, self-join) collapse to this one groupBy."""
+    return items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
+#: array-side a < b pair generator over the sorted per-order part
+#: array: for element i, pair it with every later element.  Emitted
+#: pipelined from the array scan (codegen streams the generated rows
+#: straight into the downstream filter/groupBy — the pair fan-out is
+#: never materialized), replacing the order-key self-join the r14 form
+#: paid a second fact exchange plus a sort-merge join for.
+_PAIR_GEN = (
+    "flatten(transform(ps, (x, i) ->"
+    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+    " y -> named_struct('src', x, 'dst', y))))"
+)
+
+
+def _half_pairs(po):
+    """(src, dst) half-pair rows (src < dst) from the per-order array
+    frame; grouping to (src, dst, w) is the caller's choice of
+    one-shot vs per-pass so scratch mode can filter BEFORE the
+    groupBy exchange."""
+    return po.select(F.explode(F.expr(_PAIR_GEN)).alias("p")).select(
+        "p.src", "p.dst"
+    )
+
+
+def _half_weights(pairs):
+    """Aggregated a < b half of the co-purchase edge list."""
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
     )
 
 
@@ -314,22 +353,23 @@ def _pagerank_oracle() -> str:
     _pagerank_oracle(),
 )
 def _pagerank(spark, t):
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    items = t["lineitem"].select("l_orderkey", "l_partkey")
+    po = _per_order_parts(items)
     # Opportunistic persist placement: the pass estimator's aggregate
-    # executes the items distinct, and the scratch passes need that
-    # same frame — when a no-shuffle proxy (parquet-metadata fact row
-    # count x bytes/pair, i.e. assuming >= 1 pair per fact row) says
-    # scratch mode is likely, persist BEFORE estimating so the
-    # estimate fills the cache the passes reuse instead of scanning
-    # the fact twice.  The proxy only places the persist: the REAL
-    # pass count still comes from the exact pair estimate, and a wrong
-    # proxy costs one persist (released below) or one extra scan,
-    # never correctness.  Below the proxy threshold nothing is
-    # persisted and the certified plan is untouched.  When the pass
-    # count is already KNOWN without a job (forced conf or a memo hit
-    # from an earlier build this session) the proxy never runs — the
-    # r13 ADVICE caught repeated bench passes paying the fact count
-    # the memo existed to avoid.
+    # executes the per-order array groupBy, and the scratch passes
+    # need that same frame — when a no-shuffle proxy (parquet-metadata
+    # fact row count x bytes/pair, i.e. assuming >= 1 pair per fact
+    # row) says scratch mode is likely, persist BEFORE estimating so
+    # the estimate fills the cache the passes reuse instead of
+    # shuffling the fact K times.  The proxy only places the persist:
+    # the REAL pass count still comes from the exact pair estimate,
+    # and a wrong proxy costs one persist (released below) or one
+    # extra scan, never correctness.  Below the proxy threshold
+    # nothing is persisted and the certified plan is untouched.  When
+    # the pass count is already KNOWN without a job (forced conf or a
+    # memo hit from an earlier build this session) the proxy never
+    # runs — the r13 ADVICE caught repeated bench passes paying the
+    # fact count the memo existed to avoid.
     known = _known_pass_count(spark, items)
     if known is not None:
         likely_scratch = known > 1
@@ -338,13 +378,15 @@ def _pagerank(spark, t):
             t["lineitem"].count() * _PR_SPILL_BYTES_PER_PAIR
             > _scratch_budget_bytes(spark)
         )
-    items_p = persist_tracked(items) if likely_scratch else None
-    if items_p is not None:
-        items = items_p
-    passes = _pagerank_pass_count(spark, items)
+    po_p = persist_tracked(po) if likely_scratch else None
+    if po_p is not None:
+        po = po_p
+    passes = (
+        known if known is not None else _pagerank_pass_count(spark, po)
+    )
     scratch = passes > 1
-    if items_p is not None and not scratch:
-        items_p.unpersist()  # the proxy overshot; restore idle state
+    if po_p is not None and not scratch:
+        po_p.unpersist()  # the proxy overshot; restore idle state
     # An exception mid-build (a pass write, a superstep) must not
     # leak tens of GB of pass parquet — the very disk pressure
     # scratch mode exists to relieve (r13 ADVICE): the finally
@@ -354,31 +396,38 @@ def _pagerank(spark, t):
     # point is the same.
     scratch_root = None
     try:
-        # Symmetrize-after-agg edge build (_half_edges): aggregate only the
-        # a < b half of the pair fan-out, then union the mirror — halves
-        # the rows through the self-join's groupBy (the co-purchase
-        # relation is symmetric by construction, so the mirror is exact).
-        # Measured jointly with the persist boundary at sf0.1 (r8):
-        # half-join 3.7 s vs full-join 5.4 s warm, value-identical — the r7
-        # rejection of this build was an artifact of the then-separate
-        # nodes distinct (see below).
+        # Symmetrize-after-agg edge build: aggregate only the a < b
+        # half of the pair fan-out, then mirror — halves the rows
+        # through the groupBy (the co-purchase relation is symmetric
+        # by construction, so the mirror is exact).  r15 form: the
+        # half pairs come from the per-order sorted part array
+        # (_per_order_parts + _half_pairs) instead of the order-key
+        # self-join — ONE exchange of the fact (the collect_set
+        # groupBy, which also absorbs the old separate distinct)
+        # instead of three fact-sized stages, with the pair fan-out
+        # generated pipelined under codegen.  Measured at sf0.1:
+        # value-identical, 6.6 -> 4.5 s warm on the full query.
         if not scratch:
-            half = _half_edges(items, items)
+            half = _half_weights(_half_pairs(po))
         else:
             # Bounded-scratch mode (module docstring): K disjoint
             # hash-range passes over the DST part key, each pass's
             # output-sized half-edge table written to PARQUET and its
             # shuffle scratch freed before the next pass.  EXACT per pass:
-            # the lower (a) side stays unfiltered, so pass k's groupBy
-            # sees EVERY co-occurrence of every pair whose dst is in range
-            # k, and a pair's dst lives in exactly one range — the union
-            # of passes is the one-shot half table row-for-row.  Parquet,
-            # NOT localCheckpoint: the first r13 sf125 attempt checkpointed
-            # the pass outputs and the joined edge table into the block
-            # store and the 32 g JVM heap-OOM'd — at this scale the edge
-            # relation (~1e9 half-edges from a 750M-row fact) is ~10x too
-            # big for executor storage memory, while compressed columnar
-            # files cost bounded heap and sequential I/O.
+            # every order's full pair list is regenerated and filtered to
+            # the pass's dst range, and a pair's dst lives in exactly one
+            # range — the union of passes is the one-shot half table
+            # row-for-row.  The r15 array-side generator makes the pass
+            # restriction CHEAPER than the old filtered self-join: the
+            # filter sits between the (streamed) pair generator and the
+            # groupBy exchange, so only pass k's pairs ever enter a
+            # shuffle.  Parquet, NOT localCheckpoint: the first r13 sf125
+            # attempt checkpointed the pass outputs and the joined edge
+            # table into the block store and the 32 g JVM heap-OOM'd — at
+            # this scale the edge relation (~1e9 half-edges from a
+            # 750M-row fact) is ~10x too big for executor storage memory,
+            # while compressed columnar files cost bounded heap and
+            # sequential I/O.
             import os
             import uuid
 
@@ -395,24 +444,22 @@ def _pagerank(spark, t):
                 },
             )
             scratch_root = _pagerank_scratch_dir(spark, uuid.uuid4().hex[:8])
-            # items persisted so each pass reads the distinct'd frame from
-            # cache instead of re-shuffling the fact scan K times (usually
+            # po persisted so each pass reads the per-order arrays from
+            # cache instead of re-shuffling the fact K times (usually
             # already persisted by the proxy above, in which case the
-            # estimator has materialized it); released as soon as the edge
-            # table is written.
-            if items_p is None:
-                items_p = persist_tracked(items)
+            # estimator has materialized it); released as soon as the
+            # edge table is written.
+            if po_p is None:
+                po_p = persist_tracked(po)
+            pairs = _half_pairs(po_p)
             for k in range(passes):
-                _half_edges(
-                    items_p,
-                    items_p.filter(
-                        F.pmod(F.col("l_partkey"), F.lit(passes)) == k
-                    ),
+                _half_weights(
+                    pairs.filter(F.pmod(F.col("dst"), F.lit(passes)) == k)
                 ).write.mode("overwrite").parquet(
                     os.path.join(scratch_root, f"pass{k}")
                 )
                 _release_pass_scratch(spark)
-            items_p.unpersist()
+            po_p.unpersist()
             half = spark.read.parquet(
                 *[os.path.join(scratch_root, f"pass{k}") for k in range(passes)]
             ).select("src", "dst", "w")
@@ -433,59 +480,66 @@ def _pagerank(spark, t):
         )
         wu = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wu"))
         if not scratch:
-            # Persisted: every superstep joins the SAME edge list and
-            # re-ranks the SAME node set — without the persist each
-            # round's plan re-derives the fact self-join from scratch
-            # (measured: 20 FileScans / zero ReusedExchange in the 3-round
-            # plan), which at corpus scale multiplies the dominant cost by
-            # the round count.  The persist boundary is deliberately the
-            # JOINED ``e`` table, not the raw edge list: additionally
-            # persisting ``half`` was measured ~30% slower warm (r8; and
-            # persisting the full ``edges`` 2.5x slower in r7) — columnar
-            # cache materialization of the multi-million-row table costs
-            # more than the codegen-pipelined recompute it saves.
+            # Persisted: every superstep joins the SAME edge list —
+            # without the persist each round's plan re-derives the edge
+            # build from scratch (measured: 20 FileScans / zero
+            # ReusedExchange in the 3-round plan), which at corpus scale
+            # multiplies the dominant cost by the round count.  The
+            # persist boundary is deliberately the JOINED ``e`` table,
+            # not the raw edge list: additionally persisting ``half``
+            # was measured ~30% slower warm (r8; and persisting the full
+            # ``edges`` 2.5x slower in r7) — columnar cache
+            # materialization of the multi-million-row table costs more
+            # than the codegen-pipelined recompute it saves.
             e = persist_tracked(edges.join(wu, "src"))
-            # Node set read FROM the persisted ``e``, not re-derived from
-            # the raw edge build (distinct over the cache instead of a
-            # third pass over the fact self-join — measured 1.2 s faster
-            # warm at sf0.1).
-            nodes = persist_tracked(
-                e.select(F.col("src").alias("node")).distinct()
-            )
         else:
             # The edge list stays a PLAN over the pass parquet; only the
             # NODE-SIZED relations materialize.  wu is one aggregation over
             # the parquet scan, checkpointed (truncating the build lineage
-            # so its shuffle files free before the supersteps); the node
-            # set is exactly wu's key set, so no separate distinct runs.
+            # so its shuffle files free before the supersteps).
             wu = wu.localCheckpoint(eager=True)
             _release_pass_scratch(spark)
             # Fail-loud broadcast budget check (r13 verdict #3): the
             # superstep hint below pins a node-sized broadcast; wu is
             # checkpointed, so its count is a cheap block-store scan.
             _guard_rank_broadcast(spark, wu.count())
-            nodes = wu.select(F.col("src").alias("node"))
-        rank = nodes.withColumn(
-            "rank_micro", F.lit(_INIT_MICRO).cast("bigint")
-        )
+        # NO separate node table and NO per-round left join (r15): the
+        # mirrored edge list makes {src} = {dst} = the node set
+        # STRUCTURALLY (every half edge emits both directions), so the
+        # per-round dst aggregate already produces exactly one row per
+        # node and the old ``nodes LEFT JOIN contrib`` (one broadcast
+        # join per round, plus the nodes distinct+persist) re-derived
+        # what the aggregate's key set already is.  Round 1's rank is
+        # the INIT constant on every node, so its rank join is a
+        # constant projection over the edge list.  Measured at sf0.1
+        # jointly with the array-side edge build: 6.6 -> 4.5 s warm,
+        # value-identical.
+        #
         # Micro-unit headroom guard: with ANSI mode off Spark silently
         # wraps BIGINT overflow while DuckDB raises, so at extreme node
         # counts the engines would diverge into wrong-but-plausible
         # output.  Fail loudly on the Spark side too before the product
         # can wrap (w >= 1 always).
-        contrib_expr = F.expr(
-            "CASE WHEN rank_micro > 9223372036854775807 div w"
+        guard_tpl = (
+            "CASE WHEN {r} > 9223372036854775807 div w"
             " THEN CAST(raise_error('pagerank overflow:"
             " rank_micro * w exceeds BIGINT headroom') AS BIGINT)"
-            " ELSE (rank_micro * w) div wu END"
-        ).alias("c")
+            " ELSE ({r} * w) div wu END"
+        )
+        rank = None
         for _ in range(PR_ROUNDS):
-            if not scratch:
+            if rank is None:
+                r_expr = F.expr(guard_tpl.format(r=_INIT_MICRO)).alias("c")
                 contrib = (
-                    e.join(rank, e["src"] == rank["node"])
-                    .select(F.col("dst"), contrib_expr)
-                    .groupBy("dst")
-                    .agg(F.sum("c").cast("bigint").alias("s"))
+                    (e if not scratch else edges.join(
+                        F.broadcast(wu), "src"
+                    ))
+                    .select(F.col("dst"), r_expr)
+                )
+            elif not scratch:
+                contrib = e.join(rank, e["src"] == rank["node"]).select(
+                    F.col("dst"),
+                    F.expr(guard_tpl.format(r="rank_micro")).alias("c"),
                 )
             else:
                 # Bounded-scratch superstep: the EDGE side never shuffles.
@@ -504,19 +558,20 @@ def _pagerank(spark, t):
                 nw = rank.join(wu, rank["node"] == wu["src"]).select(
                     "node", "rank_micro", "wu"
                 )
-                contrib = (
-                    edges.join(F.broadcast(nw), edges["src"] == nw["node"])
-                    .select(F.col("dst"), contrib_expr)
-                    .groupBy("dst")
-                    .agg(F.sum("c").cast("bigint").alias("s"))
+                contrib = edges.join(
+                    F.broadcast(nw), edges["src"] == nw["node"]
+                ).select(
+                    F.col("dst"),
+                    F.expr(guard_tpl.format(r="rank_micro")).alias("c"),
                 )
             rank = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                contrib.groupBy("dst")
+                .agg(F.sum("c").cast("bigint").alias("s"))
                 .select(
-                    "node",
+                    F.col("dst").alias("node"),
                     (
                         F.lit(_TELEPORT_MICRO)
-                        + F.expr(f"({_D_NUM} * COALESCE(s, 0)) div {_D_DEN}")
+                        + F.expr(f"({_D_NUM} * s) div {_D_DEN}")
                     ).cast("bigint").alias("rank_micro"),
                 )
             )
