@@ -594,11 +594,21 @@ def _build_band_candidates(t) -> DataFrame:
     )
 
 
-def _band_keys_frame(sh) -> DataFrame:
+def _band_keys_frame(sh, width: int | None = None) -> DataFrame:
     """(doc_id, band_key) rows — 16 per doc — from a shingle frame via
     the map-side Arrow kernel (no shuffle besides the repartition).
     Shared by the full self-join candidate build and the incremental
-    delta-batch query's standing index."""
+    delta-batch query's standing index.
+
+    ``width`` sizes the kernel repartition; the default
+    (defaultParallelism) fits the corpus-sized consumers, whose cache
+    partitioning can collapse to a handful of scan splits.  Callers
+    whose input is ALREADY scan-partitioned by bytes (the streaming
+    per-batch state reads) pass their input's partition count so a
+    small batch does not fan 32 near-empty Python tasks + state files
+    out of a one-split read — scan partitioning via
+    ``maxPartitionBytes`` is the scale-adaptive width (a large batch
+    file splits into proportionally more partitions)."""
     spark = sh.sparkSession
 
     def kernel(batches):
@@ -635,7 +645,7 @@ def _band_keys_frame(sh) -> DataFrame:
                 }
             )
 
-    par = spark.sparkContext.defaultParallelism
+    par = width or spark.sparkContext.defaultParallelism
     return sh.repartition(par, "doc_id").mapInPandas(
         kernel, "doc_id long, band_key long"
     )

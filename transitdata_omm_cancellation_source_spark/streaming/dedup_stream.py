@@ -108,7 +108,14 @@ def _on_batch(root: str, tau: float):
         # were nondeterministic.
         _shingles_of(_wh_of(batch_df)).write.mode("overwrite").parquet(sh_dir)
         new_sh = spark.read.parquet(sh_dir)
-        _band_keys_frame(new_sh).write.mode("overwrite").parquet(bk_dir)
+        # Kernel width = the state read's own scan partitioning (bytes
+        # -> splits via maxPartitionBytes), not defaultParallelism: a
+        # small batch stays a couple of tasks/state files instead of
+        # fanning 32 near-empty Python tasks, and a large batch file
+        # splits into proportionally more partitions on its own.
+        _band_keys_frame(
+            new_sh, width=max(1, new_sh.rdd.getNumPartitions())
+        ).write.mode("overwrite").parquet(bk_dir)
 
         new_b = spark.read.parquet(bk_dir)
         within = (
