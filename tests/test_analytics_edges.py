@@ -88,3 +88,58 @@ def test_upsert_merge_resolves_all_three_fates(spark):
     shift = 21 + 1  # max base key + 1, derived from the data
     assert i.min_key == 10 + shift and i.max_key == 20 + shift
     assert (k.n_rows, k.total_value, k.min_key, k.max_key) == (1, 70.0, 12, 12)
+
+
+def test_cube_two_level_matches_direct_cube_with_null_keys(spark):
+    """r15: lineitem_cube_revenue pre-aggregates by the two keys
+    before the CUBE (guide §2.3 — expand the tiny partial, not every
+    fact row).  Pin the rewrite against Spark's direct single-level
+    cube on a frame WITH a real NULL key, the case the testdata never
+    exercises: a natural NULL must survive level 1 as its own group
+    and keep GROUPING() = 0, distinct from the rolled-up rows."""
+    from pyspark.sql import functions as F
+
+    from transitdata_omm_cancellation_source_spark.operators.analytics import (
+        _cube,
+        _dec,
+    )
+
+    li = spark.createDataFrame(
+        [
+            ("A", "F", 10.0, 0.1),
+            ("A", "O", 20.0, 0.0),
+            (None, "F", 40.0, 0.25),
+            (None, None, 80.0, 0.5),
+            ("B", "F", 160.0, 0.0),
+        ],
+        "l_returnflag string, l_linestatus string,"
+        " l_extendedprice double, l_discount double",
+    )
+    got = sorted(map(tuple, _cube(spark, {"lineitem": li}).collect()))
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    direct = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "revenue",
+        )
+    )
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    # non-vacuous: the natural-NULL group and its rolled-up twin both
+    # exist and differ only in the grouping markers
+    null_rows = [r for r in got if r[0] == "ALL" and r[1] == "F"]
+    assert {(r[2], r[3]) for r in null_rows} == {(0, 0), (1, 0)}
