@@ -370,30 +370,48 @@ def _prep_oracle() -> str:
     _prep_oracle(),
 )
 def _prep_pipeline(spark, t):
-    # The full corpus-prep composition as ONE logical plan, so Catalyst
-    # fuses the per-row stages (quality ratios, language argmax,
-    # fingerprint) into a single scan-side projection: the only wide
-    # exchanges in the physical plan are the dedup groupBy and the
-    # final 3-row split aggregate.  Stage order mirrors production
+    # The full corpus-prep composition as ONE logical plan: the only
+    # wide exchanges in the physical plan are the dedup groupBy and
+    # the final 3-row split aggregate.  Stage order mirrors production
     # pipelines: cheap row-local gates first (shrink before shuffling),
     # content dedup before split assignment so survivors alone pay the
     # hash.  Splitting on the FINGERPRINT hash keeps near-identical
     # survivors consistent with corpus_hash_split's leakage guard.
+    #
+    # ONE tokenization per row (r15, guide §4.1 higher-order
+    # functions / §1.2 don't recompute): the old staged
+    # filter-then-project form collapsed under Catalyst into a single
+    # interpreted Filter that re-inlined the words() regex per
+    # reference — ~25 regexp_extract_all evaluations per document
+    # (HOF expressions run interpreted, where no common-subexpression
+    # elimination exists).  The whole quality+language gate is now one
+    # expression with the token array bound ONCE as a transform-lambda
+    # variable (`transform(array(words), w -> ...)[0]` is SQL's
+    # let-binding) and the en-hit count bound once inside it; the
+    # argmax == 'en' condition is the equivalent h_en > 0 AND every
+    # later language's hits <= h_en (strict-> forward scan semantics
+    # of lang_from_hits).  Same sub-expressions, same arithmetic —
+    # measured value-identical at sf0.1, 3.4-4.1 -> 0.8-1.2 s.
     corpus = planted_corpus(t["documents"])
-    nw = F.size(X.words("text"))
-    sw = X.stopword_ratio("text")
-    gated = corpus.filter(
-        (F.length("text") >= 100) & (nw > 0) & (sw >= 0.05)
+    stop_list = ", ".join("'" + w + "'" for w in X.STOPWORDS_EN)
+    ml = {
+        lang: ", ".join("'" + m + "'" for m in ms)
+        for lang, ms in X.LANG_MARKERS.items()
+    }
+    later_cmp = " AND ".join(
+        f"size(filter(w, x -> x IN ({ml[lang]}))) <= h"
+        for lang in X.LANG_MARKERS
+        if lang != "en"
     )
-    withw = gated.withColumn("__w", X.words("text"))
-    hits = withw.select(
-        "doc_id",
-        "text",
-        *[c.alias(f"__h_{lang}") for lang, c in X.lang_hit_counts("__w").items()],
+    gate = F.expr(
+        f"length(text) >= 100 AND transform(array({X.WORDS_S}), w ->"
+        " CASE WHEN size(w) > 0"
+        f" AND size(filter(w, x -> x IN ({stop_list}))) / size(w) >= 0.05"
+        f" THEN transform(array(size(filter(w, x -> x IN ({ml['en']})))),"
+        f" h -> h > 0 AND {later_cmp})[0]"
+        " ELSE false END)[0]"
     )
-    lang = hits.filter(
-        X.lang_from_hits({lang: f"__h_{lang}" for lang in X.LANG_MARKERS}) == "en"
-    )
+    lang = corpus.filter(gate)
     dedup = (
         lang.select(
             "doc_id",
