@@ -217,17 +217,19 @@ def test_standardize_broadcasts_only_dimension_stats(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_basket_pairs_joins_on_orderkey_with_take_ordered(spark):
-    """Pair generation must be keyed on l_orderkey (fan-out bounded by
-    per-order line count) and the global top-50 must go through
-    TakeOrderedAndProject, not a single-partition full sort."""
+def test_basket_pairs_generates_pairs_order_side_with_take_ordered(spark):
+    """r15: pair generation is the per-order collect_set groupBy plus
+    an array-side a < b generator (fan-out bounded by per-order line
+    count) — NO join of any kind remains in the plan (the old
+    order-key self-join cost two extra fact-sized exchanges), and the
+    global top-50 must go through TakeOrderedAndProject, not a
+    single-partition full sort."""
     plan = _plan(spark, "lineitem_basket_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    import re
-
-    assert re.search(r"Join \[l_orderkey#\d+L?\]", plan), plan[:2000]
+    assert "Join" not in plan  # pair stream is generated, not joined
+    assert "collect_set" in plan and "Generate" in plan
 
 
 def test_pq_broadcasts_codebook_but_not_lut(spark):

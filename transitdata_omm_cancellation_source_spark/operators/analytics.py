@@ -548,26 +548,23 @@ def _promo_share(spark, t):
     """,
 )
 def _basket_pairs(spark, t):
-    # Market-basket co-occurrence: the self-join is keyed on
-    # l_orderkey, so the pair fan-out per order is C(lines, 2) with
-    # lines <= 7 in this schema — bounded per key, never corpus x
-    # corpus; the shuffle is the distinct + one pair aggregation.
-    # Global top-50 goes through orderBy().limit() (TakeOrdered:
-    # per-partition heap + driver merge), and the rank window then
-    # touches only the 50 survivors, with (part_a, part_b) breaking
-    # count ties deterministically.
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        items.alias("a")
-        .join(
-            items.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+    # Market-basket co-occurrence via the pagerank edge-build shape
+    # (r15, guide §2.4 remove shuffles): one collect_set groupBy
+    # absorbs the old separate distinct into the single fact exchange,
+    # and the sorted per-order array generates the a < b pairs
+    # pipelined under codegen — replacing the distinct + order-key
+    # re-exchange + sort-merge self-join (two additional fact-sized
+    # exchanges for the same pair stream).  Pair fan-out per order is
+    # C(lines, 2) with lines <= 7 in this schema — bounded per key,
+    # never corpus x corpus.  Global top-50 goes through
+    # orderBy().limit() (TakeOrdered: per-partition heap + driver
+    # merge), and the rank window then touches only the 50 survivors,
+    # with (part_a, part_b) breaking count ties deterministically.
+    from .graph import _half_pairs, _per_order_parts
+
+    po = _per_order_parts(t["lineitem"].select("l_orderkey", "l_partkey"))
+    pairs = _half_pairs(po).select(
+        F.col("src").alias("part_a"), F.col("dst").alias("part_b")
     )
     counts = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).alias("n_orders")
