@@ -200,6 +200,27 @@ _HOT_SHINGLE_LIMIT = int(1 / _HOT_SHINGLE_MASS_FRACTION)
 _HOT_SAMPLE_MOD = 8
 
 
+#: memo for the hot-shingle set and the ngram pass count, keyed by the
+#: corpus' input-file fingerprints (+ the constants that parameterize
+#: each estimate) — the pagerank _PASS_MEMO discipline (r13): both are
+#: PERF choices (the hot set only shapes the candidate-generation
+#: order, the pass count only partitions the candidate space; exact
+#: verification makes results identical either way), so serving them
+#: from the memo on a repeated build skips three small driver jobs
+#: per build without any correctness surface.  Fileless (in-memory)
+#: corpora have no fingerprints and simply re-estimate.
+_ESTIMATE_MEMO: dict = {}
+
+
+def _estimate_memo_key(df: DataFrame, *extra):
+    from ..caching import input_fingerprints
+
+    fps = input_fingerprints(df)
+    if not fps:
+        return None
+    return (repr(fps), *extra)
+
+
 def _hot_shingles(sh: DataFrame) -> list[int]:
     """Heavy-hitter shingles, collected under an explicit driver bound.
 
@@ -222,6 +243,15 @@ def _hot_shingles(sh: DataFrame) -> list[int]:
     HOTTEST shingles and stay deterministic, never
     partition-order-dependent.
     """
+    memo_key = _estimate_memo_key(
+        sh,
+        "hot",
+        _HOT_SAMPLE_MOD,
+        _HOT_SHINGLE_MASS_FRACTION,
+        _HOT_SHINGLE_LIMIT,
+    )
+    if memo_key is not None and memo_key in _ESTIMATE_MEMO:
+        return _ESTIMATE_MEMO[memo_key]
     sample = sh.filter(F.col("doc_id") % _HOT_SAMPLE_MOD == 0)
     total_mass = sample.agg(F.sum(F.size("shingles"))).first()[0] or 0
     cap = max(1000 // _HOT_SAMPLE_MOD, int(total_mass * _HOT_SHINGLE_MASS_FRACTION))
@@ -238,6 +268,8 @@ def _hot_shingles(sh: DataFrame) -> list[int]:
         .collect()
     ]
     assert len(hot) <= _HOT_SHINGLE_LIMIT
+    if memo_key is not None:
+        _ESTIMATE_MEMO[memo_key] = hot
     return hot
 
 
@@ -441,6 +473,11 @@ def _ngram_pass_count(spark, sh: DataFrame) -> int:
     # floor at one byte so a sub-1e-9 GiB budget degrades to
     # max-passes, never a divide-by-zero.
     budget_bytes = max(1, int(budget_gb * 2**30))
+    memo_key = _estimate_memo_key(
+        sh, "ngram_passes", budget_bytes, _JACCARD_TAU
+    )
+    if memo_key is not None and memo_key in _ESTIMATE_MEMO:
+        return _ESTIMATE_MEMO[memo_key]
     prefix_rows = (
         sh.agg(
             F.sum(
@@ -454,7 +491,10 @@ def _ngram_pass_count(spark, sh: DataFrame) -> int:
         or 0
     )
     est = prefix_rows * _NGRAM_SPILL_BYTES_PER_PREFIX_ROW
-    return max(1, -(-int(est) // budget_bytes))
+    passes = max(1, -(-int(est) // budget_bytes))
+    if memo_key is not None:
+        _ESTIMATE_MEMO[memo_key] = passes
+    return passes
 
 
 def _release_pass_scratch(spark) -> None:
