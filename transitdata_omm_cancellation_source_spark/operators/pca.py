@@ -483,38 +483,48 @@ def _pca_top_component(spark, t):
         return spark.createDataFrame(
             [], "dim int, component double, eigenvalue double"
         )
-    # Compose the covariance ENGINE-side directly over the collected
-    # exact integer moments, inlined as DECIMAL(38,0) literals in ONE
-    # single-row ``SELECT`` (no FROM — a local one-row relation): one
-    # ~0.5 MB parse + one local evaluation + a 1-row collect of the
-    # 2080 upper-triangle doubles, replacing the former
-    # createDataFrame of 4096 decimal rows + single-partition job +
-    # 4096-row collect (two py4j row ships).  The per-cell expression
-    # is the SAME ``_COV`` text over the same decimal values and the
-    # same inlined integer n, evaluated by the same engine — identical
-    # doubles to the previous createDataFrame-column form, certified
-    # by the unchanged oracle.  The mirror to the full matrix stays
-    # driver-side pure copying (C_kj = C_jk by definition), so exact
-    # symmetry holds by construction; every squaring level preserves
-    # it (raw[j][k] and raw[k][j] swap only product operands, a·b ≡
-    # b·a in IEEE).
-    def lit38(v) -> str:
-        return f"CAST('{v}' AS DECIMAL(38,0))"
-
-    cells = ", ".join(
-        _COV.format(
-            c=lit38(c_ut[(j, k)]),
-            n=str(n_corpus),
-            sj=lit38(s_vals[j]),
-            sk=lit38(s_vals[k]),
+    # Covariance cells: the PRE-round arithmetic of ``_COV`` —
+    # round((C/n - (Sj/n)·(Sk/n)) / 1e12, 9) — is four IEEE double ops
+    # over correctly-rounded conversions, so the driver computes the
+    # pre-round doubles bit-exactly in Python (float(int)/float(Decimal)
+    # and Spark's Decimal→double cast are both round-to-nearest;
+    # /, *, - are IEEE-identical) and ships them as ONE compact
+    # array<double> literal (repr(float) round-trips exactly through
+    # CAST(.. AS DOUBLE), see ``_sql_matrix_literal``); ONLY the final
+    # ``round(x, 9)`` stays engine-side, because Spark's HALF_UP
+    # decimal-string round is the one op with no bit-pinned Python
+    # equivalent.  This replaced the 2080-cell no-FROM SELECT over
+    # DECIMAL(38,0) literals whose ~0.5 MB parse + constant-fold cost
+    # 1.5-1.7 s of driver time per build (r15; measured bit-identical
+    # on all 2080 cells at sf0.1, 1.5-1.7 → 0.15-0.27 s).  The r14
+    # history: before the literal SELECT this was a createDataFrame of
+    # 4096 decimal rows + a job + a 4096-row collect.  The mirror to
+    # the full matrix stays driver-side pure copying (C_kj = C_jk by
+    # definition), so exact symmetry holds by construction; every
+    # squaring level preserves it (raw[j][k] and raw[k][j] swap only
+    # product operands, a·b ≡ b·a in IEEE).
+    nf = float(n_corpus)
+    pre = [
+        (
+            float(c_ut[(j, k)]) / nf
+            - (float(s_vals[j]) / nf) * (float(s_vals[k]) / nf)
         )
-        + f" AS c_{j}_{k}"
+        / 1e12
         for j in range(DIM)
         for k in range(j, DIM)
+    ]
+    arr = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in pre) + ")"
+    ut = list(
+        spark.sql(f"SELECT transform({arr}, x -> round(x, 9)) AS r").first()["r"]
     )
-    ut = spark.sql(f"SELECT {cells}").first()
+    idx = {}
+    pos = 0
+    for j in range(DIM):
+        for k in range(j, DIM):
+            idx[(j, k)] = pos
+            pos += 1
     mat = [
-        [ut[f"c_{min(j, k)}_{max(j, k)}"] for k in range(DIM)]
+        [ut[idx[(min(j, k), max(j, k))]] for k in range(DIM)]
         for j in range(DIM)
     ]
     return pca_square_and_project(spark, mat)
