@@ -216,6 +216,19 @@ def dedup_cancellations(df: DataFrame) -> DataFrame:
     )
 
 
+#: (appId, base-views key, params) -> the built pipeline frame.  A
+#: DataFrame is an immutable lazy PLAN, so serving the same object is
+#: catalog-metadata reuse (the load_tables discipline): every action
+#: still computes from the parquet inputs.  Constructing the 11-join
+#: plan costs ~0.5-0.6 s of py4j/Catalyst work warm, and seven
+#: registry builds per bench pass consume this pipeline (both
+#: flagships, S6, E3, and the two-cycle poll twice).  The base-views
+#: key folds in the catalog's source fingerprints, so an sf_dir
+#: switch or source rewrite is a miss; params is a frozen dataclass
+#: (hashable, value-keyed).
+_PIPELINE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def cancellation_pipeline(
     spark: SparkSession, params: QueryParams | None = None
 ) -> DataFrame:
@@ -223,12 +236,34 @@ def cancellation_pipeline(
 
     Requires base testdata views (catalog.load_tables) to be registered;
     registers the derived OMM views itself.  Returns the deduplicated,
-    send-ready record set (the input to A3 diff / S6 sink).
+    send-ready record set (the input to A3 diff / S6 sink).  Memoized
+    per (session, base-views key, params) — see ``_PIPELINE_CACHE``.
     """
+    from ..catalog import views_key
+
     params = params or QueryParams()
-    register_omm_views(spark)
-    raw = raw_cancellations(spark, params)
-    return dedup_cancellations(decode_cancellations(raw)).drop("dc_last_modified")
+    key = (
+        spark.sparkContext.applicationId,
+        views_key(spark),
+        params,
+    )
+    df = _PIPELINE_CACHE.get(key)
+    if df is None:
+        register_omm_views(spark)
+        raw = raw_cancellations(spark, params)
+        df = dedup_cancellations(decode_cancellations(raw)).drop(
+            "dc_last_modified"
+        )
+        _PIPELINE_CACHE[key] = df
+        # bounded: one live entry per (session, params) — a re-pointed
+        # catalog supersedes the old plans
+        for stale in [
+            k
+            for k in _PIPELINE_CACHE
+            if (k[0], k[2]) == (key[0], key[2]) and k != key
+        ]:
+            del _PIPELINE_CACHE[stale]
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -143,8 +143,12 @@ def run_poll_cycle(
         counts = diff_counts(
             cur, prev, extra={"cancel_departure_combo": _f8_combo()}
         ).collect()[0].asDict()
-        messages = encode_messages(cur, value_format=value_format)
         if sink_dir is not None:
+            # encode plan built only when a sink consumes it — a
+            # sinkless cycle (the A3 counts query) otherwise paid
+            # ~50 ms of py4j plan construction per cycle for a frame
+            # nothing read (r15, guide §1.2).
+            messages = encode_messages(cur, value_format=value_format)
             _check_sink_schema(spark, sink_dir, messages)
             messages.write.mode("append").parquet(sink_dir)
         store.replace(cur)
