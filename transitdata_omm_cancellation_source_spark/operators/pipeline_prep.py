@@ -47,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import (
+    artifact_cache_key,
+    persist_tracked,
+    register_artifact_frame_cache,
+    replace_plan_artifact,
+)
 from ..functions import text as X
 from ..functions.corpus import CORPUS_SQL as _CORPUS_D
 from ..functions.corpus import planted_corpus
@@ -636,7 +641,46 @@ def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> s
     """
 
 
-def _span_prune(docs: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
+#: Session cache for the span-prune family's shared tokenize+hash frame
+#: (the dedup_fuzzy._FRAME_CACHE discipline applied to the RAW documents
+#: table); registered so release_tracked clears it with its data.
+_PREP_FRAME_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
+
+
+def _doc_words_frame(t) -> DataFrame:
+    """Persisted (doc_id, ws, wh) of the raw documents table — the ONE
+    tokenize-and-hash pass both span-prune queries derive from (r15;
+    guide §1.2 don't recompute, §2.3 shuffle/scan fewer bytes).
+
+    Before: each query derived the positional gram table TWICE (once
+    under the trigger aggregate, once as the join probe side) plus a
+    third words-only scan for the rebuild — 2x regex tokenize + 2x
+    per-word char folds + 1x regex per query, all interpreted HOF
+    expressions (the measured dominant term at sf0.1: ~1.2-1.5 s per
+    gram derivation).  Now the corpus text is tokenized and char-folded
+    exactly once per session and every consumer reads the persisted
+    arrays.  ``wh`` is stored ARRAY<INT> (values < HASH_MOD = 2^31 - 1,
+    exact narrowing — halves the cached bytes, the _word_hash_frame
+    discipline); gram-key folds re-widen via explicit CAST AS BIGINT,
+    so the 62-bit key arithmetic is unchanged."""
+    docs = t["documents"]
+    spark = docs.sparkSession
+    app_id, plan_hash, files = artifact_cache_key(spark, docs)
+    key = (("span_words", app_id), plan_hash, files)
+    df = _PREP_FRAME_CACHE.get(key)
+    if df is None:
+        df = persist_tracked(
+            docs.select(
+                "doc_id",
+                X.words("text").alias("ws"),
+                X.word_hashes("text").cast("array<int>").alias("wh"),
+            )
+        )
+        replace_plan_artifact(_PREP_FRAME_CACHE, key, df)
+    return df
+
+
+def _span_prune(dw: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
     """Shared span-prune builder skeleton (Spark mirror of
     ``_span_prune_oracle``).  ``trigger`` maps the positional gram-key
     table (doc_id, i, gram) to the COVERED occurrences (doc_id, i);
@@ -664,12 +708,15 @@ def _span_prune(docs: DataFrame, n: int, trigger, out_col: str) -> DataFrame:
     document length, the same bound every per-doc ``collect_list`` in
     the repo rides on.
     """
-    w = docs.select("doc_id", X.words("text").alias("ws"))
+    w = dw.select("doc_id", "ws")
+    # wh is ARRAY<INT> in the shared frame: widen each element before
+    # the fold multiplies (identical BIGINT arithmetic to the old
+    # ARRAY<BIGINT> form; an un-widened INT * 1000003 would wrap).
     gram_key = X.gram_key_terms(
-        lambda j: f"element_at(wh, i + {j + 1})", n
+        lambda j: f"CAST(element_at(wh, i + {j + 1}) AS BIGINT)", n
     )
     grams = (
-        docs.select("doc_id", X.word_hashes("text").alias("wh"))
+        dw.select("doc_id", "wh")
         .filter(F.size("wh") >= n)
         .select(
             "doc_id",
@@ -786,7 +833,7 @@ def _boilerplate_prune(spark, t):
         return grams.join(hot, "gram")
 
     return _span_prune(
-        t["documents"], _BOILER_N, hot_occurrences, "pruned_text"
+        _doc_words_frame(t), _BOILER_N, hot_occurrences, "pruned_text"
     )
 
 
@@ -850,5 +897,5 @@ def _substring_dedup(spark, t):
         )
 
     return _span_prune(
-        t["documents"], _SUBDUP_N, noncanonical_occurrences, "deduped_text"
+        _doc_words_frame(t), _SUBDUP_N, noncanonical_occurrences, "deduped_text"
     )
