@@ -15,6 +15,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import (
+    artifact_cache_key,
+    persist_tracked,
+    register_artifact_frame_cache,
+    replace_plan_artifact,
+)
+from . import text as X
+
+#: Session cache for the shared tokenize+hash frame over the RAW
+#: documents table (the dedup family's _FRAME_CACHE discipline);
+#: registered so release_tracked clears it with its data.
+_DOC_WORDS_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
+
+
+def doc_words_frame(t) -> DataFrame:
+    """Persisted (doc_id, ws, wh) of the raw documents table — the ONE
+    tokenize-and-hash pass shared by every text operator that consumes
+    the word stream of the raw corpus (r15; guide §1.2 don't recompute).
+
+    Before r15 each consumer re-ran the regex tokenize (and the
+    span-prune pair additionally re-ran the per-word char folds, twice
+    each) over the documents scan; now the corpus text is tokenized and
+    char-folded exactly once per session and every consumer reads the
+    persisted arrays (columnar cache prunes to the columns actually
+    read, so ws-only consumers never touch wh).  ``wh`` is stored
+    ARRAY<INT> (values < HASH_MOD = 2^31 - 1, exact narrowing — halves
+    the cached bytes); gram-key folds re-widen via explicit CAST AS
+    BIGINT so the 62-bit key arithmetic is unchanged."""
+    docs = t["documents"]
+    spark = docs.sparkSession
+    app_id, plan_hash, files = artifact_cache_key(spark, docs)
+    key = (("doc_words", app_id), plan_hash, files)
+    df = _DOC_WORDS_CACHE.get(key)
+    if df is None:
+        df = persist_tracked(
+            docs.select(
+                "doc_id",
+                X.words("text").alias("ws"),
+                X.word_hashes("text").cast("array<int>").alias("wh"),
+            )
+        )
+        replace_plan_artifact(_DOC_WORDS_CACHE, key, df)
+    return df
+
 
 #: planted sub-shingle-length document: 2 words < the k=3 shingle
 #: window, so every shingle/minhash path must take its empty-array

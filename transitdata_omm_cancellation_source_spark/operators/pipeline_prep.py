@@ -47,14 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import (
-    artifact_cache_key,
-    persist_tracked,
-    register_artifact_frame_cache,
-    replace_plan_artifact,
-)
+from ..caching import persist_tracked
 from ..functions import text as X
 from ..functions.corpus import CORPUS_SQL as _CORPUS_D
+from ..functions.corpus import doc_words_frame as _doc_words_frame
 from ..functions.corpus import planted_corpus
 from ..plans.queries import registered_query as _q
 
@@ -639,45 +635,6 @@ def _span_prune_oracle(n: int, trig_cte: str, cov_where: str, out_col: str) -> s
            COALESCE(kept.{out_col}, '') AS {out_col}
     FROM w LEFT JOIN kept ON kept.doc_id = w.doc_id
     """
-
-
-#: Session cache for the span-prune family's shared tokenize+hash frame
-#: (the dedup_fuzzy._FRAME_CACHE discipline applied to the RAW documents
-#: table); registered so release_tracked clears it with its data.
-_PREP_FRAME_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
-
-
-def _doc_words_frame(t) -> DataFrame:
-    """Persisted (doc_id, ws, wh) of the raw documents table — the ONE
-    tokenize-and-hash pass both span-prune queries derive from (r15;
-    guide §1.2 don't recompute, §2.3 shuffle/scan fewer bytes).
-
-    Before: each query derived the positional gram table TWICE (once
-    under the trigger aggregate, once as the join probe side) plus a
-    third words-only scan for the rebuild — 2x regex tokenize + 2x
-    per-word char folds + 1x regex per query, all interpreted HOF
-    expressions (the measured dominant term at sf0.1: ~1.2-1.5 s per
-    gram derivation).  Now the corpus text is tokenized and char-folded
-    exactly once per session and every consumer reads the persisted
-    arrays.  ``wh`` is stored ARRAY<INT> (values < HASH_MOD = 2^31 - 1,
-    exact narrowing — halves the cached bytes, the _word_hash_frame
-    discipline); gram-key folds re-widen via explicit CAST AS BIGINT,
-    so the 62-bit key arithmetic is unchanged."""
-    docs = t["documents"]
-    spark = docs.sparkSession
-    app_id, plan_hash, files = artifact_cache_key(spark, docs)
-    key = (("span_words", app_id), plan_hash, files)
-    df = _PREP_FRAME_CACHE.get(key)
-    if df is None:
-        df = persist_tracked(
-            docs.select(
-                "doc_id",
-                X.words("text").alias("ws"),
-                X.word_hashes("text").cast("array<int>").alias("wh"),
-            )
-        )
-        replace_plan_artifact(_PREP_FRAME_CACHE, key, df)
-    return df
 
 
 def _span_prune(dw: DataFrame, n: int, trigger, out_col: str) -> DataFrame:

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.corpus import doc_words_frame
 from ..plans.queries import registered_query as _q
 
 _WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
@@ -61,10 +62,12 @@ _TFIDF_K = 5
 _BM25_TOPN = 20
 
 
-def _postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) — the inverted-index build."""
+def _postings(dw: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — the inverted-index build over the shared
+    tokenized frame (functions.corpus.doc_words_frame: the corpus is
+    tokenized once per session, not once per retrieval query)."""
     return (
-        docs.select("doc_id", F.explode(X.words("text")).alias("term"))
+        dw.select("doc_id", F.explode("ws").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -97,10 +100,10 @@ def _postings(docs: DataFrame) -> DataFrame:
     """,
 )
 def _tfidf_topk(spark, t):
-    docs = t["documents"]
-    tf = _postings(docs)
+    dw = doc_words_frame(t)
+    tf = _postings(dw)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n = dw.agg(F.count(F.lit(1)).alias("n_docs"))
     # idf is quantized BEFORE the tf multiply so the ordering key is
     # built from bit-identical doubles on both engines (module docstring).
     idf = F.round(
@@ -181,11 +184,13 @@ def _bm25_oracle() -> str:
     """
 
 
-def _bm25_scored(docs: DataFrame) -> DataFrame:
+def _bm25_scored(dw: DataFrame) -> DataFrame:
     """(doc_id, _s): the full BM25-scored candidate set for the fixed
     query — shared by the ranked search and the RRF hybrid fusion so
-    the lexical leg can never drift between them."""
-    tf = _postings(docs).filter(F.col("term").isin(*_QUERY_TERMS))
+    the lexical leg can never drift between them.  Takes the shared
+    tokenized frame: the old form tokenized the corpus three times
+    (postings, avgdl, per-doc dl)."""
+    tf = _postings(dw).filter(F.col("term").isin(*_QUERY_TERMS))
     # Per-term tf pivoted into fixed columns so the 3-term score sum has
     # ONE evaluation order (a float sum over an unordered groupBy would
     # be partition-order-dependent).
@@ -195,9 +200,9 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
             for i, q in enumerate(_QUERY_TERMS)
         ]
     )
-    stats = docs.agg(
+    stats = dw.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(X.words("text")).cast("bigint")).alias("avgdl"),
+        F.avg(F.size("ws").cast("bigint")).alias("avgdl"),
     )
     idf = (
         tf.groupBy("term")
@@ -223,7 +228,7 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
             ]
         )
     )
-    dl = docs.select("doc_id", F.size(X.words("text")).cast("bigint").alias("dl"))
+    dl = dw.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
     scored = (
         qtf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -255,7 +260,7 @@ def _bm25(spark, t):
     # heap + driver merge of N rows, never a full single-partition sort of
     # every scored doc.  The row_number window then runs over only the
     # N surviving rows, so its single partition is bounded by _BM25_TOPN.
-    scored = _bm25_scored(t["documents"])
+    scored = _bm25_scored(doc_words_frame(t))
     topn = (
         scored.select(
             "doc_id", F.round("_s", 6).alias("bm25"), "_s"
@@ -295,7 +300,8 @@ def _keyword_search(spark, t):
     # shuffle, so the exchanged volume is the query's posting lists
     # only; the HAVING count == |terms| gives AND semantics.
     hits = (
-        docs.select("doc_id", F.explode(X.words("text")).alias("term"))
+        doc_words_frame(t)
+        .select("doc_id", F.explode("ws").alias("term"))
         .filter(F.col("term").isin(*_AND_TERMS))
         .distinct()
         .groupBy("doc_id")
@@ -391,7 +397,7 @@ def _hybrid_rrf(spark, t):
 
     docs = t["documents"]
     lex = (
-        _bm25_scored(docs)
+        _bm25_scored(doc_words_frame(t))
         .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
         .limit(_RRF_LEG_DEPTH)
         .withColumn(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.corpus import doc_words_frame
 from ..plans.queries import registered_query as _q
 
 
@@ -111,7 +112,7 @@ def _langid(spark, t):
     # tokenize once into a column, then the argmax chain touches only
     # cheap int hit-counts (the one-expression lang_id form re-runs the
     # regex ~15x per row through the when-chain duplication).
-    withw = t["documents"].withColumn("__w", X.words("text"))
+    withw = doc_words_frame(t).select("doc_id", F.col("ws").alias("__w"))
     hits = withw.select(
         "doc_id",
         *[c.alias(f"__h_{lang}") for lang, c in X.lang_hit_counts("__w").items()],
@@ -149,12 +150,14 @@ _POLY_D = (
     """,
 )
 def _fingerprint(spark, t):
-    return t["documents"].select(
+    # Shared tokenized frame: md5/polyhash run over array_join(ws, ' ')
+    # — the exact normalized text the old words("text") forms produced,
+    # with the regex tokenize paid once per session instead of twice
+    # per build here.
+    return doc_words_frame(t).select(
         "doc_id",
-        X.fingerprint_md5("text").alias("fp_md5"),
-        X.polyhash(X.NORM_TEXT_S).alias(
-            "fp_poly"
-        ),
+        F.md5(F.array_join("ws", " ")).alias("fp_md5"),
+        X.polyhash("array_join(ws, ' ')").alias("fp_poly"),
     )
 
 
@@ -211,9 +214,9 @@ def _repetition(spark, t):
     Gopher paper's 0.2-0.3 cutoffs assume natural prose) and sit at
     ~p75-p90, so the gate actually discriminates.
     """
-    docs = t["documents"].select(
-        "doc_id", X.words("text").alias("ws")
-    ).filter(F.size("ws") > 0)
+    docs = doc_words_frame(t).select("doc_id", "ws").filter(
+        F.size("ws") > 0
+    )
     # size >= 2 guard: Spark's sequence(0, size-2) DESCENDS for a
     # single-word doc ([0, -1] → null grams); DuckDB's range is empty.
     grams = docs.filter(F.size("ws") >= 2).select(
@@ -338,8 +341,8 @@ def _bigram_lm(spark, t):
     the oracle so the contract is explicit anyway).
     """
     w = (
-        t["documents"]
-        .select("doc_id", X.words("text").alias("ws"))
+        doc_words_frame(t)
+        .select("doc_id", "ws")
         .filter(F.size("ws") >= 2)
     )
     g = w.select(

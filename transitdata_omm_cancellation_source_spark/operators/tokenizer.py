@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.corpus import doc_words_frame
 from ..plans.queries import registered_query as _q
 
 _WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
@@ -86,8 +87,8 @@ def _bpe_pair_counts(spark, t):
     # word has no pairs; the >= 2 filter also keeps Spark's
     # sequence(1, 0) from generating a DESCENDING range.
     vocab = (
-        t["documents"]
-        .select(F.explode(X.words("text")).alias("word"))
+        doc_words_frame(t)
+        .select(F.explode("ws").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -165,7 +166,7 @@ _BIGRAMS_D = f"""
     """,
 )
 def _bigram_pmi(spark, t):
-    words = t["documents"].select(X.words("text").alias("__w"))
+    words = doc_words_frame(t).select(F.col("ws").alias("__w"))
     bigram_list = F.expr(
         "CASE WHEN size(__w) >= 2 THEN"
         " transform(sequence(1, size(__w) - 1),"
@@ -181,8 +182,8 @@ def _bigram_pmi(spark, t):
         .filter(F.col("pair_count") >= _PMI_MIN_COUNT)
     )
     uni = (
-        t["documents"]
-        .select(F.explode(X.words("text")).alias("word"))
+        doc_words_frame(t)
+        .select(F.explode("ws").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -248,7 +249,7 @@ def _word_freqitems(spark, t):
     # with a per-word ``in_sketch`` boolean the driver's value hash
     # covers; the oracle asserts TRUE.  CONTRACTUALLY EAGER: freqItems
     # materializes its one-row summary at build time.
-    tokens = t["documents"].select(F.explode(X.words("text")).alias("word"))
+    tokens = doc_words_frame(t).select(F.explode("ws").alias("word"))
     counts = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = F.broadcast(tokens.agg(F.count(F.lit(1)).cast("bigint").alias("total")))
     sketch_words = (
