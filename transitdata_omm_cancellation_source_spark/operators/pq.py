@@ -58,7 +58,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import artifact_cache_key, persist_tracked, replace_plan_artifact
+from ..caching import (
+    artifact_cache_key,
+    persist_tracked,
+    register_artifact_frame_cache,
+    replace_plan_artifact,
+)
 from ..functions.hyperplane import (
     full_bucket_expr_duck,
     pow2_grid_cte,
@@ -161,7 +166,12 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "sv")
 
 
-def _encode(vecs: DataFrame, cent: DataFrame, packed: bool = False) -> DataFrame:
+def _encode(
+    vecs: DataFrame,
+    cent: DataFrame,
+    packed: bool = False,
+    width: int | None = None,
+) -> DataFrame:
     """(vec_id, sub, code) — or (vec_id, codes array<int>) when
     ``packed`` — nearest-centroid argmin per subspace, at MATMUL SPEED
     with exact-integer semantics.  The packed shape is the same
@@ -245,7 +255,15 @@ def _encode(vecs: DataFrame, cent: DataFrame, packed: bool = False) -> DataFrame
                     }
                 )
 
+    # Occupancy-sized kernel width (the kmeans _KMEANS_TASK_ROWS
+    # discipline, r15): a small corpus stays a couple of Arrow tasks
+    # instead of fanning defaultParallelism near-empty Python workers
+    # (measured ~1.1 s of fixed fan-out for a 2000-row corpus at 32
+    # tasks), while a large corpus still spreads to full parallelism.
+    # Codes are per-row argmins — values identical at any width.
     par = spark.sparkContext.defaultParallelism
+    if width is not None:
+        par = max(1, min(par, width))
     schema = (
         "vec_id long, codes array<int>" if packed
         else "vec_id long, sub int, code int"
@@ -255,6 +273,42 @@ def _encode(vecs: DataFrame, cent: DataFrame, packed: bool = False) -> DataFrame
         .repartition(par, "vec_id")
         .mapInPandas(kernel, schema)
     )
+
+
+#: rows per encode-kernel task (the kmeans _KMEANS_TASK_ROWS value —
+#: one Arrow batch region big enough that numpy matmuls amortize the
+#: worker round-trip).
+_ENCODE_TASK_ROWS = 16384
+
+#: Session cache for the shared packed corpus-code assignment
+#: (registered so release_tracked clears it with its data — rebuilt
+#: inside every bench pass, never carried across runs).
+_PACKED_CODES_CACHE: dict[tuple, DataFrame] = register_artifact_frame_cache({})
+
+
+def _shared_packed_codes(spark, t, vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Persisted (vec_id, codes ARRAY<INT>) — THE corpus PQ assignment
+    against the shared codebook, built once per session for the four
+    PQ consumers (r15; guide §1.2 don't recompute).
+
+    Before: ``embedding_pq_codes``, ``_adc_scored`` (pq_adc +
+    pq_refine) and ``knn_ivfpq_adc`` each ran their own corpus encode —
+    identical kernel, identical codebook, ~1.1 s of fixed Arrow fan-out
+    + codebook collect per call at sf0.1.  The codes are per-row
+    argmins against a session-stable codebook, so one persisted frame
+    serves every consumer with values unchanged (the unpacked per-sub
+    shape is a posexplode away).  Keyed by the embeddings source
+    fingerprints (the _family_frame discipline); a fileless synthetic
+    corpus separates via the plan hash."""
+    app_id, plan_hash, files = artifact_cache_key(spark, t["embeddings"])
+    key = (("pq_packed_codes", app_id), plan_hash, files)
+    df = _PACKED_CODES_CACHE.get(key)
+    if df is None:
+        n = corpus_count(spark, t["embeddings"])
+        width = -(-n // _ENCODE_TASK_ROWS)  # ceil div
+        df = persist_tracked(_encode(vecs, cent, packed=True, width=width))
+        replace_plan_artifact(_PACKED_CODES_CACHE, key, df)
+    return df
 
 
 def _train_codebook(
@@ -495,7 +549,12 @@ def _pq_codes(spark, t):
     # determines the code vector — the oracle pins every assignment
     # without hashing arrays; code_sum is the cheap cross-check.
     vecs = _vectors(t)
-    codes = _encode(vecs, _shared_codebook(spark, vecs))
+    # unpacked per-sub rows derived from the shared packed assignment
+    # (posexplode of an array built in sub order = the same
+    # (vec_id, sub, code) rows the unpacked kernel emitted).
+    codes = _shared_packed_codes(
+        spark, t, vecs, _shared_codebook(spark, vecs)
+    ).select("vec_id", F.posexplode("codes").alias("sub", "code"))
     return codes.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sub"),
         F.sum("code").cast("bigint").alias("code_sum"),
@@ -595,7 +654,7 @@ def _adc_scored(
         "vec_id", scaled_bucket_expr_spark("v", nb).alias("cell")
     )
     corpus = (
-        _encode(vecs, cent, packed=True)
+        _shared_packed_codes(spark, t, vecs, cent)
         .join(bucketed, "vec_id")
         .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )
@@ -946,7 +1005,7 @@ def _knn_ivfpq(spark, t):
         corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
     )
     corpus = (
-        _encode(vecs, cent, packed=True)
+        _shared_packed_codes(spark, t, vecs, cent)
         .join(cells, "vec_id")
         .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )
