@@ -148,3 +148,88 @@ def test_select_passes_all_degraded_is_flagged():
     timings, degraded, used = bench.select_passes([a, b])
     assert timings == {"q1": 1.8}
     assert degraded is True and used == 2
+
+
+# ---------------------------------------------------------------------------
+# r16: final-line byte budget (headline set must ALWAYS fit) and the
+# release-contract registries the bench summary reports against.
+# ---------------------------------------------------------------------------
+
+
+def test_headline_set_always_fits_tail_budget():
+    """The r15 failure mode: the final JSON line silently shed two
+    HEADLINE queries when the budget ran out.  The budget math must
+    hold even when every headline query is slow (extra digit) and the
+    scalar fields take their widest plausible values."""
+    import json
+
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 125.0,
+        "queries": {
+            n: 99.99
+            for n in dict.fromkeys([*bench.FLAGSHIPS, *bench.HEADLINE])
+        },
+        "queries_timed": 110,
+        "full_detail": "BENCH_FULL_c32.json",
+        "batch_total": 99999.999,
+        "flagship_slo_ok": False,
+        "disk_artifacts_served": [
+            "band_frame",
+            "cosine_vb",
+            "embedding_ivf_assign",
+            "shingle_sets",
+        ],
+        "degraded": True,
+    }
+    line = bench._compact(summary)
+    assert len(line) <= bench.TAIL_BUDGET
+    # and the budget itself respects the measured driver hard limit
+    # (2000 chars INCLUDING the trailing newline).
+    assert bench.TAIL_BUDGET + 1 <= 2000
+    assert json.loads(line)["queries"]  # round-trips
+
+
+def test_value_memo_registry_survives_release_and_clears_explicitly():
+    from transitdata_omm_cancellation_source_spark import caching
+
+    memo = caching.register_value_memo({})
+    try:
+        memo["k"] = 42
+        caching.release_tracked()
+        assert memo == {"k": 42}, "value memos must survive release_tracked"
+        caching.clear_value_memos()
+        assert memo == {}
+    finally:
+        # remove by IDENTITY: list.remove compares by ==, and two empty
+        # dicts are equal — it would silently drop a production memo.
+        caching._VALUE_MEMOS[:] = [
+            c for c in caching._VALUE_MEMOS if c is not memo
+        ]
+
+
+def test_known_value_memos_are_registered():
+    """The documented exclusion list (r15 verdict #4): every known
+    survive-release value memo is registered so clear_value_memos()
+    actually reaches it."""
+    from transitdata_omm_cancellation_source_spark import caching
+    from transitdata_omm_cancellation_source_spark.operators import (
+        dedup_fuzzy,
+        graph,
+        pca,
+        pq,
+        similarity,
+    )
+
+    registered = [id(c) for c in caching._VALUE_MEMOS]
+    for memo in (
+        dedup_fuzzy._ESTIMATE_MEMO,
+        graph._PASS_MEMO,
+        pca._MAXU_CACHE,
+        pq._CODEBOOK_CACHE,
+        similarity._COUNT_CACHE,
+        similarity._CENTROID_ARTIFACT_CACHE,
+    ):
+        assert id(memo) in registered

@@ -59,6 +59,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 ARTIFACT_DIR_CONF = "spark.graft.artifacts.dir"
 
+#: In-process log of artifact serve events, appended by
+#: ``load_or_train`` / ``load_or_build_frame``: one dict per serve,
+#: ``{"name": <artifact>, "served": "disk" | "built"}``.  Exists so a
+#: measurement harness can report WHICH standing artifacts its timed
+#: region loaded from the disk tier versus built (r15 verdict #4: the
+#: disk-tier boundary must stay machine-readably visible — a warm
+#: ``graft_artifacts`` dir means batch dedup walls exclude the corpus
+#: index build).  bench.py drains it per pass into
+#: ``disk_artifacts_served``; it is bounded by (artifacts x passes) per
+#: process, and harnesses may clear it between runs.
+SERVE_EVENTS: list[dict] = []
+
 #: bump to invalidate every on-disk artifact after a format or
 #: training-semantics change.  (v2: the trainer fingerprint grew the
 #: referenced-bindings closure — every key legitimately changes.)
@@ -220,6 +232,7 @@ def load_or_train(
     )
     rows = _read_rows(spark, path)
     trained = rows is None
+    SERVE_EVENTS.append({"name": name, "served": "built" if trained else "disk"})
     if trained:
         rows = _invoke_trainer(train).collect()
     rows = sorted(rows, key=lambda r: tuple(r[c] for c in key_cols))
@@ -298,8 +311,10 @@ def load_or_build_frame(
         _artifact_root(spark), name, artifact_disk_key(name, source_df, build)
     )
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        SERVE_EVENTS.append({"name": name, "served": "built"})
         _write_frame(_invoke_frame_builder(build), path)
     else:
+        SERVE_EVENTS.append({"name": name, "served": "disk"})
         try:  # refresh recency so publish-time eviction is LRU-ish
             os.utime(path)
         except OSError:

@@ -39,6 +39,48 @@ def register_artifact_frame_cache(cache: dict) -> dict:
     return cache
 
 
+#: Bounded VALUE memos that deliberately SURVIVE ``release_tracked``
+#: — the documented exclusion list (r15 verdict #4).  Two classes live
+#: here, and ONLY these two:
+#:
+#: - trained artifacts: bounded local relations / scalars whose
+#:   recompute is deterministic and whose production shape is
+#:   train-once/serve-many (the PQ codebook, the IVF quantizer +
+#:   corpus count, PCA's max|u| guard aggregate);
+#: - derived PLAN PARAMETERS: perf-only knobs estimated from the
+#:   corpus (the ngram hot-shingle order and pass counts, pagerank's
+#:   pass count) — results are exact regardless of their value, they
+#:   only shape candidate order / scratch partitioning.
+#:
+#: Both classes hold plain values or ≤4096-row local relations keyed
+#: by ``artifact_cache_key``-style content fingerprints — never
+#: persisted DataFrames (those belong in a registered frame cache so
+#: release_tracked can unpersist their data).  ``release_tracked``
+#: clears FRAMES (executor memory); these memos hold no executor
+#: memory, so a workload boundary keeps them, exactly like the disk
+#: artifact tier.  ``clear_value_memos`` is the cold-path hook for
+#: benches/tests that want a truly-from-scratch build.
+_VALUE_MEMOS: list[dict] = []
+
+
+def register_value_memo(cache: dict) -> dict:
+    """Register a bounded value memo under the survive-release contract
+    above; returns the dict for inline module-level use."""
+    _VALUE_MEMOS.append(cache)
+    return cache
+
+
+def clear_value_memos() -> int:
+    """Drop every registered value memo (trained artifacts + derived
+    plan parameters) — the explicit cold-start hook; returns the
+    number of entries dropped."""
+    n = 0
+    for cache in _VALUE_MEMOS:
+        n += len(cache)
+        cache.clear()
+    return n
+
+
 def persist_tracked(df: DataFrame) -> DataFrame:
     """persist() + record the frame for a later bulk release."""
     _TRACKED.append(df.persist())

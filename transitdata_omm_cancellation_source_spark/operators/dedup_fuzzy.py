@@ -47,6 +47,7 @@ from ..caching import (  # noqa: E402
     artifact_cache_key,
     persist_tracked,
     register_artifact_frame_cache,
+    register_value_memo,
     replace_plan_artifact,
 )
 from ..functions import text as X  # noqa: E402
@@ -208,8 +209,10 @@ _HOT_SAMPLE_MOD = 8
 #: verification makes results identical either way), so serving them
 #: from the memo on a repeated build skips three small driver jobs
 #: per build without any correctness surface.  Fileless (in-memory)
-#: corpora have no fingerprints and simply re-estimate.
-_ESTIMATE_MEMO: dict = {}
+#: corpora have no fingerprints and simply re-estimate.  Registered
+#: under the ``caching.register_value_memo`` survive-release contract
+#: (r16): it holds derived plan parameters, not executor memory.
+_ESTIMATE_MEMO: dict = register_value_memo({})
 
 
 def _estimate_memo_key(df: DataFrame, *extra):

@@ -82,6 +82,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
+from ..caching import register_value_memo as _register_value_memo
 from ..plans.queries import registered_query as _q
 
 #: fixed power-iteration rounds and damping (85/100 as integers).
@@ -161,7 +162,7 @@ def _guard_rank_broadcast(spark, n_nodes: int) -> None:
 #: the cost a repeated bench pass or a multi-query session should not
 #: re-pay; the fingerprint key means a REGENERATED fact table still
 #: re-estimates.
-_PASS_MEMO: dict = {}
+_PASS_MEMO: dict = _register_value_memo({})
 
 
 def _forced_passes(spark) -> int:

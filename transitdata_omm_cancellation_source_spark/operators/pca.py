@@ -65,6 +65,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..caching import register_value_memo as _register_value_memo
 from ..functions.hyperplane import DIM
 from ..observability import get_json_logger
 from ..plans.queries import registered_query as _q
@@ -211,7 +212,7 @@ _U_QUANTIZE_BOUND = 2**63 - 2**12
 
 #: cached per-(session, corpus-plan) max|u| — one cheap aggregate,
 #: the corpus_count caching discipline (similarity._COUNT_CACHE).
-_MAXU_CACHE: dict[tuple, int] = {}
+_MAXU_CACHE: dict[tuple, int] = _register_value_memo({})
 
 
 def corpus_max_abs_u(spark, emb) -> int:

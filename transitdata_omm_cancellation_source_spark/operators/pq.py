@@ -64,6 +64,7 @@ from ..caching import (
     register_artifact_frame_cache,
     replace_plan_artifact,
 )
+from ..caching import register_value_memo as _register_value_memo
 from ..functions.hyperplane import (
     full_bucket_expr_duck,
     pow2_grid_cte,
@@ -405,7 +406,7 @@ def _train_codebook(
 #: memory — the thing ``release_tracked`` exists to free), the same way
 #: a production ANN system trains a codebook once per corpus and ships
 #: it, never retraining per query batch.
-_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
+_CODEBOOK_CACHE: dict[tuple, DataFrame] = _register_value_memo({})
 
 
 def _shared_codebook(spark, vecs: DataFrame) -> DataFrame:

@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import artifact_cache_key, persist_tracked, replace_plan_artifact
+from ..caching import (
+    artifact_cache_key,
+    persist_tracked,
+    replace_plan_artifact,
+)
+from ..caching import register_value_memo as _register_value_memo
 from ..functions.hyperplane import (  # registry-free shared primitives
     DIM,
     DOT_D as _DOT_D,
@@ -70,7 +75,7 @@ IVF_MAX_BITS = 12
 #: other session artifacts: the coarse-quantizer width is a function of
 #: ONE cheap metadata-driven count per (session, corpus), not one per
 #: query build.
-_COUNT_CACHE: dict[tuple, int] = {}
+_COUNT_CACHE: dict[tuple, int] = _register_value_memo({})
 
 #: Trained coarse-quantizer artifact cache, keyed by (applicationId,
 #: corpus plan) — the same session-artifact discipline as the PQ
@@ -79,7 +84,7 @@ _COUNT_CACHE: dict[tuple, int] = {}
 #: consumers start from a literal local relation instead of embedding
 #: the training fold subtree in every plan.  Served by
 #: ``ivf_quantizer`` below.
-_CENTROID_ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
+_CENTROID_ARTIFACT_CACHE: dict[tuple, DataFrame] = _register_value_memo({})
 
 
 def corpus_count(spark, emb: DataFrame) -> int:

@@ -335,27 +335,31 @@ def _rotation_order(names: list[str], history: dict[str, list[int]]) -> list[str
 #: the tuple in the next round once CORRECTNESS_r{N}.json has their
 #: green rows (the staleness order then resumes normally).
 _RECERTIFY: tuple[str, ...] = (
-    # (r14 tuple cleared per the contract: all five entries got green
-    # rows in CORRECTNESS_r14.)
-    # round-15 executed-plan / builder-path changes:
-    # the standing indexes (shingle_sets, band_frame, cosine_vb) are
-    # now DISK-backed artifacts (_family_frame disk=True) — every
-    # consumer's executed plan can start from a parquet artifact scan
-    # instead of the in-session build subtree:
-    "dedup_delta_batch",
-    "dedup_delta_embedding",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_cluster_canonical",
-    # the shared tokenize/shingle recipe was factored into
-    # _wh_of/_shingles_of (word_hashes/simhash consumers ride the
-    # touched build path even though the plan is value-identical):
-    "dedup_simhash",
-    # full rewrite: the streaming leg now runs REAL Structured
-    # Streaming (file source + foreachBatch + checkpoint restarts):
-    "dedup_stream_incremental",
+    # (r15 tuple cleared per the contract: all nine entries got green
+    # rows in CORRECTNESS_r15.)
+    # Round-15 rewrote ~29 query paths but the r15 oracle sample only
+    # covered 13 of them; the 16 below shipped with builder-side
+    # evidence only (bit-exact pins + full 110/110 plain-session
+    # drives) and still lack a DRIVER-green row on their rewritten
+    # plans.  r16 additionally touches several of them again (shared
+    # tokenize-frame kernel, ngram verify-join payload), so they stay
+    # pinned until CORRECTNESS_r16 shows their green rows:
+    "embedding_pca_top_component",   # r15 §2/§6/§13: one-plan rewrite + Arrow moment kernel
+    "parts_copurchase_pagerank",     # r15 §3/§7: inline mirror + collect_set edge build
+    "corpus_boilerplate_prune",      # r15 §4/§15: array-side rebuild + shared tokenize frame
+    "corpus_substring_dedup",        # r15 §4/§15: same pair
+    "lineitem_basket_pairs",         # r15 §11: array-side pair generation (4 -> 0 joins)
+    "embedding_pq_codes",            # r15 §17: shared packed code assignment
+    "knn_pq_adc",                    # r15 §17
+    "knn_pq_refine",                 # r15 §17
+    "text_bm25_search",              # r15 §16: shared tokenize frame
+    "text_tfidf_topk",               # r15 §16
+    "text_fingerprint",              # r15 §16
+    "text_language_id",              # r15 §16
+    "docs_keyword_search",           # r15 §16
+    "docs_hybrid_rrf_search",        # r15 §16
+    "s6_keyed_message_encode",       # r15 §14: pipeline-frame/OMM-view memoization
+    "a3_stateful_two_cycle_poll",    # r15 §14: sinkless poll cycle
 )
 
 
