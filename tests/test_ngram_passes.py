@@ -142,3 +142,25 @@ def test_pass_count_conf_validation(spark, _clean_conf):
     spark.conf.unset(_NGRAM_PASSES_CONF)
     spark.conf.set(_NGRAM_SCRATCH_GB_CONF, "1e-12")
     assert _ngram_pass_count(spark, sh) >= 1
+
+
+def test_positional_filter_keeps_boundary_pair(spark, _clean_conf):
+    """r16: single-pass mode applies PPJoin's positional filter
+    (upper-bound prune before the verify joins).  A pair at Jaccard
+    EXACTLY tau = 0.5 sits on the prune boundary — it must survive the
+    filter (bound arithmetic is exact for tau = 0.5) and appear in the
+    result with jaccard 0.5."""
+    w = " ".join(f"w{i}q" for i in range(8))       # 8 words -> 6 shingles
+    extra = " ".join(f"x{i}q" for i in range(6))   # stretch to 12 shingles
+    rows = [
+        (50_001, w),                  # 6 shingles
+        (50_003, w + " " + extra),    # 14 words -> 12 shingles, 6 shared
+        # fillers so the corpus isn't degenerate
+        *[(60_001 + 2 * i, f"f{i}a f{i}b f{i}c f{i}d f{i}e") for i in range(30)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.conf.set(_NGRAM_PASSES_CONF, "1")  # positional-filter plan
+    out = _run(spark, docs)
+    pair = out[(out.doc_a == 50_001) & (out.doc_b == 50_003)]
+    # J = 6 / (6 + 12 - 6) = 0.5 exactly — boundary case
+    assert len(pair) == 1 and float(pair.jaccard.iloc[0]) == 0.5

@@ -22,6 +22,7 @@ from ..caching import (
     replace_plan_artifact,
 )
 from . import text as X
+from .wordhash_kernel import with_word_hashes
 
 #: Session cache for the shared tokenize+hash frame over the RAW
 #: documents table (the dedup family's _FRAME_CACHE discipline);
@@ -30,9 +31,10 @@ _DOC_WORDS_CACHE: dict[tuple, object] = register_artifact_frame_cache({})
 
 
 def doc_words_frame(t) -> DataFrame:
-    """Persisted (doc_id, ws, wh) of the raw documents table — the ONE
-    tokenize-and-hash pass shared by every text operator that consumes
-    the word stream of the raw corpus (r15; guide §1.2 don't recompute).
+    """Persisted (doc_id, ws, wh, jh) of the raw documents table — the
+    ONE tokenize-and-hash pass shared by every text operator that
+    consumes the word stream of the raw corpus (r15; guide §1.2 don't
+    recompute).
 
     Before r15 each consumer re-ran the regex tokenize (and the
     span-prune pair additionally re-ran the per-word char folds, twice
@@ -42,7 +44,15 @@ def doc_words_frame(t) -> DataFrame:
     read, so ws-only consumers never touch wh).  ``wh`` is stored
     ARRAY<INT> (values < HASH_MOD = 2^31 - 1, exact narrowing — halves
     the cached bytes); gram-key folds re-widen via explicit CAST AS
-    BIGINT so the 62-bit key arithmetic is unchanged."""
+    BIGINT so the 62-bit key arithmetic is unchanged.
+
+    r16: the hashes come from the vectorized Arrow kernel
+    (``functions.wordhash_kernel``, guide §4.2) instead of the
+    interpreted ``aggregate(split(t, ''), ...)`` char fold — values
+    bit-identical (pinned in tests/test_wordhash_kernel.py), build cost
+    per corpus byte ~3x lower.  ``jh`` is the BIGINT polyhash of the
+    space-joined words (== ``polyhash(array_join(ws, ' '))``), computed
+    in the same kernel pass for the fingerprint consumer."""
     docs = t["documents"]
     spark = docs.sparkSession
     app_id, plan_hash, files = artifact_cache_key(spark, docs)
@@ -50,10 +60,9 @@ def doc_words_frame(t) -> DataFrame:
     df = _DOC_WORDS_CACHE.get(key)
     if df is None:
         df = persist_tracked(
-            docs.select(
-                "doc_id",
-                X.words("text").alias("ws"),
-                X.word_hashes("text").cast("array<int>").alias("wh"),
+            with_word_hashes(
+                docs.select("doc_id", X.words("text").alias("ws")),
+                joined_col="jh",
             )
         )
         replace_plan_artifact(_DOC_WORDS_CACHE, key, df)

@@ -352,11 +352,11 @@ def _ngram_jaccard(spark, t):
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
-        F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
+        F.posexplode(F.slice(ordered, 1, prefix_len)).alias("pos", "shingle"),
     )
     passes = _ngram_pass_count(spark, sh)
     if passes == 1:  # plan identical to the pre-K-pass form
-        return _ngram_verify(_ngram_candidates(inv), sh)
+        return _ngram_verify(_ngram_candidates(inv, positional=True), sh)
     get_json_logger().info(
         "ngram_jaccard bounded-scratch mode",
         extra={"fields": {"event": "ngram_bounded_scratch", "passes": passes}},
@@ -374,7 +374,7 @@ def _ngram_jaccard(spark, t):
     return out.distinct()
 
 
-def _ngram_candidates(inv: DataFrame) -> DataFrame:
+def _ngram_candidates(inv: DataFrame, positional: bool = False) -> DataFrame:
     """Distinct candidate pairs from an inverted prefix index.
 
     PPJoin length filter: Jaccard >= tau forces
@@ -382,8 +382,30 @@ def _ngram_candidates(inv: DataFrame) -> DataFrame:
     |A∩B| >= tau*|A∪B| >= tau*max), so size-incompatible candidate
     pairs are cut AT the join, before the distinct shuffle and the
     exact array_intersect verify.  Recall is exactly preserved.
+
+    ``positional=True`` (r16, guide §2.3 — fewer rows into the
+    verify joins) additionally applies PPJoin's POSITIONAL filter.
+    Soundness: the canonical order is common to all docs and each
+    prefix holds a doc's smallest elements, so for the LAST
+    prefix-prefix match e (max position in BOTH docs — shared
+    elements sort identically) every shared element < e is itself a
+    prefix-prefix match; hence
+    ``|A∩B| <= cnt + min(|A| - i_e, |B| - j_e)`` with ``cnt`` the
+    number of prefix matches and ``i_e``/``j_e`` e's 1-based
+    positions.  A pair whose bound falls below the required overlap
+    ``tau/(1+tau) * (|A|+|B|)`` cannot reach Jaccard tau, so dropping
+    it changes nothing — every surviving pair still passes the exact
+    full-set verification.  The bound test multiplies out to
+    ``bound * (1+tau) >= tau * (|A|+|B|)``: with tau = 0.5 both sides
+    are EXACT in double arithmetic (halves of integers < 2^52), so no
+    rounding can prune a qualifying pair.  The distinct's exchange is
+    reused (same keys, a 3-long aggregate state instead of bare
+    dedup).  NOT applied in bounded-scratch multi-pass mode: a pass
+    sees only its hash range's matches, so ``cnt``/``i_e``/``j_e``
+    would under-count and the bound would no longer be an upper bound
+    on the full intersection.
     """
-    return (
+    joined = (
         inv.alias("a")
         .join(
             inv.alias("b"),
@@ -392,11 +414,36 @@ def _ngram_candidates(inv: DataFrame) -> DataFrame:
             & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(_JACCARD_TAU))
             & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(_JACCARD_TAU)),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
     )
+    if not positional:
+        return joined.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).distinct()
+    pairs = (
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("pos_a").alias("i_max"),   # 0-based position of the
+            F.max("pos_b").alias("j_max"),   # last prefix-prefix match
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    bound = F.col("cnt") + F.least(
+        F.col("n_a") - F.col("i_max") - 1, F.col("n_b") - F.col("j_max") - 1
+    )
+    return pairs.filter(
+        bound * F.lit(1.0 + _JACCARD_TAU)
+        >= (F.col("n_a") + F.col("n_b")) * F.lit(_JACCARD_TAU)
+    ).select("doc_a", "doc_b")
 
 
 def _ngram_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -540,9 +587,17 @@ def _wh_of(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, wh ARRAY<INT>): THE tokenize+hash
     recipe — single spelling shared by the standing corpus frame and
     the streaming per-batch feature compute, so the two paths cannot
-    drift (values < HASH_MOD = 2^31 - 1, exact narrowing)."""
-    return docs.select(
-        "doc_id", X.word_hashes("text").cast("array<int>").alias("wh")
+    drift (values < HASH_MOD = 2^31 - 1, exact narrowing).
+
+    r16: tokenize stays JVM codegen (regexp_extract_all); the per-word
+    char fold runs in the vectorized Arrow kernel instead of the
+    interpreted ``aggregate(split(t,''), ...)`` lambda — bit-identical
+    values (tests/test_wordhash_kernel.py), and ``keep_ws=False`` means
+    the word strings never ship back out of the Python worker."""
+    from ..functions.wordhash_kernel import with_word_hashes
+
+    return with_word_hashes(
+        docs.select("doc_id", X.words("text").alias("ws")), keep_ws=False
     )
 
 

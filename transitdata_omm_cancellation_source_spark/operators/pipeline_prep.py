@@ -96,9 +96,16 @@ def _hash_split(spark, t):
     # near-duplicate documents land in the same split by construction,
     # so exact dupes can never straddle the train/test boundary — the
     # standard leakage guard.  Pure projection: no shuffle, perfectly
-    # parallel per parquet split at any corpus size.
-    bucket = (X.polyhash(_NORM_TEXT_S) % 100).cast("int")
-    return t["documents"].select(
+    # parallel per parquet split at any corpus size.  r16: the content
+    # hash comes from the Arrow kernel (bit-identical to the
+    # interpreted polyhash fold — tests/test_wordhash_kernel.py).
+    from ..functions.wordhash_kernel import with_joined_polyhash
+
+    hashed = with_joined_polyhash(
+        t["documents"].select("doc_id", X.words("text").alias("ws"))
+    )
+    bucket = (F.col("h") % 100).cast("int")
+    return hashed.select(
         "doc_id",
         bucket.alias("bucket"),
         F.when(bucket < _SPLIT_TRAIN, "train")
@@ -210,11 +217,14 @@ def _decontaminate(spark, t):
     # word-hash/shingle expression tree per EMITTED row (measured 87 s
     # vs 0.3 s at sf0.1 — interpreted higher-order functions don't
     # codegen), and the frame is consumed by three plan branches.
+    # r16: the word hashes come from the SHARED tokenize frame
+    # (functions.corpus.doc_words_frame — raw documents, exactly this
+    # query's corpus) instead of re-running the tokenize + interpreted
+    # char fold here; shingles_from_word_hashes widens the frame's INT
+    # hashes to BIGINT before its multiply, so the shingle keys are
+    # unchanged.
     sh = persist_tracked(
-        t["documents"].select(
-            "doc_id",
-            X.word_hashes("text").alias("wh"),
-        ).select(
+        _doc_words_frame(t).select(
             "doc_id",
             X.shingles_from_word_hashes("wh").alias("shingles"),
         )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.wordhash_kernel import with_joined_polyhash
 from ..plans.queries import registered_query as _q
 
 _WORDS_D = X.WORDS_D  # DuckDB-side words("text"); single source in functions/text
@@ -111,14 +112,20 @@ def _rate_col() -> F.Column:
     """,
 )
 def _mixture_sample(spark, t):
-    bucket = (X.polyhash(_NORM_TEXT_S) % 1000).cast("int")
+    # r16: the content hash comes from the vectorized Arrow kernel
+    # (bit-identical to polyhash(array_join(words(text), ' ')) —
+    # tests/test_wordhash_kernel.py); tokenize stays JVM codegen, the
+    # per-char fold no longer runs interpreted, and only (doc_id,
+    # source, h) leave the Python worker.
+    hashed = with_joined_polyhash(
+        t["documents"].select("doc_id", "source", X.words("text").alias("ws"))
+    )
     rate = _rate_col()
     return (
-        t["documents"]
-        .select(
+        hashed.select(
             "doc_id",
             "source",
-            bucket.alias("bucket"),
+            (F.col("h") % 1000).cast("int").alias("bucket"),
             rate.alias("rate_permille"),
         )
         .filter(F.col("bucket") < F.col("rate_permille"))
@@ -157,14 +164,21 @@ _TRAIN_DECILES, _VAL_DECILES = 8, 9
     """,
 )
 def _stratified_split(spark, t):
-    h = X.polyhash(_NORM_TEXT_S)
-    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    # r16: content hash from the Arrow kernel (see _mixture_sample) —
+    # additionally, the stratum exchange now ships (doc_id, lang, h)
+    # instead of carrying text to a post-shuffle hash evaluation
+    # (guide §2.3 project before the exchange).
+    hashed = with_joined_polyhash(
+        t["documents"].select("doc_id", "lang", X.words("text").alias("ws"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
     wn = Window.partitionBy("lang")
     rn = F.row_number().over(w).cast("bigint")
     n = F.count(F.lit(1)).over(wn).cast("bigint")
     return (
-        t["documents"]
-        .select(
+        hashed.select(
             "doc_id",
             "lang",
             rn.alias("rn"),

@@ -150,14 +150,17 @@ _POLY_D = (
     """,
 )
 def _fingerprint(spark, t):
-    # Shared tokenized frame: md5/polyhash run over array_join(ws, ' ')
-    # — the exact normalized text the old words("text") forms produced,
-    # with the regex tokenize paid once per session instead of twice
-    # per build here.
+    # Shared tokenized frame: md5 runs over array_join(ws, ' ') — the
+    # exact normalized text the old words("text") forms produced, with
+    # the regex tokenize paid once per session instead of twice per
+    # build here.  The rolling polyhash is the frame's precomputed
+    # ``jh`` column (r16): the joined-text char fold ran interpreted
+    # per build; the kernel form is bit-identical
+    # (tests/test_wordhash_kernel.py) and already cached.
     return doc_words_frame(t).select(
         "doc_id",
         F.md5(F.array_join("ws", " ")).alias("fp_md5"),
-        X.polyhash("array_join(ws, ' ')").alias("fp_poly"),
+        F.col("jh").alias("fp_poly"),
     )
 
 

@@ -360,6 +360,28 @@ _RECERTIFY: tuple[str, ...] = (
     "docs_hybrid_rrf_search",        # r15 §16
     "s6_keyed_message_encode",       # r15 §14: pipeline-frame/OMM-view memoization
     "a3_stateful_two_cycle_poll",    # r15 §14: sinkless poll cycle
+    # round-16 executed-plan changes — the per-word char fold moved
+    # from the interpreted SQL lambda to the Arrow kernel
+    # (functions/wordhash_kernel.py), so every consumer of the shared
+    # tokenize frame, the dedup family's word-hash frame, and the
+    # content-hash samplers executes a new plan (bit-identical values,
+    # pinned in tests/test_wordhash_kernel.py):
+    "text_repetition_score",         # r16: doc_words_frame kernel build
+    "text_bigram_lm_score",          # r16: doc_words_frame kernel build
+    "corpus_bpe_pair_counts",        # r16: doc_words_frame kernel build
+    "corpus_bigram_pmi",             # r16: doc_words_frame kernel build
+    "corpus_word_freqitems",         # r16: doc_words_frame kernel build
+    "corpus_decontaminate",          # r16: shingles now from the shared frame
+    "dedup_ngram_jaccard",           # r16: _wh_of kernel (+ verify-join work)
+    "dedup_minhash_lsh",             # r16: _wh_of kernel
+    "dedup_edit_distance",           # r16: _wh_of kernel
+    "dedup_cluster_canonical",       # r16: _wh_of kernel
+    "dedup_simhash",                 # r16: _wh_of kernel
+    "dedup_delta_batch",             # r16: _wh_of kernel (standing index build)
+    "dedup_stream_incremental",      # r16: _wh_of kernel (per-batch features)
+    "corpus_mixture_sample",         # r16: joined-polyhash kernel
+    "corpus_stratified_split",       # r16: joined-polyhash kernel
+    "corpus_hash_split",             # r16: joined-polyhash kernel
 )
 
 
