@@ -58,8 +58,8 @@ def test_pq_packed_codes_shared_and_width_independent(spark):
     t = load_tables(spark, SF)
     vecs = pq._vectors(t)
     cent = pq._shared_codebook(spark, vecs)
-    a = pq._shared_packed_codes(spark, t, vecs, cent)
-    b = pq._shared_packed_codes(spark, t, vecs, cent)
+    a = pq._shared_packed_codes(spark, t)
+    b = pq._shared_packed_codes(spark, t)
     assert a is b, "second consumer must serve the same assignment frame"
     # codes are per-row argmins: any kernel width yields identical rows
     wide = pq._encode(vecs, cent, packed=True, width=None)
@@ -69,6 +69,6 @@ def test_pq_packed_codes_shared_and_width_independent(spark):
     # the shared frame itself matches the direct encode
     assert a.exceptAll(wide).count() == 0
     release_tracked()
-    c = pq._shared_packed_codes(spark, t, vecs, cent)
+    c = pq._shared_packed_codes(spark, t)
     assert c is not a, "release_tracked must evict the assignment frame"
     release_tracked()

@@ -287,7 +287,7 @@ _ENCODE_TASK_ROWS = 16384
 _PACKED_CODES_CACHE: dict[tuple, DataFrame] = register_artifact_frame_cache({})
 
 
-def _shared_packed_codes(spark, t, vecs: DataFrame, cent: DataFrame) -> DataFrame:
+def _shared_packed_codes(spark, t) -> DataFrame:
     """Persisted (vec_id, codes ARRAY<INT>) — THE corpus PQ assignment
     against the shared codebook, built once per session for the four
     PQ consumers (r15; guide §1.2 don't recompute).
@@ -300,7 +300,14 @@ def _shared_packed_codes(spark, t, vecs: DataFrame, cent: DataFrame) -> DataFram
     serves every consumer with values unchanged (the unpacked per-sub
     shape is a posexplode away).  Keyed by the embeddings source
     fingerprints (the _family_frame discipline); a fileless synthetic
-    corpus separates via the plan hash."""
+    corpus separates via the plan hash.
+
+    The vectors and codebook are DERIVED here from ``t`` (r15 ADVICE):
+    the cache key identifies the corpus, so a signature accepting
+    arbitrary ``vecs``/``cent`` could silently serve codes computed
+    against whichever codebook built first."""
+    vecs = _vectors(t)
+    cent = _shared_codebook(spark, vecs)
     app_id, plan_hash, files = artifact_cache_key(spark, t["embeddings"])
     key = (("pq_packed_codes", app_id), plan_hash, files)
     df = _PACKED_CODES_CACHE.get(key)
@@ -553,9 +560,7 @@ def _pq_codes(spark, t):
     # unpacked per-sub rows derived from the shared packed assignment
     # (posexplode of an array built in sub order = the same
     # (vec_id, sub, code) rows the unpacked kernel emitted).
-    codes = _shared_packed_codes(
-        spark, t, vecs, _shared_codebook(spark, vecs)
-    ).select("vec_id", F.posexplode("codes").alias("sub", "code"))
+    codes = _shared_packed_codes(spark, t).select("vec_id", F.posexplode("codes").alias("sub", "code"))
     return codes.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sub"),
         F.sum("code").cast("bigint").alias("code_sum"),
@@ -655,7 +660,7 @@ def _adc_scored(
         "vec_id", scaled_bucket_expr_spark("v", nb).alias("cell")
     )
     corpus = (
-        _shared_packed_codes(spark, t, vecs, cent)
+        _shared_packed_codes(spark, t)
         .join(bucketed, "vec_id")
         .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )
@@ -1006,7 +1011,7 @@ def _knn_ivfpq(spark, t):
         corpus_count(spark, t["embeddings"]), _ivf_ncells(spark, t)
     )
     corpus = (
-        _shared_packed_codes(spark, t, vecs, cent)
+        _shared_packed_codes(spark, t)
         .join(cells, "vec_id")
         .withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
     )

@@ -395,7 +395,6 @@ def _hybrid_rrf(spark, t):
     """
     from ..functions.hyperplane import DOT_S
 
-    docs = t["documents"]
     lex = (
         _bm25_scored(doc_words_frame(t))
         .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
